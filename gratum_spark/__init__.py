@@ -1,0 +1,32 @@
+"""gratum_spark: a PySpark-native analytics/ETL engine with the
+capabilities of chubbard/gratum, re-architected DataFrame-first.
+
+Quick start::
+
+    from gratum_spark import sources, get_spark
+    spark = get_spark()
+    stat = (
+        sources.csv(spark, "titanic.csv")
+        .filter({"Sex": "male"})
+        .go()
+    )
+    assert stat.loaded == 266 and stat.rejected == 152
+"""
+
+from .pipeline import Pipeline, GroupedPipeline, ROW_ORDER
+from .rejections import LoadStatistic, RejectionCategory
+from .session import get_spark
+from . import sources, sinks
+
+__all__ = [
+    "Pipeline",
+    "GroupedPipeline",
+    "LoadStatistic",
+    "RejectionCategory",
+    "get_spark",
+    "sources",
+    "sinks",
+    "ROW_ORDER",
+]
+
+__version__ = "0.1.0"

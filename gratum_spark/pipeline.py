@@ -1,0 +1,882 @@
+"""Pipeline: the DataFrame-native re-expression of gratum's ETL pipeline.
+
+Reference model (gratum): a Pipeline is a named ordered list of Steps fed
+by one Source; rows are Map<String,Object> pushed one at a time; steps
+mutate/reject rows; ``go()`` returns a LoadStatistic
+(reference: src/main/groovy/gratum/etl/Pipeline.groovy:67-81,1333-1358).
+
+Spark design — wrap, don't re-implement:
+  * a Pipeline holds a lazy ``DataFrame`` (the Catalyst logical plan IS
+    the step chain), a list of tagged reject DataFrames, and deferred
+    hooks (branches, on_rejection, after).
+  * every operator is a pure function DataFrame -> DataFrame plus reject
+    bookkeeping; nothing executes until ``go()`` / ``start()`` / a sink.
+  * Catalyst supplies what gratum never had: predicate pushdown, column
+    pruning, join selection (broadcast for small build sides — matching
+    gratum's cached-right hash join), whole-stage codegen, AQE.
+
+Scale posture: all hot-path operators are built-in Spark expressions
+(JVM, codegen'd). Python closures are supported for API parity but run
+as Arrow-batched pandas UDFs and are documented as the slow path.
+Order-dependent operators (fill_down_by, flatten_window, unique
+first-wins, limit) key off an explicit ``_row_order`` column stamped at
+the source scan — file/partition order, stable under later shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable, Mapping
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DataType, StringType, StructType
+
+from .rejections import (
+    REJECT_CATEGORY,
+    REJECT_COLS,
+    REJECT_STEP,
+    LoadStatistic,
+    RejectionCategory,
+    now_ms,
+    tag_rejects,
+    union_rejects,
+)
+
+ROW_ORDER = "_row_order"
+
+__all__ = ["Pipeline", "ROW_ORDER"]
+
+
+def _is_regex(v: Any) -> bool:
+    return isinstance(v, re.Pattern)
+
+
+class Pipeline:
+    """Immutable-ish pipeline facade: every operator returns a new Pipeline.
+
+    Equivalent of gratum's Pipeline (Pipeline.groovy:67-1455) with the
+    step chain replaced by a Catalyst logical plan.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        name: str = "pipeline",
+        rejects: list[DataFrame] | None = None,
+        hooks: dict | None = None,
+    ) -> None:
+        self.df = df
+        self.name = name
+        self._rejects = list(rejects or [])
+        self._hooks = {
+            "after": [],
+            "on_rejection": [],
+            "branches": [],
+            **(hooks or {}),
+        }
+
+    # ------------------------------------------------------------------ infra
+
+    def _next(self, df: DataFrame, rejects: list[DataFrame] | None = None) -> "Pipeline":
+        return Pipeline(
+            df,
+            self.name,
+            self._rejects + list(rejects or []),
+            {k: list(v) for k, v in self._hooks.items()},
+        )
+
+    def _split(
+        self,
+        keep: Column,
+        step: str,
+        category: RejectionCategory,
+        reason: str,
+    ) -> "Pipeline":
+        """Split plan into kept rows and a tagged reject branch.
+
+        The reject branch shares the scan subtree; Catalyst pushes the
+        negated predicate down independently, so the reject count at
+        ``go()`` reads only what it must (column-pruned, filter-pushed).
+        """
+        kept = self.df.filter(keep)
+        rejected = tag_rejects(
+            self.df.filter(~F.coalesce(keep, F.lit(False))), category, reason, step
+        )
+        return self._next(kept, [rejected])
+
+    @property
+    def spark(self):
+        return self.df.sparkSession
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self.df.columns if c != ROW_ORDER]
+
+    def with_row_order(self) -> "Pipeline":
+        """Stamp a source-order column (monotonic per partition, partition-major).
+
+        Must be called before any shuffle to reflect input order — sources
+        in :mod:`gratum_spark.sources` do this automatically when
+        ``ordered=True``. Survives later shuffles because it's data.
+        """
+        if ROW_ORDER in self.df.columns:
+            return self
+        return self._next(self.df.withColumn(ROW_ORDER, F.monotonically_increasing_id()))
+
+    def _order_col(self) -> Column:
+        return F.col(ROW_ORDER) if ROW_ORDER in self.df.columns else F.monotonically_increasing_id()
+
+    # ---------------------------------------------------------------- filters
+
+    def _condition(self, cond: Mapping[str, Any]) -> Column:
+        """Build gratum filter(Map) semantics (Condition.groovy:13-60):
+        literal => equality, collection => IN, regex => rlike (find),
+        callable => per-value predicate UDF. AND-composed.
+        """
+        exprs: list[Column] = []
+        for col, v in cond.items():
+            c = F.col(col)
+            if v is None:
+                exprs.append(c.isNull())
+            elif _is_regex(v):
+                exprs.append(c.rlike(v.pattern))
+            elif isinstance(v, (list, tuple, set, frozenset)):
+                exprs.append(c.isin(*v))
+            elif callable(v):
+                exprs.append(F.udf(lambda x, f=v: bool(f(x)), BooleanType())(c))
+            elif isinstance(v, Column):
+                exprs.append(v)
+            else:
+                exprs.append(c == F.lit(v))
+        out = exprs[0]
+        for e in exprs[1:]:
+            out = out & e
+        return out
+
+    def filter(
+        self,
+        condition: Column | Mapping[str, Any] | Callable[[dict], bool] | str,
+        name: str | None = None,
+    ) -> "Pipeline":
+        """Keep rows matching; reject the rest as IGNORE_ROW.
+
+        (reference: Pipeline.groovy:240-251 closure form, 284-294 map form)
+        Accepts a Column expression / SQL string (fast path, codegen'd),
+        a mapping with gratum Condition semantics, or a row-level Python
+        callable (slow path: Arrow-batched pandas UDF).
+        """
+        if isinstance(condition, Mapping):
+            pred = self._condition(condition)
+            step = name or f"filter {dict(condition)}"
+        elif isinstance(condition, Column):
+            pred = condition
+            step = name or "filter(expr)"
+        elif isinstance(condition, str):
+            pred = F.expr(condition)
+            step = name or f"filter({condition})"
+        elif callable(condition):
+            return self._filter_rows(condition, name or "filter(closure)")
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported filter condition: {type(condition)}")
+        return self._split(pred, step, RejectionCategory.IGNORE_ROW, "filtered out")
+
+    def _filter_rows(self, fn: Callable[[dict], bool], step: str) -> "Pipeline":
+        """Whole-row Python predicate via Arrow-batched pandas UDF."""
+        cols = self.df.columns
+
+        @F.pandas_udf(BooleanType())
+        def _pred(batch: pd.DataFrame) -> pd.Series:
+            return batch.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+
+        marked = self.df.withColumn("__keep__", _pred(F.struct(*cols)))
+        kept = marked.filter(F.col("__keep__")).drop("__keep__")
+        rejected = tag_rejects(
+            marked.filter(~F.col("__keep__")).drop("__keep__"),
+            RejectionCategory.IGNORE_ROW,
+            "filtered out",
+            step,
+        )
+        return self._next(kept, [rejected])
+
+    def trim(self) -> "Pipeline":
+        """Trim whitespace on all string columns (Pipeline.groovy:301-306).
+
+        Gratum stringifies every value; we trim only string-typed columns
+        to preserve the typed schema.
+        """
+        strings = {f.name for f in self.df.schema.fields if isinstance(f.dataType, StringType)}
+        return self._next(
+            self.df.select(
+                *[
+                    F.trim(F.col(c)).alias(c) if c in strings else F.col(c)
+                    for c in self.df.columns
+                ]
+            )
+        )
+
+    def unique(self, *columns: str) -> "Pipeline":
+        """Keep first occurrence per key (source order), reject later dups.
+
+        (reference: Pipeline.groovy:985-995 — HashSet, first-wins)
+        First-wins needs a total order: uses ``_row_order`` when stamped,
+        else partition-major monotonic id. Implemented as a row_number
+        window (one shuffle on the key); when reject accounting is not
+        needed, prefer ``drop_duplicates`` which lets AQE pre-aggregate.
+        """
+        w = Window.partitionBy(*[F.col(c) for c in columns]).orderBy(self._order_col())
+        marked = self.df.withColumn("__rn__", F.row_number().over(w))
+        kept = marked.filter(F.col("__rn__") == 1).drop("__rn__")
+        rejected = tag_rejects(
+            marked.filter(F.col("__rn__") > 1).drop("__rn__"),
+            RejectionCategory.IGNORE_ROW,
+            f"duplicate {','.join(columns)}",
+            f"unique({','.join(columns)})",
+        )
+        return self._next(kept, [rejected])
+
+    def drop_duplicates(self, *columns: str) -> "Pipeline":
+        """Exact dedup without reject accounting — map-side partial dedup,
+        cheapest plan Spark has for this."""
+        return self._next(self.df.dropDuplicates(list(columns) or None))
+
+    def limit(self, n: int, halt: bool = True) -> "Pipeline":
+        """Take first n rows (Pipeline.groovy:1107-1120).
+
+        halt=True mirrors HaltPipelineException: just ``LIMIT n`` (Spark's
+        CollectLimit early-terminates the scan). halt=False additionally
+        accounts the remainder as IGNORE_ROW rejects via OFFSET.
+        """
+        kept = self.df.limit(n)
+        if halt:
+            return self._next(kept)
+        rejected = tag_rejects(
+            self.df.offset(n),
+            RejectionCategory.IGNORE_ROW,
+            f"row number > {n}",
+            f"limit({n})",
+        )
+        return self._next(kept, [rejected])
+
+    # ---------------------------------------------------- column transforms
+
+    def add_field(
+        self,
+        name: str,
+        value: Column | str | Callable[[dict], Any],
+        returnType: DataType | str = StringType(),
+    ) -> "Pipeline":
+        """Computed column (Pipeline.groovy:925-939). Column/SQL-string is
+        the fast path; a Python callable becomes a pandas UDF over the row."""
+        if isinstance(value, Column):
+            col = value
+        elif isinstance(value, str):
+            col = F.expr(value)
+        elif callable(value):
+            cols = self.df.columns
+
+            @F.pandas_udf(returnType)
+            def _field(batch: pd.DataFrame) -> pd.Series:
+                return batch.apply(lambda r: value(r.to_dict()), axis=1)
+
+            col = _field(F.struct(*cols))
+        else:
+            col = F.lit(value)
+        return self._next(self.df.withColumn(name, col))
+
+    def set_field(self, name: str, value: Any) -> "Pipeline":
+        """Constant column (Pipeline.groovy:912-918)."""
+        return self._next(self.df.withColumn(name, F.lit(value)))
+
+    def remove_field(
+        self, name: str, condition: Column | str | None = None
+    ) -> "Pipeline":
+        """Drop a column; with a condition, null it out on matching rows only
+        (Pipeline.groovy:950-962)."""
+        if condition is None:
+            return self._next(self.df.drop(name))
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._next(
+            self.df.withColumn(
+                name, F.when(cond, F.lit(None)).otherwise(F.col(name))
+            )
+        )
+
+    def rename_fields(self, mapping: Mapping[str, str]) -> "Pipeline":
+        """Rename src->dest preserving others (Pipeline.groovy:463-472)."""
+        return self._next(self.df.withColumnsRenamed(dict(mapping)))
+
+    def clip(self, *columns: str) -> "Pipeline":
+        """Retain only the listed columns (Pipeline.groovy:969-977).
+        Column pruning reaches the scan — at 100 TB this is the operator
+        that turns a full-width read into a 2-column read."""
+        keep = list(columns) + ([ROW_ORDER] if ROW_ORDER in self.df.columns else [])
+        return self._next(self.df.select(*keep))
+
+    def default_values(self, defaults: Mapping[str, Any]) -> "Pipeline":
+        """Set column to literal when null/empty (Groovy-falsy: '' and 0 count)
+        (Pipeline.groovy:1073-1080)."""
+        updates = {}
+        for c, v in defaults.items():
+            col = F.col(c)
+            falsy = col.isNull() | (col.cast("string") == "") | (col.cast("string") == "0")
+            updates[c] = F.when(falsy, F.lit(v)).otherwise(col)
+        return self._next(self.df.withColumns(updates))
+
+    def defaults_by(self, dest_src: Mapping[str, str]) -> "Pipeline":
+        """Set dest column from src column when dest is falsy
+        (Pipeline.groovy:1087-1094)."""
+        updates = {}
+        for dest, src in dest_src.items():
+            d = F.col(dest)
+            falsy = d.isNull() | (d.cast("string") == "")
+            updates[dest] = F.when(falsy, F.col(src)).otherwise(d)
+        return self._next(self.df.withColumns(updates))
+
+    def replace_all(self, column: str, pattern: str, replacement: str) -> "Pipeline":
+        """Regex replace with $1-style groups (Pipeline.groovy:1146-1152)."""
+        return self._next(
+            self.df.withColumn(column, F.regexp_replace(F.col(column), pattern, replacement))
+        )
+
+    def replace_values(self, column: str, mapping: Mapping[str, Any]) -> "Pipeline":
+        """Dictionary value substitution (Pipeline.groovy:1163-1171)."""
+        col = F.col(column)
+        out = None
+        for k, v in mapping.items():
+            cond = col == F.lit(k)
+            out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+        return self._next(self.df.withColumn(column, out.otherwise(col)))
+
+    # ------------------------------------------------------------- coercions
+
+    def _coerce(self, column: str, parsed: Column, type_name: str) -> "Pipeline":
+        """Shared INVALID_FORMAT split: parse failure (non-null, non-empty
+        input but null output) rejects; null/empty passes through as null.
+        (reference: asInt Pipeline.groovy:716-726, asDouble 699-709)"""
+        src = F.col(column)
+        had_value = src.isNotNull() & (F.trim(src.cast("string")) != "")
+        marked = self.df.withColumn("__parsed__", parsed)
+        bad = had_value & F.col("__parsed__").isNull()
+        kept = (
+            marked.filter(~bad)
+            .withColumn(column, F.col("__parsed__"))
+            .drop("__parsed__")
+        )
+        rejected = tag_rejects(
+            marked.filter(bad).drop("__parsed__"),
+            RejectionCategory.INVALID_FORMAT,
+            f"Could not parse value as {type_name}",
+            f"as{type_name}({column})",
+        )
+        return self._next(kept, [rejected])
+
+    def as_int(self, column: str) -> "Pipeline":
+        """Parse as long (gratum Integer; long for 100 TB key spaces).
+        try_cast keeps ANSI mode crash-free; failures reject INVALID_FORMAT."""
+        return self._coerce(column, F.col(column).try_cast("long"), "Int")
+
+    def as_double(self, column: str) -> "Pipeline":
+        return self._coerce(column, F.col(column).try_cast("double"), "Double")
+
+    def as_boolean(self, column: str) -> "Pipeline":
+        """Y/yes/1/T => true; N/no/0/F/null-words => false; else parseBoolean
+        (Pipeline.groovy:733-769). Pure expression — no UDF."""
+        c = F.upper(F.trim(F.col(column).cast("string")))
+        parsed = (
+            F.when(c.isin("Y", "YES", "1", "T", "TRUE"), F.lit(True))
+            .when(c.isin("N", "NO", "0", "F", "FALSE", "NULL", "NONE", "NIL"), F.lit(False))
+            .when(c.isNull() | (c == ""), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))  # Boolean.parseBoolean: anything else is false
+        )
+        return self._next(self.df.withColumn(column, parsed))
+
+    def as_date(self, column: str, *formats: str) -> "Pipeline":
+        """Try formats in order, first wins; unparsable rejects INVALID_FORMAT
+        (Pipeline.groovy:779-798). Formats are Spark datetime patterns."""
+        fmts = list(formats) or ["yyyy-MM-dd"]
+        parsed = F.coalesce(
+            *[F.try_to_timestamp(F.col(column).cast("string"), F.lit(f)) for f in fmts]
+        ).cast("date")
+        return self._coerce(column, parsed, "Date")
+
+    # -------------------------------------------------- stateful / reshaping
+
+    def sort(self, *columns: str | tuple[str, str]) -> "Pipeline":
+        """Order by columns; tuple ('col','desc') for descending
+        (Pipeline.groovy:650-654, 587-642). Spark's UnsafeExternalSorter
+        subsumes gratum's external merge sort; SortConfig paging knobs are
+        accepted and ignored by design."""
+        exprs = []
+        for c in columns:
+            if isinstance(c, tuple):
+                name, order = c
+                exprs.append(F.col(name).desc() if order.lower().startswith("desc") else F.col(name).asc())
+            else:
+                exprs.append(F.col(c).asc())
+        return self._next(self.df.orderBy(*exprs))
+
+    def fill_down_by(
+        self, key_columns: Iterable[str], order_by: str | None = None
+    ) -> "Pipeline":
+        """Fill null/empty columns from the previous row within runs of equal
+        keys (Pipeline.groovy:437-455; decider is key-equality in practice,
+        PipelineTest.groovy:363-365).
+
+        Window last(ignorenulls) over (partition by keys order by source
+        order) — carries through multi-row gaps in one pass, one shuffle
+        on the key columns.
+        """
+        keys = list(key_columns)
+        order = F.col(order_by) if order_by else self._order_col()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        updates = {}
+        for f in self.df.schema.fields:
+            if f.name in keys or f.name == ROW_ORDER:
+                continue
+            c = F.col(f.name)
+            nonempty = F.when(c.isNotNull() & (c.cast("string") != ""), c)
+            updates[f.name] = F.coalesce(F.last(nonempty, ignorenulls=True).over(w), c)
+        return self._next(self.df.withColumns(updates))
+
+    def flatten_window(
+        self,
+        field: str,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: StructType | str | None = None,
+        order_by: str | None = None,
+    ) -> "Pipeline":
+        """Group *consecutive* rows sharing ``field``'s value; apply fn per
+        run (Pipeline.groovy:1284-1313).
+
+        Run-id = running count of value changes: lag + change flag + sum
+        over the global order. NOTE: the run-id computation is a global
+        ordered window (single-partition stage). That is inherent to
+        "consecutive in source order" semantics; at 100 TB, prefer a real
+        session key and ``group_by().apply_in_pandas`` instead. The
+        per-run fn then executes distributed via applyInPandas.
+        """
+        order = F.col(order_by) if order_by else self._order_col()
+        w = Window.orderBy(order)
+        changed = (
+            F.when(F.lag(F.col(field)).over(w).eqNullSafe(F.col(field)), 0).otherwise(1)
+        )
+        with_gid = self.df.withColumn("__gid__", F.sum(changed).over(w))
+        out_schema = schema or self.df.schema
+
+        def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf.drop(columns="__gid__"))
+
+        result = with_gid.groupBy("__gid__").applyInPandas(_apply, out_schema)
+        return self._next(result)
+
+    def inject(self, column: str, alias: str | None = None) -> "Pipeline":
+        """Explode an array column into one row per element
+        (gratum inject, Pipeline.groovy:1005-1027 — fast path)."""
+        alias = alias or column
+        others = [c for c in self.df.columns if c != column]
+        return self._next(
+            self.df.select(*others, F.explode(F.col(column)).alias(alias))
+        )
+
+    def flat_map(
+        self,
+        fn: Callable[[dict], Iterable[dict]],
+        schema: StructType | str,
+    ) -> "Pipeline":
+        """Row -> many rows via a Python generator (gratum inject closure
+        form / UDTF, Pipeline.groovy:1005-1027). mapInPandas: Arrow-batched,
+        partition-parallel."""
+
+        def _gen(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                out: list[dict] = []
+                for row in pdf.to_dict("records"):
+                    out.extend(fn(row))
+                yield pd.DataFrame(out) if out else pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in _schema_fields(schema)}
+                )
+
+        return self._next(self.df.mapInPandas(_gen, schema))
+
+    def exchange(self, fn: Callable[[dict], DataFrame]) -> "Pipeline":
+        """Per input row, expand into a whole new DataFrame and union all
+        (gratum exchange, Pipeline.groovy:1039-1053).
+
+        Driver-side by necessity (each row births a new Spark plan, e.g.
+        row -> file path -> spark.read). Keys are collected to the driver:
+        correct for the reference's use cases (small row counts fanning
+        out to files); for large fan-out prefer flat_map or a source that
+        lists files directly.
+        """
+        rows = [r.asDict(recursive=True) for r in self.df.collect()]
+        dfs = [fn(r) for r in rows]
+        dfs = [d for d in dfs if d is not None]
+        if not dfs:
+            raise ValueError("exchange produced no DataFrames")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return self._next(out)
+
+    # ------------------------------------------------------------- grouping
+
+    def group_by(self, *columns: str) -> "GroupedPipeline":
+        """Group rows by columns (Pipeline.groovy:537-566).
+
+        Primary mode: named aggregates (``.agg``) — idiomatic, shuffles
+        once with map-side partial aggregation. Compat mode:
+        ``.as_tree()`` reproduces gratum's nested {v1: {v2: [rows]}}
+        single-row shape on the driver (small results only).
+        """
+        return GroupedPipeline(self, list(columns))
+
+    def reduce(self, **aggregates: Column) -> "Pipeline":
+        """Fold all rows into one row of named aggregates
+        (gratum reduce, Pipeline.groovy:1253-1269 — algebraic fast path)."""
+        return self._next(
+            self.df.agg(*[c.alias(n) for n, c in aggregates.items()])
+        )
+
+    def reduce_rows(
+        self,
+        fn: Callable[[dict, dict], dict],
+        init: dict,
+        merge: Callable[[dict, dict], dict] | None = None,
+    ) -> dict:
+        """Generic closure fold (gratum reduce closure form,
+        Pipeline.groovy:1253-1269).
+
+        With ``merge`` (acc, acc) -> acc: partition-parallel fold via
+        mapInPandas then driver merge of the num-partitions-sized
+        partials — the scalable path when the accumulator is small.
+        Without ``merge``: sequential fold on a single partition,
+        matching gratum's one-thread semantics exactly (order-dependent
+        folds) — not for 100 TB inputs.
+        """
+        import json
+
+        def _fold(batches: Iterable[pd.DataFrame]):
+            acc = dict(init)
+            any_rows = False
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    any_rows = True
+                    acc = fn(acc, row)
+            if any_rows:
+                yield pd.DataFrame({"acc": [json.dumps(acc, default=str)]})
+
+        df = self.df if merge else self.df.coalesce(1)
+        partials = df.mapInPandas(_fold, "acc string").collect()
+        acc = dict(init)
+        combine = merge or (lambda a, b: b)  # single partial when merge is None
+        for p in partials:
+            acc = combine(acc, json.loads(p["acc"]))
+        return acc
+
+    # ---------------------------------------------------------- multi-pipeline
+
+    @staticmethod
+    def _normalize_on(on) -> list[tuple[str, str]]:
+        if isinstance(on, str):
+            return [(on, on)]
+        if isinstance(on, Mapping):
+            return list(on.items())
+        return [(c, c) for c in on]
+
+    def join(
+        self,
+        other: "Pipeline | DataFrame",
+        on: str | Iterable[str] | Mapping[str, str],
+        left: bool = False,
+        broadcast: bool | None = None,
+    ) -> "Pipeline":
+        """Join against another pipeline (Pipeline.groovy:385-427).
+
+        Semantics matched to the reference:
+          * inner (left=False): unmatched left rows reject IGNORE_ROW
+            (Pipeline.groovy:424);
+          * left=True: left outer, right columns null-filled (407-415);
+          * 1-to-N right matches multiply rows (402-406);
+          * column-name collisions: LEFT wins (j.putAll(row), 404) — the
+            right-side duplicate is dropped.
+
+        Physical: one left-outer join + matched-flag split (no second
+        join for the rejects). ``broadcast=True`` (default when the right
+        side is a Pipeline, mirroring gratum's fully-cached right side)
+        hints BroadcastHashJoin; pass False for two big tables and let
+        AQE pick shuffled hash / sort-merge with skew handling.
+        """
+        right_df = other.df if isinstance(other, Pipeline) else other
+        pairs = self._normalize_on(on)
+        lkeys = [lk for lk, _ in pairs]
+        rkeys = [rk for _, rk in pairs]
+
+        # Left wins on collisions: drop colliding non-key right columns.
+        collide = (set(self.df.columns) & set(right_df.columns)) - set(rkeys)
+        right_clean = right_df.drop(*collide) if collide else right_df
+        # Rename right keys to avoid ambiguity; dropped after the join.
+        renames = {rk: f"__rk_{i}__" for i, rk in enumerate(rkeys)}
+        right_clean = right_clean.withColumnsRenamed(renames)
+        right_clean = right_clean.withColumn("__matched__", F.lit(True))
+        if broadcast or (broadcast is None and isinstance(other, Pipeline)):
+            right_clean = F.broadcast(right_clean)
+
+        cond = None
+        for (lk, _), tmp in zip(pairs, renames.values()):
+            e = self.df[lk] == right_clean[tmp]
+            cond = e if cond is None else cond & e
+
+        joined = self.df.join(right_clean, cond, "left").drop(*renames.values())
+        if left:
+            return self._next(joined.drop("__matched__"))
+        kept = joined.filter(F.col("__matched__")).drop("__matched__")
+        rejected = tag_rejects(
+            joined.filter(F.col("__matched__").isNull())
+            .select(*self.df.columns),
+            RejectionCategory.IGNORE_ROW,
+            f"Could not join on {lkeys}",
+            f"join({lkeys})",
+        )
+        return self._next(kept, [rejected])
+
+    def intersect(
+        self, other: "Pipeline | DataFrame", on: str | Iterable[str] | Mapping[str, str]
+    ) -> "Pipeline":
+        """Add boolean ``included`` = key exists in other pipeline; no row is
+        filtered (reference quirk — Pipeline.groovy:488-505, note the
+        commented-out filter at :501). Broadcast semi-style left join
+        against the distinct key set."""
+        right_df = other.df if isinstance(other, Pipeline) else other
+        pairs = self._normalize_on(on)
+        keys_df = (
+            right_df.select(
+                *[F.col(rk).alias(f"__ik_{i}__") for i, (_, rk) in enumerate(pairs)]
+            )
+            .distinct()
+            .withColumn("__included__", F.lit(True))
+        )
+        keys_df = F.broadcast(keys_df)
+        cond = None
+        for i, (lk, _) in enumerate(pairs):
+            e = self.df[lk] == keys_df[f"__ik_{i}__"]
+            cond = e if cond is None else cond & e
+        joined = (
+            self.df.join(keys_df, cond, "left")
+            .withColumn("included", F.coalesce(F.col("__included__"), F.lit(False)))
+            .drop("__included__", *[f"__ik_{i}__" for i in range(len(pairs))])
+        )
+        return self._next(joined)
+
+    def concat(self, other: "Pipeline | DataFrame") -> "Pipeline":
+        """Union keeping each side's own columns, null-filling the gaps
+        (Pipeline.groovy:208-220; ConcatSource.groovy:5-33)."""
+        right_df = other.df if isinstance(other, Pipeline) else other
+        rejects = other._rejects if isinstance(other, Pipeline) else []
+        return self._next(
+            self.df.unionByName(right_df, allowMissingColumns=True), rejects
+        )
+
+    def branch(
+        self,
+        configure: Callable[["Pipeline"], "Pipeline | None"],
+        condition: Column | Mapping[str, Any] | str | None = None,
+    ) -> "Pipeline":
+        """Send a copy of (matching) rows down a side pipeline; main flow
+        unchanged (Pipeline.groovy:315-361). The side pipeline is executed
+        at go() time. Catalyst dedups the shared scan subtree; persist()
+        the pipeline first if the side chain is expensive."""
+        side_df = self.df
+        if condition is not None:
+            if isinstance(condition, Mapping):
+                side_df = side_df.filter(self._condition(condition))
+            elif isinstance(condition, str):
+                side_df = side_df.filter(F.expr(condition))
+            else:
+                side_df = side_df.filter(condition)
+        out = self._next(self.df)
+        out._hooks["branches"].append((Pipeline(side_df, f"{self.name}-branch"), configure))
+        return out
+
+    # ----------------------------------------------------------- lifecycle
+
+    def apply(self, fn: Callable[["Pipeline"], "Pipeline"]) -> "Pipeline":
+        """Composition helper (Pipeline.groovy:1129-1132)."""
+        return fn(self)
+
+    def after(self, hook: Callable[[], Any]) -> "Pipeline":
+        """Callback after the action completes (Pipeline.groovy:153-157)."""
+        out = self._next(self.df)
+        out._hooks["after"].append(hook)
+        return out
+
+    def on_rejection(self, configure: Callable[["Pipeline"], Any]) -> "Pipeline":
+        """Attach processing to the rejections pipeline
+        (Pipeline.groovy:166-199). Runs at go() time with a Pipeline over
+        the union of all reject branches (payload + rejectionCategory/
+        Reason/Step columns)."""
+        out = self._next(self.df)
+        out._hooks["on_rejection"].append(configure)
+        return out
+
+    def rejections_df(self) -> DataFrame | None:
+        """The union of all reject branches as a DataFrame (lazy)."""
+        return union_rejects(self._rejects)
+
+    def persist(self) -> "Pipeline":
+        return self._next(self.df.persist())
+
+    def go(self) -> LoadStatistic:
+        """Execute and return LoadStatistic (Pipeline.groovy:1333-1342).
+
+        One count action for the main stream + one aggregate action over
+        the unioned reject branches (category×step counts), then branch /
+        on_rejection / after hooks.
+        """
+        start = now_ms()
+        loaded = self.df.count()
+        rejections: dict[str, dict[str, int]] = {}
+        rej = self.rejections_df()
+        if rej is not None:
+            for row in (
+                rej.groupBy(REJECT_CATEGORY, REJECT_STEP).count().collect()
+            ):
+                rejections.setdefault(row[REJECT_CATEGORY], {})[row[REJECT_STEP]] = row[
+                    "count"
+                ]
+        for side, configure in self._hooks["branches"]:
+            configured = configure(side)
+            if isinstance(configured, Pipeline):
+                configured.start()
+        if rej is not None:
+            for configure in self._hooks["on_rejection"]:
+                configure(Pipeline(rej, f"{self.name}-rejections"))
+        for hook in self._hooks["after"]:
+            hook()
+        return LoadStatistic(self.name, loaded, start, now_ms(), rejections)
+
+    def start(self) -> None:
+        """Execute without stats (Pipeline.groovy:1318-1324): noop-write the
+        full plan — runs every operator, collects nothing to the driver."""
+        self.df.write.format("noop").mode("overwrite").save()
+
+    # ------------------------------------------------------------- outputs
+
+    def _clean_df(self, columns: Iterable[str] | None = None) -> DataFrame:
+        df = self.df.drop(ROW_ORDER)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def save(
+        self,
+        path: str,
+        separator: str = ",",
+        columns: Iterable[str] | None = None,
+        header: bool = True,
+        quote_all: bool = True,
+    ) -> "Pipeline":
+        """CSV sink (Pipeline.groovy:809-824, sink/CsvSink.groovy:9-49 —
+        always-quoted fields). Returns a 1-row result pipeline {filename}
+        like the reference (Pipeline.groovy:833-844)."""
+        (
+            self._clean_df(columns)
+            .write.mode("overwrite")
+            .option("header", header)
+            .option("sep", separator)
+            .option("quoteAll", quote_all)
+            .csv(path)
+        )
+        result = self.spark.createDataFrame([(path,)], "filename string")
+        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+
+    def json(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
+        """JSON-array sink (sink/JsonSink.groovy:9-83) — written as JSONL
+        directory (the scalable form); see sinks.write_json_array for the
+        single-file array form."""
+        self._clean_df(columns).write.mode("overwrite").json(path)
+        result = self.spark.createDataFrame([(path,)], "filename string")
+        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+
+    def jsonl(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
+        """JSONL sink (Pipeline.groovy:864-877) — native Spark json writer."""
+        return self.json(path, columns)
+
+    def parquet(self, path: str, partition_by: Iterable[str] | None = None) -> "Pipeline":
+        """Parquet sink — the 100 TB-native output format (columnar,
+        predicate-pushdown-able, splittable)."""
+        w = self._clean_df().write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        result = self.spark.createDataFrame([(path,)], "filename string")
+        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+
+    # ------------------------------------------------------------ debugging
+
+    def print_row(self, *columns: str, n: int = 20) -> "Pipeline":
+        """Log selected columns (Pipeline.groovy:884-894)."""
+        (self.df.select(*columns) if columns else self.df).show(n, truncate=False)
+        return self
+
+    def explain(self, mode: str = "formatted") -> "Pipeline":
+        self.df.explain(mode)
+        return self
+
+
+class GroupedPipeline:
+    """Result of Pipeline.group_by — named aggregates or gratum tree compat."""
+
+    def __init__(self, parent: Pipeline, columns: list[str]) -> None:
+        self.parent = parent
+        self.columns = columns
+
+    def agg(self, **aggregates: Column) -> Pipeline:
+        """Named aggregates; one shuffle, map-side combine for free."""
+        df = self.parent.df.groupBy(*self.columns).agg(
+            *[c.alias(n) for n, c in aggregates.items()]
+        )
+        return self.parent._next(df)
+
+    def apply_in_pandas(self, fn, schema: StructType | str) -> Pipeline:
+        """Arbitrary per-group transform (UDAF/UDTF surface) — distributed,
+        one group per pandas DataFrame."""
+        df = self.parent.df.groupBy(*self.columns).applyInPandas(fn, schema)
+        return self.parent._next(df)
+
+    def rows(self) -> Pipeline:
+        """Grouped rows as array-of-structs per key — the distributed form
+        of gratum's per-key row lists."""
+        payload = [c for c in self.parent.df.columns if c not in self.columns and c != ROW_ORDER]
+        df = self.parent.df.groupBy(*self.columns).agg(
+            F.collect_list(F.struct(*payload)).alias("rows")
+        )
+        return self.parent._next(df)
+
+    def as_tree(self) -> dict:
+        """Gratum compat: the nested {v1: {v2: [row,...]}} single-row tree
+        (Pipeline.groovy:537-566). Collects to the driver — small results
+        only; prefer .agg()/.rows() at scale."""
+        rows = self.rows().df.collect()
+        tree: dict = {}
+        for r in rows:
+            d = r.asDict(recursive=True)
+            node = tree
+            for k in self.columns[:-1]:
+                node = node.setdefault(str(d[k]), {})
+            node[str(d[self.columns[-1]])] = d["rows"]
+        return tree
+
+
+def _schema_fields(schema: StructType | str):
+    if isinstance(schema, StructType):
+        return schema.fields
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(schema).fields

@@ -1,0 +1,106 @@
+"""Rejection model: categories, reject-rule bookkeeping, LoadStatistic.
+
+Reference semantics (gratum): any step may reject a row with a category +
+reason; rejected rows short-circuit the remaining steps and flow to a
+secondary "rejections" pipeline carrying ``rejectionCategory``,
+``rejectionReason`` and ``rejectionStep`` columns; ``go()`` returns a
+``LoadStatistic`` with loaded count and per-category×step reject counts.
+(reference: src/main/groovy/gratum/etl/Rejection.groovy:9-22,
+RejectionCategory.groovy:9-17, LoadStatistic.groovy:12-163)
+
+Spark design: each rejecting operator *splits* the lazy plan — main
+continues as ``df.filter(pred)``, and ``df.filter(~pred)`` plus the
+rejection metadata columns is appended to the pipeline's reject list.
+Catalyst pushes the (negated) predicate to the scan on both branches, so
+at 100 TB each reject branch is an independent pushed-down scan rather
+than a driver-side re-iteration; counts are computed in one union-all
+aggregate action at ``go()`` time.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import reduce as _reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REJECT_CATEGORY = "rejectionCategory"
+REJECT_REASON = "rejectionReason"
+REJECT_STEP = "rejectionStep"
+REJECT_COLS = (REJECT_CATEGORY, REJECT_REASON, REJECT_STEP)
+
+
+class RejectionCategory(str, Enum):
+    """Mirrors gratum's RejectionCategory enum (RejectionCategory.groovy:9-17)."""
+
+    INVALID_FORMAT = "INVALID_FORMAT"
+    MISSING_DATA = "MISSING_DATA"
+    DUPLICATE = "DUPLICATE"
+    REJECTION = "REJECTION"
+    SCRIPT_ERROR = "SCRIPT_ERROR"
+    RUNTIME_ERROR = "RUNTIME_ERROR"
+    IGNORE_ROW = "IGNORE_ROW"
+
+
+def tag_rejects(
+    df: DataFrame, category: RejectionCategory, reason: str, step: str
+) -> DataFrame:
+    """Attach the rejection metadata columns to a rejected-rows DataFrame."""
+    return df.withColumns(
+        {
+            REJECT_CATEGORY: F.lit(category.value),
+            REJECT_REASON: F.lit(reason),
+            REJECT_STEP: F.lit(step),
+        }
+    )
+
+
+def union_rejects(rejects: list[DataFrame]) -> DataFrame | None:
+    """Union all reject branches by name, tolerating differing payload schemas."""
+    if not rejects:
+        return None
+    return _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), rejects
+    )
+
+
+@dataclass
+class LoadStatistic:
+    """Result of Pipeline.go(): loaded count + reject accounting + timing.
+
+    Mirrors gratum's LoadStatistic (LoadStatistic.groovy:12-163) minus
+    per-step wall timings, which don't exist under lazy fused execution;
+    we expose the end-to-end action duration instead.
+    """
+
+    name: str
+    loaded: int
+    start_ms: float
+    end_ms: float
+    # {category: {step: count}}
+    rejections: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    @property
+    def duration_ms(self) -> float:
+        return self.end_ms - self.start_ms
+
+    @property
+    def rejected(self) -> int:
+        return sum(c for by_step in self.rejections.values() for c in by_step.values())
+
+    def rejections_for(self, category: RejectionCategory | str) -> int:
+        key = category.value if isinstance(category, RejectionCategory) else category
+        return sum(self.rejections.get(key, {}).values())
+
+    def __str__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"LoadStatistic(name={self.name!r}, loaded={self.loaded}, "
+            f"rejected={self.rejected}, duration={self.duration_ms:.0f}ms)"
+        )
+
+
+def now_ms() -> float:
+    return time.time() * 1000.0

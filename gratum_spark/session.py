@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+Local runs use ``local[N]`` with a modest shuffle-partition count; on a
+real cluster the same settings (AQE on, adaptive coalescing, skew-join
+handling) are what we'd ship — AQE re-plans partition counts at runtime
+so the static number only matters as a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gratum-spark", cpus: int | None = None) -> SparkSession:
+    """Return (create if needed) a SparkSession configured for this engine.
+
+    Scale notes: every setting here is chosen to survive a 1000-executor
+    cluster, not just local[32]:
+      - AQE enabled: runtime shuffle-partition coalescing + skew-join
+        splitting replace hand-tuned partition counts.
+      - broadcast threshold raised so dimension tables (region/nation/
+        customer at TPC-H ratios) broadcast instead of shuffling.
+      - Arrow enabled for the few pandas-UDF operators (vectorized
+        Python boundary instead of row-at-a-time pickling).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

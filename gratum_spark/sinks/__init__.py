@@ -1,0 +1,72 @@
+"""Sinks: reference writers re-expressed as Spark writers.
+
+Reference inventory (src/main/groovy/gratum/sink/): CsvSink, JsonSink,
+JsonLines (Pipeline.jsonl), XlsxSink, plus the Sink SPI. Distributed
+writes (csv/json/parquet) live on Pipeline (.save/.json/.jsonl/
+.parquet); this module adds the single-file / driver-side compat forms.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_json_array", "write_xlsx", "write_single_csv"]
+
+
+def write_json_array(df: DataFrame, path: str, columns: Iterable[str] | None = None) -> str:
+    """Single-file JSON array (reference: sink/JsonSink.groovy:9-83).
+
+    Collects through toLocalIterator — bounded driver memory, but a
+    single output file is inherently non-parallel; prefer
+    Pipeline.jsonl() at scale.
+    """
+    if columns:
+        df = df.select(*columns)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("[\n")
+        first = True
+        for row in df.toLocalIterator():
+            if not first:
+                f.write(",\n")
+            f.write(_json.dumps(row.asDict(recursive=True), default=str))
+            first = False
+        f.write("\n]")
+    return path
+
+
+def write_single_csv(
+    df: DataFrame,
+    path: str,
+    separator: str = ",",
+    columns: Iterable[str] | None = None,
+) -> str:
+    """Single-file always-quoted CSV (reference: csv/CSVFile.java:229-254 —
+    quoted fields, doubled-quote escape, newline kept inside quotes).
+    Driver-side streaming write via toLocalIterator."""
+    import csv as _csv
+
+    if columns:
+        df = df.select(*columns)
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        writer = _csv.writer(f, delimiter=separator, quoting=_csv.QUOTE_ALL)
+        writer.writerow(df.columns)
+        for row in df.toLocalIterator():
+            writer.writerow(["" if v is None else v for v in row])
+    return path
+
+
+def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1") -> str:
+    """XLSX sink (reference: sink/XlsxSink.groovy:16-81 — streaming SXSSF).
+
+    pandas/openpyxl on the driver; spreadsheets are small-output by
+    nature. Gated behind import-try (openpyxl isn't baked in here).
+    """
+    try:
+        pdf = df.toPandas()
+        pdf.to_excel(path, sheet_name=sheet, index=False)
+    except ImportError as e:  # pragma: no cover - environment-gated
+        raise NotImplementedError("xlsx sink requires openpyxl") from e
+    return path

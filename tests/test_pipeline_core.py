@@ -1,0 +1,216 @@
+"""Core pipeline tests mirroring the reference's golden-count style
+(see SURVEY §5: PipelineTest.groovy asserts loaded/rejected per step)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from gratum_spark import RejectionCategory, sources
+
+
+def test_filter_map_golden_counts(people):
+    # people filter(gender=male) -> 2 loaded / 3 rejected (FIXTURES.md §1)
+    stat = people.filter({"gender": "male"}).go()
+    assert stat.loaded == 2
+    assert stat.rejected == 3
+    assert stat.rejections_for(RejectionCategory.IGNORE_ROW) == 3
+
+
+def test_filter_expr_and_closure(people):
+    assert people.filter(F.col("age") < 30).go().loaded == 1
+    assert people.filter("age >= 80").go().loaded == 2
+    stat = people.filter(lambda row: row["age"] < 40 and row["gender"] == "female").go()
+    assert stat.loaded == 2
+    assert stat.rejected == 3
+
+
+def test_filter_map_forms(people):
+    # collection => IN
+    assert people.filter({"gender": ["male", "female"]}).go().loaded == 5
+    # regex => rlike find
+    assert people.filter({"name": re.compile("Rogers")}).go().loaded == 2
+    # per-value callable
+    assert people.filter({"age": lambda a: a > 50}).go().loaded == 3
+    # conjunction
+    assert people.filter({"gender": "female", "age": lambda a: a > 30}).go().loaded == 2
+
+
+def test_rejections_pipeline(people):
+    seen = {}
+
+    def capture(rejects):
+        rows = rejects.df.collect()
+        seen["n"] = len(rows)
+        seen["cats"] = {r["rejectionCategory"] for r in rows}
+        seen["steps"] = {r["rejectionStep"] for r in rows}
+
+    stat = people.filter({"gender": "male"}, name="males-only").on_rejection(capture).go()
+    assert stat.loaded == 2
+    assert seen["n"] == 3
+    assert seen["cats"] == {"IGNORE_ROW"}
+    assert seen["steps"] == {"males-only"}
+
+
+def test_clip_and_column_ops(people):
+    p = people.clip("id", "name")
+    assert p.columns == ["id", "name"]
+    assert p.go().loaded == 5
+
+    p2 = (
+        people.set_field("planet", "earth")
+        .add_field("age2", F.col("age") * 2)
+        .rename_fields({"name": "full_name"})
+        .remove_field("comment")
+    )
+    rows = {r["id"]: r for r in p2.df.collect()}
+    assert rows[1]["planet"] == "earth"
+    assert rows[1]["age2"] == 106
+    assert "full_name" in p2.columns and "comment" not in p2.columns
+
+
+def test_add_field_closure(people):
+    p = people.add_field("initials", lambda r: "".join(w[0] for w in r["name"].split()))
+    rows = {r["id"]: r["initials"] for r in p.df.collect()}
+    assert rows[1] == "BR"
+
+
+def test_unique_first_wins(hobbies):
+    stat = hobbies.unique("id").go()
+    assert stat.loaded == 4
+    assert stat.rejected == 4
+    # first-wins: id=1 keeps 'Stamp Collecting' (source order)
+    kept = {r["id"]: r["hobby"] for r in hobbies.unique("id").df.collect()}
+    assert kept[1] == "Stamp Collecting"
+
+
+def test_limit_and_halt(people):
+    assert people.limit(3).go().loaded == 3
+    stat = people.limit(3, halt=False).go()
+    assert stat.loaded == 3
+    assert stat.rejected == 2
+
+
+def test_trim_defaults_replace(spark):
+    rows = [
+        {"a": "  x  ", "b": None, "c": "cat"},
+        {"a": "y", "b": "", "c": "dog"},
+        {"a": " z", "b": "keep", "c": "cat"},
+    ]
+    p = sources.from_collection(spark, rows, "a string, b string, c string")
+    out = (
+        p.trim()
+        .default_values({"b": "filled"})
+        .replace_values("c", {"cat": "feline"})
+        .replace_all("a", "z", "Z")
+        .df.collect()
+    )
+    got = sorted([(r["a"], r["b"], r["c"]) for r in out])
+    assert got == [("Z", "keep", "feline"), ("x", "filled", "feline"), ("y", "filled", "dog")]
+
+
+def test_coercions(spark):
+    rows = [
+        {"n": "12", "d": "1.5", "b": "Y", "dt": "2024-01-02"},
+        {"n": "x", "d": "2.5", "b": "no", "dt": "01/15/2024"},
+        {"n": "", "d": None, "b": "1", "dt": None},
+    ]
+    p = sources.from_collection(spark, rows, "n string, d string, b string, dt string")
+    stat = p.as_int("n").go()
+    assert stat.loaded == 2  # "x" rejected, "" passes as null
+    assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 1
+
+    p2 = p.as_boolean("b")
+    vals = [r["b"] for r in p2.df.collect()]
+    assert vals == [True, False, True]
+
+    p3 = p.as_date("dt", "yyyy-MM-dd", "MM/dd/yyyy")
+    stat3 = p3.go()
+    assert stat3.loaded == 3  # both formats parse; null passes
+    dts = sorted(str(r["dt"]) for r in p3.df.collect() if r["dt"])
+    assert dts == ["2024-01-02", "2024-01-15"]
+
+
+def test_as_date_rejects(spark):
+    p = sources.from_collection(spark, [{"dt": "not-a-date"}], "dt string")
+    stat = p.as_date("dt", "yyyy-MM-dd").go()
+    assert stat.loaded == 0
+    assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 1
+
+
+def test_sort(people):
+    ages = [r["age"] for r in people.sort("age").df.collect()]
+    assert ages == sorted(ages)
+    ages_desc = [r["age"] for r in people.sort(("age", "desc"), "id").df.collect()]
+    assert ages_desc == sorted(ages_desc, reverse=True)
+
+
+def test_branch_and_after(people):
+    state = {}
+
+    def side(p):
+        state["side_count"] = p.df.count()
+        return None
+
+    stat = (
+        people.branch(side, condition={"gender": "female"})
+        .after(lambda: state.setdefault("done", True))
+        .go()
+    )
+    assert stat.loaded == 5
+    assert state["side_count"] == 3
+    assert state["done"] is True
+
+
+def test_reduce(people):
+    row = people.reduce(total_age=F.sum("age"), n=F.count("*")).df.collect()[0]
+    assert row["total_age"] == 53 + 25 + 34 + 83 + 83
+    assert row["n"] == 5
+
+
+def test_reduce_rows(people):
+    acc = people.reduce_rows(
+        lambda a, r: {"sum": a["sum"] + (r.get("age") or 0)}, {"sum": 0}
+    )
+    assert acc["sum"] == 278
+
+
+def test_group_by_agg_and_tree(people):
+    agg = people.group_by("gender").agg(n=F.count("*"))
+    got = {r["gender"]: r["n"] for r in agg.df.collect()}
+    assert got == {"male": 2, "female": 3}
+
+    tree = people.group_by("gender").as_tree()
+    assert len(tree["male"]) == 2
+    assert len(tree["female"]) == 3
+    names = {r["name"] for r in tree["female"]}
+    assert "Ginger Rogers" in names
+
+
+def test_inject_and_flat_map(spark):
+    rows = [
+        {"product": "widget", "features": ["a", "b", "c"]},
+        {"product": "gadget", "features": ["x"]},
+    ]
+    p = sources.from_collection(
+        spark, rows, "product string, features array<string>", ordered=False
+    )
+    out = p.inject("features", alias="feature")
+    assert out.go().loaded == 4
+
+    fm = p.flat_map(
+        lambda row: [{"product": row["product"], "n": i} for i in range(2)],
+        "product string, n int",
+    )
+    assert fm.go().loaded == 4
+
+
+def test_exchange(spark, hobbies):
+    ids = sources.from_collection(spark, [{"id": 1}, {"id": 2}], ordered=False)
+    hobbies_df = hobbies.df
+
+    def expand(row):
+        return hobbies_df.filter(F.col("id") == row["id"])
+
+    assert ids.exchange(expand).go().loaded == 4

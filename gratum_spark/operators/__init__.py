@@ -1,0 +1,7 @@
+"""Beyond-reference operators: dedup, similarity search, text analysis,
+multimodal plumbing, windowed analytics. See each module's docstring for
+the 100 TB scale design."""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

@@ -1,0 +1,315 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference capability (the reference has only `unique` — exact,
+single-column, in-memory HashSet at Pipeline.groovy:985-995). These are
+the operators a 100 TB training-data pipeline needs: exact hash dedup,
+MinHash+LSH near-dup, SimHash near-dup, exact n-gram Jaccard.
+
+Scale design notes per operator are in the docstrings — the common
+theme: candidate generation via hash/band *equality joins* (shuffle on
+narrow keys) so nothing is ever O(n^2) across the cluster; exact
+verification only within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    minhash_signature_of_word_hashes,
+    shingles_of_words,
+    simhash64_np,
+    words,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_rejects",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest order_col.
+
+    Deterministic (unlike dropDuplicates) and scalable: one shuffle on
+    the key. For very hot keys AQE skew-join handling does not apply to
+    windows, so we use groupBy(min) + semi-join shape instead of a
+    row_number window when only the winner row is needed — groupBy gets
+    map-side partial aggregation; the join back is on (key, order).
+    """
+    winners = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
+    return df.join(winners, on=key_cols + [order_col], how="leftsemi")
+
+
+def exact_dedup_rejects(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, rejected) split via row_number window — for pipelines that
+    need DUPLICATE reject accounting."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col))
+    marked = df.withColumn("__rn__", F.row_number().over(w))
+    return (
+        marked.filter(F.col("__rn__") == 1).drop("__rn__"),
+        marked.filter(F.col("__rn__") > 1).drop("__rn__"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape (all joins are equality joins — no cross product):
+      1. signature: n_hashes expression-only min-hashes per doc (no UDF);
+      2. banding: explode signature into ``bands`` (band_id, band_hash)
+         rows — band_hash is xxhash64 over the band's slice;
+      3. bucket join: self-join on (band_id, band_hash) with id<id —
+         shuffle keyed on the 16-byte band key; docs agreeing on any
+         band meet in exactly one shuffle partition;
+      4. estimate: distinct pairs re-joined to signatures; estimated
+         Jaccard = fraction of matching signature positions; filter by
+         threshold.
+
+    At 100 TB: stage 3's key cardinality ≈ n_docs × bands, uniformly
+    hashed — no skew by construction unless many docs are *identical*
+    (run exact_dedup first, which is cheaper anyway).
+    Returns (a, b, est_jaccard) with a < b.
+    """
+    rows_per_band = n_hashes // bands
+    if n_partitions:
+        # signature computation is the CPU-heavy stage; when the input
+        # arrives in few partitions (small files / single row-group
+        # parquet) a round-robin repartition buys per-doc parallelism
+        # for one narrow shuffle of (id, text)
+        df = df.repartition(n_partitions)
+    # Materialize words -> shingles -> signature as separate projections:
+    # higher-order lambdas run interpreted with no subexpression reuse, so
+    # an inlined split/shingle subtree would re-execute inside all
+    # n_hashes transform lambdas (observed 100×+ slowdown). Multi-
+    # referenced non-cheap aliases are kept by CollapseProject.
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            # per-word xxhash64 JVM-side; shingling + minhash run
+            # vectorized in numpy (no string shingles anywhere)
+            F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w)).alias("__wh__"),
+        )
+        .select(
+            "id",
+            minhash_signature_of_word_hashes(
+                F.col("__wh__"), shingle_k, n_hashes
+            ).alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+    )
+    # the banding self-join references the signature subtree twice (left +
+    # right); persist so the UDF stage runs once. sig is narrow
+    # (id + n_hashes longs) and spills to disk if it outgrows memory.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    band_cols = []
+    for b in range(bands):
+        band_slice = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice.cast("string")).alias("h"))
+        )
+    banded = sig.select(
+        "id", "sig", F.explode(F.array(*band_cols)).alias("bh")
+    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    left = banded.select(
+        F.col("band"), F.col("h"), F.col("id").alias("a"), F.col("sig").alias("sig_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("h"), F.col("id").alias("b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, on=["band", "h"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = (matches / F.lit(float(n_hashes))).alias("est_jaccard")
+    return (
+        pairs.select("a", "b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash with prefix-bucket candidates.
+
+    Candidates share one of 4 rotated ``prefix_bits`` prefixes (classic
+    Charikar/Manku trick: hamming<=3 over 64 bits guarantees at least
+    one of 4 16-bit blocks is identical). Verification = bit_count(xor)
+    <= max_hamming. All expressions, equality joins only.
+    Returns (a, b, hamming).
+    """
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    # hash words JVM-side (xxhash64), bit-vote vectorized in numpy
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64_np(
+            F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
+        ).alias("sh"),
+    )
+    n_blocks = 64 // prefix_bits
+    blocks = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("sh"), i * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+            .alias("key"),
+        )
+        for i in range(n_blocks)
+    ]
+    bucketed = sh.select("id", "sh", F.explode(F.array(*blocks)).alias("b")).select(
+        "id", "sh", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    )
+    left = bucketed.select("blk", "key", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    right = bucketed.select("blk", "key", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return (
+        left.join(right, on=["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs via inverted-index join.
+
+    Plan: doc -> distinct k-shingles (expression) -> explode ->
+    self-join on shingle (inverted index: docs sharing a shingle meet
+    on that shuffle key) -> count common shingles per pair ->
+    jaccard = common / (|A| + |B| - common).
+
+    Scale caution: a shingle shared by m docs yields m^2 pair rows —
+    extremely common shingles are stop-shingles and should be dropped
+    (``max_doc_freq`` guard below caps the blow-up), the standard
+    inverted-index mitigation.
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    sh = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws__")
+    ).select("id", F.explode(shingles_of_words(F.col("__ws__"), k)).alias("shingle"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # stop-shingle guard: drop shingles present in >1% of docs (min 100)
+    n_docs = df.count()
+    max_doc_freq = max(100, n_docs // 100)
+    freq_ok = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_doc_freq)
+        .select("shingle")
+    )
+    sh = sh.join(freq_ok, on="shingle", how="leftsemi")
+
+    a = sh.select(F.col("shingle"), F.col("id").alias("a"))
+    b = sh.select(F.col("shingle"), F.col("id").alias("b"))
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    jac = (
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+    ).alias("jaccard")
+    return (
+        common.join(F.broadcast(na), on="a")
+        .join(F.broadcast(nb), on="b")
+        .select("a", "b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed.
+
+    Random-hyperplane signatures (deterministic, hash-derived planes via
+    xxhash64 sign trick) bucket vectors; exact cosine verifies within
+    buckets. With n_planes=12 each bucket holds ~n/4096 vectors —
+    the self-join is quadratic only within buckets.
+    """
+    from ..functions import dot_decimal, norm_sq_decimal
+
+    dim_col = F.size(F.col(vec_col))
+
+    def plane_bit(j: int) -> Column:
+        # pseudo-random ±1 per (plane j, dim i), derived from xxhash64
+        prods = F.transform(
+            F.sequence(F.lit(0), dim_col - 1),
+            lambda i: F.element_at(F.col(vec_col), i + 1).cast("double")
+            * F.when(F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = None
+    for j in range(n_planes):
+        term = plane_bit(j) * F.lit(1 << j)
+        bucket = term if bucket is None else bucket + term
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket.alias("bucket"),
+        F.sqrt(norm_sq_decimal(F.col(vec_col))).alias("norm"),
+    )
+    left = sig.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    right = sig.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cos = (dot_decimal(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos)
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["a", "b"])
+    )

@@ -1,0 +1,1015 @@
+"""Query catalog: every implemented operator exercised end-to-end, each
+with a DuckDB oracle where SQL-expressible.
+
+Each entry: name -> (spark_builder, oracle_sql | None). The builder
+takes (spark, sf_dir) and returns a DataFrame built THROUGH the engine
+API (Pipeline / operators.*) — these double as integration tests of the
+public surface, the driver's correctness gate, and the bench workload.
+
+Float determinism strategy (so value-hashes match DuckDB exactly):
+  * money sums: CAST to DECIMAL(18,2) before SUM, result CAST back to
+    DOUBLE — decimal addition is exact and order-independent, and both
+    engines produce the identical nearest-double at the end;
+  * dot products / norms: elementwise double products CAST to
+    DECIMAL(38,12), summed exactly (see functions.dot_decimal);
+  * plain double arithmetic (a*b, a/b) without reductions is IEEE-
+    deterministic and needs no special handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..pipeline import Pipeline
+from ..sources import table
+
+# Money-sum helper: exact, order-independent, engine-portable.
+# Scale 8 (not 2): at scale 2 the cents boundary lands exactly on the
+# .xx5 halves that 2dp×2dp products produce, where Spark (shortest-repr
+# + HALF_UP) and other engines (binary-value rounding) disagree; at
+# scale 8 the cast is lossless for such inputs so every engine agrees.
+def dsum(col) -> F.Column:  # type: ignore[name-defined]
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(30,8)")).cast("double")
+
+
+DSUM = "CAST(SUM(CAST({0} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
+def T(spark: SparkSession, sf: str, name: str) -> Pipeline:
+    return table(spark, sf, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish analytics
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf) -> DataFrame:
+    """Pricing summary: filter + group_by.agg (sums/avgs/counts)."""
+    return (
+        T(spark, sf, "lineitem")
+        .filter("l_shipdate <= timestamp'1998-09-01 00:00:00'")
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=F.sum("l_quantity"),
+            sum_base_price=dsum("l_extendedprice"),
+            sum_disc_price=dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            avg_qty=F.sum("l_quantity") / F.count("*"),
+            count_order=F.count("*"),
+        )
+        .sort("l_returnflag", "l_linestatus")
+        .df
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {DSUM.format('l_extendedprice')} AS sum_base_price,
+       {DSUM.format('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf) -> DataFrame:
+    """Shipping priority: 3-way join + agg + sort + limit."""
+    cust = T(spark, sf, "customer").filter({"c_mktsegment": "BUILDING"})
+    orders = T(spark, sf, "orders").filter("o_orderdate < timestamp'1998-01-01'")
+    li = T(spark, sf, "lineitem").filter("l_shipdate > timestamp'1997-01-01'")
+    return (
+        li.join(orders, on={"l_orderkey": "o_orderkey"}, broadcast=False)
+        .join(cust, on={"o_custkey": "c_custkey"}, broadcast=False)
+        .group_by("l_orderkey")
+        .agg(revenue=dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .sort(("revenue", "desc"), "l_orderkey")
+        .limit(10)
+        .df
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, {DSUM.format('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf) -> DataFrame:
+    """Region revenue: 4-way join with broadcast dimensions + agg."""
+    nation = T(spark, sf, "nation")
+    region = T(spark, sf, "region").filter({"r_name": "ASIA"})
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders").filter(
+        "o_orderdate >= timestamp'1996-01-01' AND o_orderdate < timestamp'1997-01-01'"
+    )
+    li = T(spark, sf, "lineitem")
+    return (
+        li.join(orders, on={"l_orderkey": "o_orderkey"}, broadcast=False)
+        .join(cust, on={"o_custkey": "c_custkey"}, broadcast=False)
+        .join(nation, on={"c_nationkey": "n_nationkey"})
+        .join(region, on={"n_regionkey": "r_regionkey"})
+        .group_by("n_name")
+        .agg(revenue=dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .sort(("revenue", "desc"), "n_name")
+        .df
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name, {DSUM.format('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference operator queries (gratum §2 parity)
+# --------------------------------------------------------------------------
+
+def op_filter_map(spark, sf) -> DataFrame:
+    """filter(Map): IN-collection + equality conjunction."""
+    return (
+        T(spark, sf, "orders")
+        .filter({"o_orderstatus": ["O", "F"], "o_orderpriority": "1-URGENT"})
+        .group_by("o_orderstatus")
+        .agg(n=F.count("*"), total=dsum("o_totalprice"))
+        .sort("o_orderstatus")
+        .df
+    )
+
+
+ORACLE_FILTER_MAP = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {DSUM.format('o_totalprice')} AS total
+FROM orders
+WHERE o_orderstatus IN ('O','F') AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def op_filter_regex(spark, sf) -> DataFrame:
+    """filter(Map) regex form (Pattern => rlike find semantics)."""
+    import re
+
+    return (
+        T(spark, sf, "part")
+        .filter({"p_type": re.compile("BRASS")})
+        .group_by("p_brand")
+        .agg(n=F.count("*"))
+        .sort("p_brand")
+        .df
+    )
+
+
+ORACLE_FILTER_REGEX = """
+SELECT p_brand, COUNT(*) AS n FROM part
+WHERE regexp_matches(p_type, 'BRASS')
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def op_join_left(spark, sf) -> DataFrame:
+    """left join with null-filled right side (Pipeline.groovy:407-415)."""
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders")
+    return (
+        cust.join(orders, on={"c_custkey": "o_custkey"}, left=True, broadcast=False)
+        .group_by("c_custkey")
+        .agg(n_orders=F.count("o_orderkey"))
+        .group_by("n_orders")
+        .agg(n_customers=F.count("*"))
+        .sort("n_orders")
+        .df
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def op_join_inner_reject(spark, sf) -> DataFrame:
+    """inner join: unmatched-left rows are REJECTED (IGNORE_ROW), matched
+    rows multiply per right-side multiplicity (Pipeline.groovy:385-427)."""
+    li = T(spark, sf, "lineitem").filter("l_quantity >= 49")
+    orders = T(spark, sf, "orders").filter({"o_orderstatus": "F"})
+    return (
+        li.join(orders, on={"l_orderkey": "o_orderkey"}, broadcast=False)
+        .group_by("o_orderpriority")
+        .agg(n=F.count("*"))
+        .sort("o_orderpriority")
+        .df
+    )
+
+
+ORACLE_JOIN_INNER = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= 49 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def op_intersect_flag(spark, sf) -> DataFrame:
+    """intersect: adds `included` flag, filters nothing (reference quirk,
+    Pipeline.groovy:488-505)."""
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders")
+    return (
+        cust.intersect(orders, on={"c_custkey": "o_custkey"})
+        .group_by("included")
+        .agg(n=F.count("*"))
+        .sort("included")
+        .df
+    )
+
+
+ORACLE_INTERSECT = """
+SELECT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS included,
+       COUNT(*) AS n
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def op_anti_join(spark, sf) -> DataFrame:
+    """anti-join via intersect+filter: customers with no orders."""
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders")
+    return (
+        cust.intersect(orders, on={"c_custkey": "o_custkey"})
+        .filter({"included": False})
+        .clip("c_custkey")
+        .sort("c_custkey")
+        .df
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def op_concat(spark, sf) -> DataFrame:
+    """concat: union keeping own columns, null-filling gaps
+    (Pipeline.groovy:208-220)."""
+    cust = (
+        T(spark, sf, "customer")
+        .clip("c_name", "c_acctbal")
+        .rename_fields({"c_name": "name", "c_acctbal": "balance"})
+        .set_field("kind", "customer")
+    )
+    supp = (
+        T(spark, sf, "supplier")
+        .clip("s_name")
+        .rename_fields({"s_name": "name"})
+        .set_field("kind", "supplier")
+    )
+    return (
+        cust.concat(supp)
+        .group_by("kind")
+        .agg(n=F.count("*"), n_balance=F.count("balance"))
+        .sort("kind")
+        .df
+    )
+
+
+ORACLE_CONCAT = """
+SELECT kind, COUNT(*) AS n, COUNT(balance) AS n_balance FROM (
+  SELECT c_name AS name, c_acctbal AS balance, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_name, NULL, 'supplier' FROM supplier
+) GROUP BY kind ORDER BY kind
+"""
+
+
+def op_unique(spark, sf) -> DataFrame:
+    """unique: first occurrence per key kept, dups rejected
+    (Pipeline.groovy:985-995). Output = the deterministic key set."""
+    return (
+        T(spark, sf, "lineitem", )
+        .unique("l_orderkey")
+        .clip("l_orderkey")
+        .sort("l_orderkey")
+        .df
+    )
+
+
+ORACLE_UNIQUE = "SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey"
+
+
+def op_sort_limit(spark, sf) -> DataFrame:
+    """sort desc + limit with deterministic tiebreak."""
+    return (
+        T(spark, sf, "orders")
+        .sort(("o_totalprice", "desc"), "o_orderkey")
+        .limit(20)
+        .clip("o_orderkey", "o_totalprice")
+        .df
+    )
+
+
+ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def op_column_ops(spark, sf) -> DataFrame:
+    """clip + rename_fields + add_field + set_field + trim composition."""
+    return (
+        T(spark, sf, "part")
+        .clip("p_partkey", "p_name", "p_retailprice")
+        .rename_fields({"p_retailprice": "price"})
+        .add_field("markup", (F.col("price") * 1.1).cast("decimal(18,2)").cast("double"))
+        .add_field("padded", F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")))
+        .trim()
+        .add_field("name_len", F.length("padded").cast("long"))
+        .set_field("currency", "USD")
+        .clip("p_partkey", "price", "markup", "name_len", "currency")
+        .sort("p_partkey")
+        .df
+    )
+
+
+ORACLE_COLUMN_OPS = """
+SELECT p_partkey, p_retailprice AS price,
+       CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,2)) AS DOUBLE) AS markup,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       'USD' AS currency
+FROM part ORDER BY p_partkey
+"""
+
+
+def op_replace(spark, sf) -> DataFrame:
+    """replace_values + replace_all + as_int composition."""
+    return (
+        T(spark, sf, "orders")
+        .replace_values(
+            "o_orderpriority", {"1-URGENT": "1-U", "2-HIGH": "2-H"}
+        )
+        .replace_all("o_orderpriority", "^([0-9]).*$", "$1")
+        .as_int("o_orderpriority")
+        .group_by("o_orderpriority")
+        .agg(n=F.count("*"))
+        .sort("o_orderpriority")
+        .df
+    )
+
+
+ORACLE_REPLACE = r"""
+SELECT CAST(regexp_replace(
+         CASE o_orderpriority WHEN '1-URGENT' THEN '1-U' WHEN '2-HIGH' THEN '2-H'
+              ELSE o_orderpriority END,
+         '^([0-9]).*$', '\1') AS BIGINT) AS o_orderpriority,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def op_coerce(spark, sf) -> DataFrame:
+    """as_int + as_double + as_boolean coercions with reject semantics."""
+    return (
+        T(spark, sf, "events")
+        .add_field("k", F.regexp_extract(F.col("props"), '"k": (\\d+)', 1))
+        .as_int("k")
+        .add_field("value_str", F.col("value").cast("string"))
+        .as_double("value_str")
+        .add_field("big", F.when(F.col("value") > 5, "Y").otherwise("no"))
+        .as_boolean("big")
+        .group_by("event_type", "big")
+        .agg(
+            n=F.count("*"),
+            sum_k=F.sum("k"),
+            sum_v=dsum("value_str"),
+        )
+        .sort("event_type", "big")
+        .df
+    )
+
+
+ORACLE_COERCE = f"""
+SELECT event_type, value > 5 AS big, COUNT(*) AS n,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       {DSUM.format('value')} AS sum_v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def op_as_date(spark, sf) -> DataFrame:
+    """as_date with multi-format first-wins parsing."""
+    return (
+        T(spark, sf, "orders")
+        .add_field("ds", F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .as_date("ds", "yyyy-MM-dd", "yyyy/MM/dd")
+        .add_field("yr", F.year("ds").cast("long"))
+        .group_by("yr")
+        .agg(n=F.count("*"))
+        .sort("yr")
+        .df
+    )
+
+
+ORACLE_AS_DATE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def op_defaults(spark, sf) -> DataFrame:
+    """remove_field(conditional) + default_values + defaults_by."""
+    return (
+        T(spark, sf, "customer")
+        .add_field("seg2", F.col("c_mktsegment"))
+        .remove_field("seg2", condition="c_mktsegment = 'BUILDING'")
+        .add_field("seg3", F.lit(None).cast("string"))
+        .defaults_by({"seg3": "seg2"})
+        .default_values({"seg2": "UNKNOWN"})
+        .group_by("seg2")
+        .agg(n=F.count("*"), n_seg3=F.count("seg3"))
+        .sort("seg2")
+        .df
+    )
+
+
+ORACLE_DEFAULTS = """
+SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'UNKNOWN' ELSE c_mktsegment END AS seg2,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END) AS n_seg3
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def op_fill_down(spark, sf) -> DataFrame:
+    """fill_down_by: carry last non-null value forward within key groups
+    (Pipeline.groovy:437-455)."""
+    return (
+        T(spark, sf, "events")
+        .add_field("v", F.when(F.col("value") > 5, F.col("value")))
+        .clip("event_id", "user_id", "ts", "v")
+        .fill_down_by(["user_id"], order_by="ts")
+        .clip("event_id", "v")
+        .sort("event_id")
+        .df
+    )
+
+
+ORACLE_FILL_DOWN = """
+SELECT event_id,
+       last_value(CASE WHEN value > 5 THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+FROM events ORDER BY event_id
+"""
+
+
+def op_flatten_window(spark, sf) -> DataFrame:
+    """flatten_window semantics distributed: consecutive same-value runs
+    per user (lag + change-flag + sum — the scalable form of
+    Pipeline.groovy:1284-1313)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    events = T(spark, sf, "events").df
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("chg", chg)
+        .groupBy("user_id")
+        .agg(F.sum("chg").alias("n_runs"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FLATTEN = """
+SELECT user_id, SUM(chg) AS n_runs, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def op_sessionize(spark, sf) -> DataFrame:
+    """Session windows by 30-minute inactivity gap (beyond-reference;
+    Structured-Streaming-compatible shape)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    events = T(spark, sf, "events").df
+    gap = F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    return (
+        events.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, SUM(ns) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30*60*1000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def op_tumbling_window(spark, sf) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    operator — same F.window plan works under readStream)."""
+    events = T(spark, sf, "events").df
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_TUMBLING = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n, {DSUM.format('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def op_window_rank(spark, sf) -> DataFrame:
+    """Window functions (beyond-reference): top-3 orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        T(spark, sf, "orders")
+        .add_field("rnk", F.row_number().over(w).cast("long"))
+        .filter("rnk <= 3")
+        .clip("o_custkey", "o_orderkey", "rnk")
+        .sort("o_custkey", "rnk")
+        .df
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+"""
+
+
+def op_rollup(spark, sf) -> DataFrame:
+    """ROLLUP aggregation (beyond-reference capability)."""
+    cust = T(spark, sf, "customer")
+    nation = T(spark, sf, "nation")
+    region = T(spark, sf, "region")
+    joined = (
+        cust.join(nation, on={"c_nationkey": "n_nationkey"})
+        .join(region, on={"n_regionkey": "r_regionkey"})
+        .df
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("balance"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT r_name, n_name, COUNT(*) AS n, {DSUM.format('c_acctbal')} AS balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def op_cube(spark, sf) -> DataFrame:
+    """CUBE aggregation (beyond-reference capability)."""
+    return (
+        T(spark, sf, "orders")
+        .df.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def op_count_distinct(spark, sf) -> DataFrame:
+    """Exact distinct aggregate (beyond-reference)."""
+    return (
+        T(spark, sf, "orders")
+        .group_by("o_orderstatus")
+        .agg(n_cust=F.countDistinct("o_custkey"))
+        .sort("o_orderstatus")
+        .df
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def op_approx_distinct(spark, sf) -> DataFrame:
+    """HLL approximate distinct (beyond-reference; no oracle — estimator
+    values are engine-specific by nature)."""
+    return (
+        T(spark, sf, "orders")
+        .group_by("o_orderstatus")
+        .agg(approx_cust=F.approx_count_distinct("o_custkey"))
+        .sort("o_orderstatus")
+        .df
+    )
+
+
+def op_group_rows(spark, sf) -> DataFrame:
+    """group_by().rows()-style grouped collection, made deterministic by
+    sorting and joining to a string."""
+    return (
+        T(spark, sf, "documents")
+        .group_by("lang")
+        .agg(
+            sources=F.concat_ws(",", F.array_sort(F.collect_set("source"))),
+            n=F.count("*"),
+        )
+        .sort("lang")
+        .df
+    )
+
+
+ORACLE_GROUP_ROWS = """
+SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       COUNT(*) AS n
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def op_reduce(spark, sf) -> DataFrame:
+    """reduce: fold the whole table into one aggregate row."""
+    return (
+        T(spark, sf, "lineitem")
+        .reduce(
+            n=F.count("*"),
+            sum_qty=F.sum("l_quantity"),
+            sum_price=dsum("l_extendedprice"),
+            min_order=F.min("l_orderkey"),
+            max_order=F.max("l_orderkey"),
+        )
+        .df
+    )
+
+
+ORACLE_REDUCE = f"""
+SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+       {DSUM.format('l_extendedprice')} AS sum_price,
+       MIN(l_orderkey) AS min_order, MAX(l_orderkey) AS max_order
+FROM lineitem
+"""
+
+
+def op_inject(spark, sf) -> DataFrame:
+    """inject/explode: one row per word position (UDTF surface,
+    Pipeline.groovy:1005-1027) — top 5 words by frequency."""
+    docs = T(spark, sf, "documents")
+    return (
+        docs.add_field("word", F.split(F.col("text"), " "))
+        .inject("word")
+        .group_by("word")
+        .agg(n=F.count("*"))
+        .sort(("n", "desc"), "word")
+        .limit(5)
+        .df
+    )
+
+
+ORACLE_INJECT = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf) -> DataFrame:
+    """Exact dedup on text: deterministic winner (min doc_id) per text."""
+    docs = T(spark, sf, "documents").df
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def dedup_ngram(spark, sf) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index join)."""
+    docs = T(spark, sf, "documents").df
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.12,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return pairs.orderBy("a", "b")
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  -- scalar generate_series returns a LIST; unnest it in a subquery
+  -- (DuckDB's table-function form can't take a lateral column arg)
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+-- stop-shingle guard mirrors ngram_jaccard_pairs: shingles in more than
+-- max(100, n_docs/100) docs are excluded from the common count (sizes are
+-- computed before the guard, matching the Spark plan)
+keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= greatest(100, (SELECT COUNT(*) FROM documents) // 100)
+),
+shf AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+  FROM shf s1 JOIN shf s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= 0.12
+ORDER BY a, b
+"""
+
+
+def dedup_minhash(spark, sf) -> DataFrame:
+    """MinHash+LSH candidate pairs (no oracle: xxhash64-based signatures
+    are engine-specific; correctness is covered by the estimate-vs-exact
+    test in tests/test_dedup.py)."""
+    docs = T(spark, sf, "documents").df
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.10,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("a", "b")
+
+
+def dedup_simhash(spark, sf) -> DataFrame:
+    """SimHash near-dup pairs (no oracle: hash-specific)."""
+    docs = T(spark, sf, "documents").df
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=16,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("a", "b")
+
+
+def dedup_embedding(spark, sf) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (no oracle:
+    bucketing is hash-specific; exact-cosine path is oracle-checked in
+    ann_topk)."""
+    emb = T(spark, sf, "embeddings").df
+    return dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.62, n_planes=8
+    ).orderBy("a", "b")
+
+
+def ann_topk(spark, sf) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector —
+    decimal-summed dot products for engine-portable determinism."""
+    emb = T(spark, sf, "embeddings").df
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    topk = similarity.cosine_topk(emb, [float(x) for x in query], "vec_id", "embedding", k=10)
+    # report at 6 decimals: dot/norm sums are decimal-exact on both engines
+    # but double->decimal rounding modes differ ~1e-10 per element
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ev AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+qe AS (
+  SELECT unnest(qv) AS qx, generate_subscripts(qv, 1) AS i FROM q
+),
+dots AS (
+  SELECT ev.vec_id,
+    CAST(SUM(CAST(CAST(ev.x AS DOUBLE) * CAST(qe.qx AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(ev.x AS DOUBLE) * CAST(ev.x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nsq
+  FROM ev JOIN qe USING (i) GROUP BY ev.vec_id
+),
+qn AS (
+  SELECT CAST(SUM(CAST(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS n
+  FROM qe
+)
+SELECT vec_id, ROUND(dot / (sqrt(nsq) * sqrt(n)), 6) AS cosine
+FROM dots, qn
+ORDER BY dot / (sqrt(nsq) * sqrt(n)) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def ann_ivf(spark, sf) -> DataFrame:
+    """IVF approximate top-k (no oracle: recall-traded approximation)."""
+    emb = T(spark, sf, "embeddings").df.cache()
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assignments, centroids = similarity.ivf_build(emb, n_lists=8, n_iters=2)
+    return similarity.ivf_topk(
+        emb, assignments, centroids, [float(x) for x in query], k=10, n_probe=3
+    )
+
+
+def text_stats(spark, sf) -> DataFrame:
+    """Token counting + quality scoring, expression-only."""
+    docs = T(spark, sf, "documents").df
+    ts = text.token_stats_named("text")
+    qs = text.quality_score("text")
+    return docs.select(
+        "doc_id",
+        ts["ws_tokens"].cast("long").alias("ws_tokens"),
+        ts["bpe_tokens"].cast("long").alias("bpe_tokens"),
+        qs["mean_word_len"].alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark, sf) -> DataFrame:
+    """Heuristic language ID: characteristic-word argmax (deterministic
+    alphabetical tie-break)."""
+    docs = T(spark, sf, "documents").df
+    return docs.select(
+        "doc_id", text.lang_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    from ..operators.text import DEFAULT_LANG_WORDS
+
+    score = {
+        lang: f"len(list_intersect(string_split(text,' '), {wl!r}))"
+        for lang, wl in sorted(DEFAULT_LANG_WORDS.items())
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {expr} = m THEN '{lang}'" for lang, expr in sorted(score.items())
+    ) + " END"
+    return f"""
+SELECT doc_id, {case} AS pred_lang
+FROM (SELECT doc_id, text, {greatest} AS m FROM documents)
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark, sf) -> DataFrame:
+    """md5 document fingerprint over normalized text (engine-portable)."""
+    docs = T(spark, sf, "documents").df
+    return docs.select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_features(spark, sf) -> DataFrame:
+    """Multimodal plumbing: binary payloads + deterministic fake decode
+    via Arrow-batched mapInPandas. Oracle recomputes the same features
+    from the text bytes in SQL."""
+    docs = T(spark, sf, "documents").df
+    with_bin = multimodal.attach_binary(docs, "text", "payload")
+    feats = multimodal.extract_image_features(
+        with_bin, "payload", "doc_id", fake=True
+    )
+    return feats.orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL = """
+-- octet_length needs a BLOB in DuckDB: encode() gives the same utf-8
+-- bytes attach_binary produces; text is ASCII so ord(char)=byte value
+SELECT doc_id,
+       CAST(16 + (octet_length(encode(text)) % 64) AS INT) AS width,
+       CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS INT) AS height,
+       (CAST((SELECT SUM(ord(substr(d.text, i, 1)))
+              FROM (SELECT unnest(generate_series(1, greatest(1, least(256, length(d.text))))) AS i)) AS DOUBLE)
+        / greatest(1, least(256, length(d.text)))) / 255.0 AS mean_intensity,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents d ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_top_orders": (q3_top_orders, ORACLE_Q3),
+    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
+    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
+    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
+    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
+    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
+    "op_anti_join": (op_anti_join, ORACLE_ANTI),
+    "op_concat": (op_concat, ORACLE_CONCAT),
+    "op_unique": (op_unique, ORACLE_UNIQUE),
+    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
+    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    "op_replace": (op_replace, ORACLE_REPLACE),
+    "op_coerce": (op_coerce, ORACLE_COERCE),
+    "op_as_date": (op_as_date, ORACLE_AS_DATE),
+    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
+    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
+    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
+    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
+    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_cube": (op_cube, ORACLE_CUBE),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_approx_distinct": (op_approx_distinct, None),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_inject": (op_inject, ORACLE_INJECT),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, None),
+    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
+    "ann_ivf": (ann_ivf, None),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_lang_id": (text_lang_id, _lang_oracle()),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+}

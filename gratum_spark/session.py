@@ -37,8 +37,29 @@ def get_spark(app_name: str = "gratum-spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # read TIMESTAMP(NANOS) parquet (which Spark has no native type
+        # for) as long nanos; sources.table converts to micros timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Whole-stage codegen emits one class per query stage; a session
+        # running many distinct queries overflows the JVM's default 240 MB
+        # code cache, after which the JIT disables itself and everything
+        # runs interpreted (measured 10-40× slowdowns landing on random
+        # later queries). 1 GiB + flushing keeps the JIT alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        # Python workers get reaped after ~1 min idle; a later pandas-UDF
+        # stage then pays a full worker-pool respawn (fork + pandas/numpy
+        # import × cores, measured 25-45 s). Keep the pool warm.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master:

@@ -168,8 +168,22 @@ def parquet(spark: SparkSession, path: str, name: str | None = None, ordered: bo
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> Pipeline:
-    """Convenience: one of the driver testdata tables."""
-    return parquet(spark, f"{sf_dir}/{name}.parquet", name)
+    """Convenience: one of the driver testdata tables.
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long
+    nanos under spark.sql.legacy.parquet.nanosAsLong — convert to a
+    microsecond timestamp (same floor-truncation DuckDB applies)."""
+    p = parquet(spark, f"{sf_dir}/{name}.parquet", name)
+    if name == "events":
+        schema = {f.name: f.dataType.simpleString() for f in p.df.schema.fields}
+        if schema.get("ts") == "bigint":
+            p = Pipeline(
+                # integer div — float division would lose precision on
+                # int64 nanos (> 2^53)
+                p.df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+                p.name,
+            )
+    return p
 
 
 def jdbc(

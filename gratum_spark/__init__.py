@@ -16,16 +16,20 @@ Quick start::
 from .pipeline import Pipeline, GroupedPipeline, ROW_ORDER
 from .rejections import LoadStatistic, RejectionCategory
 from .session import get_spark
-from . import sources, sinks
+from .concurrency import LocalConcurrentContext
+from . import operators, sinks, sources, streaming
 
 __all__ = [
     "Pipeline",
     "GroupedPipeline",
     "LoadStatistic",
     "RejectionCategory",
+    "LocalConcurrentContext",
     "get_spark",
+    "operators",
     "sources",
     "sinks",
+    "streaming",
     "ROW_ORDER",
 ]
 

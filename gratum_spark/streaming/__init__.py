@@ -1,0 +1,197 @@
+"""Structured Streaming operators over event streams.
+
+Beyond-reference capability: gratum's "streaming" is push-based row
+iteration with no event-time semantics (SURVEY §1.2 — no watermarks, no
+windows, no late-data handling anywhere in the reference). Here the
+batch window aggregations from plans/queries (tumbling/sliding/session)
+are expressed as plans that run identically under ``readStream``:
+
+  * builders in this module take ANY DataFrame — batch or streaming —
+    because Spark's window aggregations are the same logical plan in
+    both modes. Correctness is checked in batch (DuckDB oracle); the
+    streaming tests re-run the same builder under a file stream with an
+    ``availableNow`` trigger and assert identical results.
+  * watermarks bound state for real streams: pass ``watermark=`` to
+    enable dropping of late data + state eviction at scale.
+
+Scale posture: stateful streaming aggregations shuffle on the grouping
+key exactly like batch; state lives in the state store (RocksDB on a
+real cluster). ``stateful_counter`` shows the custom-state surface
+(applyInPandasWithState) used for operators windows can't express.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stateful_counter",
+    "run_available_now",
+]
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """File-based event stream (parquet dir). Schema is required by
+    readStream; by default it is inferred from a one-file batch read.
+    Applies the same TIMESTAMP(NANOS) -> microsecond conversion as
+    sources.table so batch and stream plans see identical types."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # the file stream source wants a directory; point it at the
+        # parent and glob the single file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    sdf = reader.parquet(path)
+    field_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    if field_types.get(ts_col) == "bigint":
+        sdf = sdf.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return sdf
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    window: str = "1 hour",
+    keys: Iterable[str] = ("event_type",),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    **aggs: F.Column,
+) -> DataFrame:
+    """Tumbling event-time window aggregation — identical plan batch or
+    streaming. Default aggregate: count(*) as n."""
+    aggs = aggs or {"n": F.count("*")}
+    return (
+        _with_watermark(df, ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: Iterable[str] = ("event_type",),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    **aggs: F.Column,
+) -> DataFrame:
+    """Sliding (hopping) window aggregation."""
+    aggs = aggs or {"n": F.count("*")}
+    return (
+        _with_watermark(df, ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    keys: Iterable[str] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    **aggs: F.Column,
+) -> DataFrame:
+    """Session windows (dynamic-gap close after ``gap`` inactivity) via
+    F.session_window — state is evicted once the watermark passes a
+    session's close, which is what makes this viable on unbounded
+    streams."""
+    aggs = aggs or {"n": F.count("*")}
+    return (
+        _with_watermark(df, ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def stateful_counter(
+    df: DataFrame,
+    key: str = "user_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: running per-key event count across
+    micro-batches via applyInPandasWithState — the surface for stateful
+    logic windows can't express (counters, custom sessionization, CEP).
+
+    Emits one row per key per micro-batch: (key, total_seen)."""
+    import pandas as pd
+
+    out_schema = f"{key} long, total_seen long"
+    state_schema = "count long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            (prev,) = state.get
+        else:
+            prev = 0
+        total = prev + n
+        state.update((total,))
+        yield pd.DataFrame({key: [key_tuple[0]], "total_seen": [total]})
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all currently-available input through a streaming query
+    (trigger availableNow) into an in-memory table and return it.
+
+    The batch-equivalence test harness: same builder + availableNow must
+    equal the batch run. On a cluster you'd writeStream to parquet/Kafka
+    with a real trigger instead."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)

@@ -1,0 +1,274 @@
+"""Join / set-op / source / sink tests mirroring the reference's golden
+counts (PipelineTest.groovy:484-546, JsonSourceTest.groovy,
+ConcatSourceTest.groovy, CSVFileTest.java — see SURVEY §5)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gratum_spark import RejectionCategory, sinks, sources
+
+
+# ---------------------------------------------------------------- joins
+
+def test_join_inner_golden(people, hobbies):
+    # people ⋈ hobbies on id: ids 1-4 have 2 hobbies each => 8 loaded;
+    # person id=5 unmatched => 1 rejected (PipelineTest.groovy:484-503)
+    stat = people.join(hobbies, on="id").go()
+    assert stat.loaded == 8
+    assert stat.rejected == 1
+    assert stat.rejections_for(RejectionCategory.IGNORE_ROW) == 1
+
+
+def test_join_left_golden(people, hobbies):
+    # left join: 9 loaded, id=5 row has null hobby (PipelineTest.groovy:506-520)
+    p = people.join(hobbies, on="id", left=True)
+    assert p.go().loaded == 9
+    null_hobby = [r for r in p.df.collect() if r["hobby"] is None]
+    assert len(null_hobby) == 1 and null_hobby[0]["id"] == 5
+
+
+def test_join_left_wins_on_collision(spark, people):
+    # right side carries a conflicting 'name' column: left value wins
+    # (reference j.putAll(row), Pipeline.groovy:404)
+    other = sources.from_collection(
+        spark,
+        [{"id": 1, "name": "OVERWRITTEN"}],
+        "id bigint, name string",
+        ordered=False,
+    )
+    row = {r["id"]: r["name"] for r in people.join(other, on="id").df.collect()}
+    assert row[1] == "Bill Rhodes"
+
+
+def test_join_map_keys(spark, people):
+    other = sources.from_collection(
+        spark, [{"pid": 1, "x": "a"}, {"pid": 5, "x": "b"}], "pid bigint, x string",
+        ordered=False,
+    )
+    stat = people.join(other, on={"id": "pid"}).go()
+    assert stat.loaded == 2
+
+
+def test_intersect_flag(people, hobbies):
+    # intersect adds `included`, filters nothing (Pipeline.groovy:488-505)
+    p = people.intersect(hobbies, on="id")
+    assert p.go().loaded == 5
+    inc = {r["id"]: r["included"] for r in p.df.collect()}
+    assert inc == {1: True, 2: True, 3: True, 4: True, 5: False}
+
+
+def test_concat_null_fills(spark, people):
+    other = sources.from_collection(
+        spark, [{"id": 99, "extra": "x"}], "id bigint, extra string", ordered=False
+    )
+    p = people.concat(other)
+    assert p.go().loaded == 6
+    by_id = {r["id"]: r for r in p.df.collect()}
+    assert by_id[99]["name"] is None
+    assert by_id[1]["extra"] is None
+
+
+def test_fill_down_by(spark):
+    rows = [
+        {"k": "a", "seq": 1, "v": "x"},
+        {"k": "a", "seq": 2, "v": None},
+        {"k": "a", "seq": 3, "v": ""},
+        {"k": "b", "seq": 1, "v": None},  # nothing to carry in group b
+        {"k": "b", "seq": 2, "v": "y"},
+    ]
+    p = sources.from_collection(spark, rows, "k string, seq int, v string")
+    got = {
+        (r["k"], r["seq"]): r["v"]
+        for r in p.fill_down_by(["k"], order_by="seq").df.collect()
+    }
+    assert got[("a", 2)] == "x" and got[("a", 3)] == "x"
+    assert got[("b", 1)] is None and got[("b", 2)] == "y"
+
+
+def test_flatten_window(spark):
+    rows = [
+        {"g": "a", "v": 1}, {"g": "a", "v": 2},
+        {"g": "b", "v": 3},
+        {"g": "a", "v": 4},  # new consecutive run of 'a'
+    ]
+    p = sources.from_collection(spark, rows, "g string, v int")
+
+    def summarize(pdf):
+        return pdf.groupby("g", as_index=False).agg(n=("v", "count"))
+
+    out = p.flatten_window("g", summarize, "g string, n long")
+    runs = sorted((r["g"], r["n"]) for r in out.df.collect())
+    # three consecutive runs: a(2 rows), b(1), a(1)
+    assert runs == [("a", 1), ("a", 2), ("b", 1)]
+
+
+# --------------------------------------------------------------- sources
+
+def test_csv_roundtrip_multiline(tmp_path, people, spark):
+    # save writes always-quoted CSV; multiline comments survive a re-read
+    # (reference CSVFileTest.java quoting tests)
+    path = str(tmp_path / "people_csv")
+    result = people.save(path)
+    assert result.df.collect()[0]["filename"] == path
+    back = sources.csv(spark, path)
+    rows = {r["id"]: r for r in back.df.collect()}
+    assert len(rows) == 5
+    assert rows["1"]["comment"] == "solid\nguy"
+
+
+def test_csv_headerless_and_separator(tmp_path, spark):
+    f = tmp_path / "raw.psv"
+    f.write_text("1|x\n2|y\n")
+    p = sources.csv(spark, str(f), separator="|", header=False, columns=["n", "s"])
+    got = sorted((r["n"], r["s"]) for r in p.df.collect())
+    assert got == [("1", "x"), ("2", "y")]
+
+
+def test_csv_escaping_off(tmp_path, spark):
+    # bare quotes mid-field break RFC parsers; escaping=False splits raw
+    # lines (reference CsvSource escaping toggle, CsvSource.groovy:112-129)
+    f = tmp_path / "unescaped.csv"
+    f.write_text('id,txt\n1,he said "hi" there\n2,plain\n')
+    p = sources.csv(spark, str(f), escaping=False)
+    got = {r["id"]: r["txt"] for r in p.df.collect()}
+    assert got["1"] == 'he said "hi" there'
+
+
+def test_json_path_descent(tmp_path, spark):
+    doc = {"meta": "m", "items": [{"a": 1}, {"a": 2}, {"a": 3}]}
+    f = tmp_path / "doc.json"
+    f.write_text(json.dumps(doc))
+    p = sources.json(spark, str(f), path_expr=["items"])
+    assert sorted(r["a"] for r in p.df.collect()) == [1, 2, 3]
+
+
+def test_jsonl_roundtrip(tmp_path, spark, people):
+    path = str(tmp_path / "people_jsonl")
+    people.jsonl(path)
+    back = sources.jsonl(spark, path)
+    assert back.go().loaded == 5
+
+
+def test_concat_sources(spark):
+    a = sources.from_collection(spark, [{"x": 1}], ordered=False)
+    b = sources.from_collection(spark, [{"x": 2}, {"x": 3}], ordered=False)
+    assert sources.concat(a, b).go().loaded == 3
+
+
+def test_files_binary_source(tmp_path, spark):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.bin").write_bytes(b"alpha")
+    (tmp_path / "sub" / "b.bin").write_bytes(b"beta")
+    (tmp_path / "skip.txt").write_bytes(b"no")
+    p = sources.files(spark, str(tmp_path), glob="*.bin", recursive=True)
+    rows = p.df.collect()
+    names = sorted(os.path.basename(r["path"]) for r in rows)
+    assert names == ["a.bin", "b.bin"]
+    assert {bytes(r["content"]) for r in rows} == {b"alpha", b"beta"}
+
+
+def test_zip_source(tmp_path, spark):
+    zpath = tmp_path / "arch.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("one.txt", "1")
+        zf.writestr("dir/two.txt", "22")
+    p = sources.zip_entries(spark, str(zpath))
+    got = {r["entry"]: bytes(r["content"]) for r in p.df.collect()}
+    assert got == {"one.txt": b"1", "dir/two.txt": b"22"}
+
+
+def test_archive_tar_source(tmp_path, spark):
+    import tarfile
+
+    tpath = tmp_path / "arch.tar.gz"
+    (tmp_path / "payload.txt").write_text("hello")
+    with tarfile.open(tpath, "w:gz") as tf:
+        tf.add(tmp_path / "payload.txt", arcname="payload.txt")
+    p = sources.archive_entries(spark, str(tpath))
+    got = {r["entry"]: bytes(r["content"]) for r in p.df.collect()}
+    assert got == {"payload.txt": b"hello"}
+
+
+def test_xlsx_source_gated(tmp_path, spark):
+    # openpyxl isn't in this container: the gate must raise
+    # NotImplementedError (not ImportError) per the stub contract
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present — gate not exercised")
+    except ImportError:
+        pass
+    f = tmp_path / "x.xlsx"
+    f.write_bytes(b"not really xlsx")
+    with pytest.raises((NotImplementedError, ValueError)):
+        sources.xlsx(spark, str(f))
+
+
+# ----------------------------------------------------------------- sinks
+
+def test_save_column_subset(tmp_path, people, spark):
+    path = str(tmp_path / "subset_csv")
+    people.save(path, columns=["id", "name"])
+    back = sources.csv(spark, path)
+    assert back.columns == ["id", "name"]
+    assert back.go().loaded == 5
+
+
+def test_write_single_csv_and_json_array(tmp_path, people):
+    csv_path = sinks.write_single_csv(people.df.orderBy("id"), str(tmp_path / "one.csv"))
+    header = open(csv_path).readline().strip()
+    # every field always-quoted (reference CSVFile.java:229-254)
+    assert all(c.startswith('"') and c.endswith('"') for c in header.split(","))
+    assert '"id"' in header and '"comment"' in header
+
+    json_path = sinks.write_json_array(people.df.orderBy("id"), str(tmp_path / "arr.json"))
+    data = json.load(open(json_path))
+    assert [r["id"] for r in data] == [1, 2, 3, 4, 5]
+
+
+def test_parquet_sink_partitioned(tmp_path, people, spark):
+    path = str(tmp_path / "ppl_parquet")
+    people.parquet(path, partition_by=["gender"])
+    assert glob.glob(f"{path}/gender=male/*.parquet")
+    back = sources.parquet(spark, path)
+    assert back.go().loaded == 5
+
+
+# ----------------------------------------------------- pgp + concurrency
+
+def test_pgp_gated(spark, people):
+    from gratum_spark.operators import pgp
+
+    try:
+        import pgpy  # noqa: F401
+
+        pytest.skip("pgpy present — gate not exercised")
+    except ImportError:
+        pass
+    df = people.df.withColumn("payload", F.encode(F.col("name"), "utf-8"))
+    with pytest.raises(NotImplementedError):
+        pgp.encrypt_pgp(df, "payload", public_key="---")
+    with pytest.raises(NotImplementedError):
+        pgp.decrypt_pgp(df, "payload", private_key="---")
+
+
+def test_spread_collect_shim(people):
+    from gratum_spark import LocalConcurrentContext
+
+    ctx = LocalConcurrentContext(4, 50)
+    out = (
+        ctx.spread(lambda p: p.filter({"gender": "female"}))
+        .collect(lambda p: p.sort("id"))
+        .connect(people)
+    )
+    stat = out.go()
+    assert stat.loaded == 3
+    assert stat.rejected == 2
+    assert out.df.rdd.getNumPartitions() == 1  # collector stage

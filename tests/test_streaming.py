@@ -1,0 +1,80 @@
+"""Streaming tests: the same window-aggregation builders must produce
+identical results in batch mode and under readStream + availableNow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gratum_spark import sources, streaming
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return sources.table(spark, sf_dir, "events").df
+
+
+def _normalize(df, keys):
+    return sorted(tuple(r) for r in df.select(*keys).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_path, events_batch):
+    batch = streaming.tumbling_agg(events_batch, "1 hour")
+    sdf = streaming.tumbling_agg(
+        streaming.read_event_stream(spark, events_path), "1 hour"
+    )
+    got = streaming.run_available_now(sdf, "tumbling_test")
+    cols = ["window_start", "event_type", "n"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events_path, events_batch):
+    batch = streaming.sliding_agg(events_batch, "2 hours", "1 hour")
+    sdf = streaming.sliding_agg(
+        streaming.read_event_stream(spark, events_path), "2 hours", "1 hour"
+    )
+    got = streaming.run_available_now(sdf, "sliding_test")
+    cols = ["window_start", "event_type", "n"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+
+
+def test_session_stream_equals_batch(spark, events_path, events_batch):
+    batch = streaming.session_agg(events_batch, "30 minutes")
+    # complete mode: append would hold back sessions newer than the
+    # final watermark, which on a bounded file never advances past them
+    sdf = streaming.session_agg(
+        streaming.read_event_stream(spark, events_path), "30 minutes"
+    )
+    got = streaming.run_available_now(sdf, "session_test", output_mode="complete")
+    cols = ["session_start", "user_id", "n"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+
+
+def test_watermark_accepted(spark, events_path):
+    # watermarked tumbling agg in append mode: plan must be streamable
+    sdf = streaming.tumbling_agg(
+        streaming.read_event_stream(spark, events_path), "1 hour", watermark="2 hours"
+    )
+    got = streaming.run_available_now(sdf, "wm_test", output_mode="append")
+    # append emits only windows the watermark has closed; with a bounded
+    # file stream everything but the tail is closed
+    assert got.count() > 0
+
+
+def test_stateful_counter(spark, events_path, events_batch):
+    sdf = streaming.stateful_counter(
+        streaming.read_event_stream(spark, events_path), "user_id"
+    )
+    got = streaming.run_available_now(sdf, "counter_test", output_mode="update")
+    # final state per user == batch group counts (one availableNow batch)
+    latest = {r["user_id"]: r["total_seen"] for r in got.collect()}
+    expect = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert latest == expect

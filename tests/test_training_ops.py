@@ -1,0 +1,219 @@
+"""Tests for the beyond-reference training-data operators: dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Style: construct small inputs with KNOWN near-dup/similarity structure
+and assert the operators find exactly it (plus numpy oracles for the
+numeric paths)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gratum_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one word differs => high jaccard
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators running on large clusters today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+        (2, FAR),
+        (3, BASE),  # exact duplicate of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+    kept2, rejected = dedup.exact_dedup_rejects(docs, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [0, 1, 2]
+    assert [r["doc_id"] for r in rejected.collect()] == [3]
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # identical docs 0/3 always pair; near-dup 0-1 and 1-3 at jaccard ~0.9
+    assert (0, 3) in got
+    assert (0, 1) in got and (1, 3) in got
+    assert not any(2 in p for p in got)
+    est = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert est[(0, 3)] == 1.0
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 3)) == 0  # identical => hamming 0
+    assert (0, 1) in got  # near-dup within 10 bits
+    assert not any(2 in p for p in got)
+
+
+def test_ngram_jaccard_exact_value(docs, spark):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == 1.0
+
+    # python oracle for the 0-1 pair
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(BASE), sh(NEAR)
+    expected = len(a & b) / len(a | b)
+    assert got[(0, 1)] == pytest.approx(expected)
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    near = base + rng.randn(16) * 0.01
+    far = rng.randn(16)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99, n_planes=4)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    top = similarity.cosine_topk(df, q, k=5).collect()
+    got_ids = [r["vec_id"] for r in top]
+
+    qv = np.asarray(q, dtype=np.float64)
+    m = vecs.astype(np.float64)
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    expect_ids = list(np.argsort(-cos)[:5])
+    assert got_ids == expect_ids
+    for r in top:
+        assert r["cosine"] == pytest.approx(cos[r["vec_id"]], abs=1e-9)
+
+
+def test_cosine_topk_many(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[5]]), (200, [float(x) for x in vecs[9]])],
+        "query_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk_many(df, queries, k=1).collect()
+    best = {r["qid"]: r["vec_id"] for r in out}
+    # each query vector's own row is its top-1 (cosine 1.0)
+    assert best == {100: 5, 200: 9}
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = [float(x) for x in vecs[42]]
+    assignments, centroids = similarity.ivf_build(df, n_lists=4, n_iters=2)
+    approx = similarity.ivf_topk(df, assignments, centroids, q, k=5, n_probe=2)
+    ids = [r["vec_id"] for r in approx.collect()]
+    # the query's own vector must be found (it lives in a probed list)
+    assert 42 in ids
+    assert len(ids) == 5
+
+
+def test_text_analysis(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "one 2 three")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.apply_text_analysis(df, "doc_id", "text").collect()}
+    assert out[0]["ws_tokens"] == 5
+    assert out[0]["n_words"] == 5
+    # bpe-ish: alpha runs + digit runs + other chars
+    assert out[1]["bpe_tokens"] == 3
+    assert out[0]["fingerprint"] == out[0]["fingerprint"]  # deterministic
+    assert out[0]["pred_lang"] is not None
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "  hello world ")], "doc_id long, text string"
+    )
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_fake_decode(spark):
+    df = spark.createDataFrame([(0, "abcd"), (1, "x" * 300)], "doc_id long, text string")
+    with_bin = multimodal.attach_binary(df, "text")
+    feats = {r["doc_id"]: r for r in multimodal.extract_image_features(
+        with_bin, fake=True).collect()}
+    assert feats[0]["n_bytes"] == 4
+    assert feats[0]["width"] == 16 + 4 % 64
+    # mean intensity of 'abcd' = mean(97..100)/255
+    assert feats[0]["mean_intensity"] == pytest.approx(98.5 / 255.0)
+    # >256-byte payload: mean over first 256 bytes only
+    assert feats[1]["mean_intensity"] == pytest.approx(ord("x") / 255.0)
+
+
+def test_multimodal_real_decode_gated(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — gate not exercised")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    with_bin = multimodal.attach_binary(df, "text")
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_image_features(with_bin, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_media_metadata(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    out = multimodal.media_metadata(
+        multimodal.attach_binary(df, "text"), "payload"
+    ).collect()[0]["media_meta"]
+    assert out["n_bytes"] == 3
+    assert out["media_type"] == "image"
+    import hashlib
+
+    assert out["checksum"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_sample_video_frames(spark):
+    df = spark.createDataFrame([(0, "a" * 70)], "doc_id long, text string")
+    with_bin = multimodal.attach_binary(df, "text")
+    frames = multimodal.sample_video_frames(with_bin, every_n=30, fake=True).collect()
+    assert [r["frame_no"] for r in frames] == [0, 1, 2]
+    assert [len(bytes(r["frame"])) for r in frames] == [30, 30, 10]

@@ -598,6 +598,77 @@ SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
 """
 
 
+def op_lag_lead(spark, sf) -> DataFrame:
+    """lag/lead window functions (beyond-reference): per-user previous and
+    next event type."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .add_field("prev_type", F.lag("event_type").over(w))
+        .add_field("next_type", F.lead("event_type").over(w))
+        .clip("event_id", "prev_type", "next_type")
+        .sort("event_id")
+        .df
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT event_id,
+       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events ORDER BY event_id
+"""
+
+
+def op_moving_avg(spark, sf) -> DataFrame:
+    """Moving aggregate over a row frame (beyond-reference): trailing
+    3-row sum of value per user. Decimal-summed for engine portability."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        T(spark, sf, "events")
+        .add_field(
+            "trailing_sum",
+            F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double"),
+        )
+        .clip("event_id", "trailing_sum")
+        .sort("event_id")
+        .df
+    )
+
+
+ORACLE_MOVING_AVG = """
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,8)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum
+FROM events ORDER BY event_id
+"""
+
+
+def op_semi_join(spark, sf) -> DataFrame:
+    """Left-semi join (beyond-reference: reference needs intersect+filter):
+    customers with at least one open order."""
+    cust = T(spark, sf, "customer").df
+    open_orders = T(spark, sf, "orders").filter({"o_orderstatus": "O"}).df
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "leftsemi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
 def op_rollup(spark, sf) -> DataFrame:
     """ROLLUP aggregation (beyond-reference capability)."""
     cust = T(spark, sf, "customer")
@@ -994,6 +1065,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
+    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
+    "op_semi_join": (op_semi_join, ORACLE_SEMI),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -2,6 +2,6 @@
 multimodal plumbing, windowed analytics. See each module's docstring for
 the 100 TB scale design."""
 
-from . import dedup, multimodal, pgp, similarity, text
+from . import dedup, http, multimodal, pgp, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pgp"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pgp", "http"]

@@ -735,21 +735,33 @@ class Pipeline:
     def go(self) -> LoadStatistic:
         """Execute and return LoadStatistic (Pipeline.groovy:1333-1342).
 
-        One count action for the main stream + one aggregate action over
-        the unioned reject branches (category×step counts), then branch /
-        on_rejection / after hooks.
+        SINGLE action: the kept stream (tagged ``__kept__``) and every
+        reject branch are projected down to (category, step) and unioned,
+        then one groupBy-count aggregate yields loaded + per-category×step
+        reject counts together. Each branch's subtree stays column-pruned
+        to its grouping tags (scans read nothing but what its own filters
+        need), and shared shuffle subtrees are deduplicated by Spark's
+        exchange reuse — this is the one-pass accounting design from
+        SURVEY §3.3 without a second scan of the kept rows for counting.
         """
         start = now_ms()
-        loaded = self.df.count()
+        kept_tags = self.df.select(
+            F.lit("__kept__").alias(REJECT_CATEGORY), F.lit("").alias(REJECT_STEP)
+        )
+        counts_df = kept_tags
+        if self._rejects:
+            for r in self._rejects:
+                counts_df = counts_df.unionAll(r.select(REJECT_CATEGORY, REJECT_STEP))
+        loaded = 0
         rejections: dict[str, dict[str, int]] = {}
-        rej = self.rejections_df()
-        if rej is not None:
-            for row in (
-                rej.groupBy(REJECT_CATEGORY, REJECT_STEP).count().collect()
-            ):
+        for row in counts_df.groupBy(REJECT_CATEGORY, REJECT_STEP).count().collect():
+            if row[REJECT_CATEGORY] == "__kept__":
+                loaded = row["count"]
+            else:
                 rejections.setdefault(row[REJECT_CATEGORY], {})[row[REJECT_STEP]] = row[
                     "count"
                 ]
+        rej = self.rejections_df()
         for side, configure in self._hooks["branches"]:
             configured = configure(side)
             if isinstance(configured, Pipeline):

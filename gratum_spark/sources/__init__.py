@@ -335,7 +335,7 @@ def http(
     a 429 Retry-After loop capped at MAX_RETRIES=5 (OkHttpSource.groovy:46).
 
     Driver-side fetch (single URL = single row, like the reference). For
-    URL *tables*, use :func:`gratum_spark.operators.http_fan_out` which
+    URL *tables*, use :func:`gratum_spark.operators.http.http_fan_out` which
     fetches partition-parallel.
     """
     import time

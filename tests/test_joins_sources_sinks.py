@@ -272,3 +272,21 @@ def test_spread_collect_shim(people):
     assert stat.loaded == 3
     assert stat.rejected == 2
     assert out.df.rdd.getNumPartitions() == 1  # collector stage
+
+
+def test_http_fan_out_file_urls(tmp_path, spark):
+    # file:// URLs exercise the full fan-out path without a network
+    (tmp_path / "a.json").write_text('{"v": 1}')
+    (tmp_path / "b.txt").write_text("plain text")
+    urls = [
+        {"id": 1, "url": f"file://{tmp_path}/a.json"},
+        {"id": 2, "url": f"file://{tmp_path}/b.txt"},
+        {"id": 3, "url": f"file://{tmp_path}/missing.txt"},
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    from gratum_spark.operators.http import http_fan_out
+
+    out = {r["id"]: r for r in http_fan_out(df).collect()}
+    assert out[1]["status"] == 200 and json.loads(out[1]["json"]) == {"v": 1}
+    assert out[2]["body"] == "plain text" and out[2]["json"] is None
+    assert out[3]["status"] == -1

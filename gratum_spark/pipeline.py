@@ -184,22 +184,39 @@ class Pipeline:
         return self._split(pred, step, RejectionCategory.IGNORE_ROW, "filtered out")
 
     def _filter_rows(self, fn: Callable[[dict], bool], step: str) -> "Pipeline":
-        """Whole-row Python predicate via Arrow-batched pandas UDF."""
+        """Whole-row Python predicate via Arrow-batched pandas UDF.
+
+        Closure exceptions don't kill the job: the row rejects as
+        SCRIPT_ERROR, mirroring Step.execute (etl/Step.groovy:23-51)."""
         cols = self.df.columns
 
-        @F.pandas_udf(BooleanType())
-        def _pred(batch: pd.DataFrame) -> pd.Series:
-            return batch.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+        @F.pandas_udf("keep boolean, err string")
+        def _pred(batch: pd.DataFrame) -> pd.DataFrame:
+            def one(r):
+                try:
+                    return bool(fn(r.to_dict())), None
+                except Exception as e:  # noqa: BLE001 - reference catches all
+                    return False, f"{type(e).__name__}: {e}"
 
-        marked = self.df.withColumn("__keep__", _pred(F.struct(*cols)))
-        kept = marked.filter(F.col("__keep__")).drop("__keep__")
+            out = batch.apply(one, axis=1, result_type="expand")
+            out.columns = ["keep", "err"]
+            return out
+
+        marked = self.df.withColumn("__p__", _pred(F.struct(*cols)))
+        kept = marked.filter(F.col("__p__.keep")).drop("__p__")
         rejected = tag_rejects(
-            marked.filter(~F.col("__keep__")).drop("__keep__"),
+            marked.filter(~F.col("__p__.keep") & F.col("__p__.err").isNull()).drop("__p__"),
             RejectionCategory.IGNORE_ROW,
             "filtered out",
             step,
         )
-        return self._next(kept, [rejected])
+        errored = tag_rejects(
+            marked.filter(F.col("__p__.err").isNotNull()).drop("__p__"),
+            RejectionCategory.SCRIPT_ERROR,
+            "closure raised",
+            step,
+        )
+        return self._next(kept, [rejected, errored])
 
     def trim(self) -> "Pipeline":
         """Trim whitespace on all string columns (Pipeline.groovy:301-306).
@@ -275,13 +292,36 @@ class Pipeline:
         elif isinstance(value, str):
             col = F.expr(value)
         elif callable(value):
+            # closure exceptions reject the row as SCRIPT_ERROR instead of
+            # failing the job (reference Step.execute, etl/Step.groovy:23-51)
             cols = self.df.columns
+            rt = returnType.simpleString() if isinstance(returnType, DataType) else returnType
 
-            @F.pandas_udf(returnType)
-            def _field(batch: pd.DataFrame) -> pd.Series:
-                return batch.apply(lambda r: value(r.to_dict()), axis=1)
+            @F.pandas_udf(f"value {rt}, err string")
+            def _field(batch: pd.DataFrame) -> pd.DataFrame:
+                def one(r):
+                    try:
+                        return value(r.to_dict()), None
+                    except Exception as e:  # noqa: BLE001
+                        return None, f"{type(e).__name__}: {e}"
 
-            col = _field(F.struct(*cols))
+                out = batch.apply(one, axis=1, result_type="expand")
+                out.columns = ["value", "err"]
+                return out
+
+            marked = self.df.withColumn("__f__", _field(F.struct(*cols)))
+            kept = (
+                marked.filter(F.col("__f__.err").isNull())
+                .withColumn(name, F.col("__f__.value"))
+                .drop("__f__")
+            )
+            errored = tag_rejects(
+                marked.filter(F.col("__f__.err").isNotNull()).drop("__f__"),
+                RejectionCategory.SCRIPT_ERROR,
+                "closure raised",
+                f"add_field({name})",
+            )
+            return self._next(kept, [errored])
         else:
             col = F.lit(value)
         return self._next(self.df.withColumn(name, col))
@@ -761,6 +801,15 @@ class Pipeline:
                 rejections.setdefault(row[REJECT_CATEGORY], {})[row[REJECT_STEP]] = row[
                     "count"
                 ]
+        if loaded == 0:
+            from .rejections import MAX_ERROR_THRESHOLD, PipelineAbortException
+
+            script_errors = self.go_stats_script_errors(rejections)
+            if script_errors > MAX_ERROR_THRESHOLD:
+                raise PipelineAbortException(
+                    f"{script_errors} SCRIPT_ERROR rejections with 0 loaded rows "
+                    f"(threshold {MAX_ERROR_THRESHOLD})"
+                )
         rej = self.rejections_df()
         for side, configure in self._hooks["branches"]:
             configured = configure(side)
@@ -772,6 +821,10 @@ class Pipeline:
         for hook in self._hooks["after"]:
             hook()
         return LoadStatistic(self.name, loaded, start, now_ms(), rejections)
+
+    @staticmethod
+    def go_stats_script_errors(rejections: dict[str, dict[str, int]]) -> int:
+        return sum(rejections.get(RejectionCategory.SCRIPT_ERROR.value, {}).values())
 
     def start(self) -> None:
         """Execute without stats (Pipeline.groovy:1318-1324): noop-write the

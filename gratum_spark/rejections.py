@@ -104,3 +104,17 @@ class LoadStatistic:
 
 def now_ms() -> float:
     return time.time() * 1000.0
+
+
+# Reference: MAX_ERROR_THRESHOLD = 50 (etl/Step.groovy:9) — a pipeline
+# aborts when a step accumulates >50 SCRIPT_ERRORs with 0 loaded rows.
+MAX_ERROR_THRESHOLD = 50
+
+
+class PipelineAbortException(RuntimeError):
+    """Raised by go() when SCRIPT_ERROR counts exceed MAX_ERROR_THRESHOLD
+    with zero loaded rows (util/PipelineAbortException.java:3-12).
+
+    Under lazy execution the check is post-hoc (after the single counting
+    action) rather than mid-stream; the contract — a fully-broken step
+    never reports success — is preserved."""

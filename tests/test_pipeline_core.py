@@ -214,3 +214,36 @@ def test_exchange(spark, hobbies):
         return hobbies_df.filter(F.col("id") == row["id"])
 
     assert ids.exchange(expand).go().loaded == 4
+
+
+def test_script_error_rejects(people):
+    # closure exceptions reject SCRIPT_ERROR instead of failing the job
+    # (reference Step.execute, etl/Step.groovy:23-51)
+    def boom(row):
+        if row["id"] == 3:
+            raise ValueError("bad row")
+        return row["age"] < 100
+
+    stat = people.filter(boom, name="boomy").go()
+    assert stat.loaded == 4
+    assert stat.rejections_for(RejectionCategory.SCRIPT_ERROR) == 1
+
+    stat2 = people.add_field(
+        "x", lambda r: 1 / 0 if r["id"] == 2 else r["id"], "long"
+    ).go()
+    assert stat2.loaded == 4
+    assert stat2.rejections_for(RejectionCategory.SCRIPT_ERROR) == 1
+
+
+def test_abort_threshold(spark):
+    # >50 SCRIPT_ERRORs with 0 loaded aborts (etl/Step.groovy:9,39-41)
+    from gratum_spark.rejections import PipelineAbortException
+
+    rows = [{"i": n} for n in range(60)]
+    p = sources.from_collection(spark, rows, "i long", ordered=False)
+
+    def always_boom(row):
+        raise RuntimeError("nope")
+
+    with __import__("pytest").raises(PipelineAbortException):
+        p.filter(always_boom).go()

@@ -108,11 +108,18 @@ def ivf_build(
             .agg(F.collect_list(vec_col).alias("vs"))
             .select(
                 "list_id",
+                # decimal-exact elementwise mean: order-independent under
+                # collect_list's nondeterministic ordering, so centroids
+                # (and thus assignments) are identical run to run
                 F.transform(
                     F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
                     lambda i: F.aggregate(
-                        "vs", F.lit(0.0), lambda acc, v: acc + F.element_at(v, i + 1)
-                    )
+                        "vs",
+                        F.lit(0).cast("decimal(38,12)"),
+                        lambda acc, v: (
+                            acc + F.element_at(v, i + 1).cast("decimal(38,12)")
+                        ).cast("decimal(38,12)"),
+                    ).cast("double")
                     / F.size("vs"),
                 ).alias("centroid"),
             )

@@ -669,6 +669,81 @@ ORDER BY c_custkey
 """
 
 
+def op_filter_closure(spark, sf) -> DataFrame:
+    """filter(Closure): whole-row Python predicate through the pandas-UDF
+    path, checked against the equivalent SQL predicate."""
+    return (
+        T(spark, sf, "supplier")
+        .filter(
+            lambda r: r["s_acctbal"] > 2000.0 and r["s_nationkey"] % 2 == 0,
+            name="closure",
+        )
+        .clip("s_suppkey")
+        .sort("s_suppkey")
+        .df
+    )
+
+
+ORACLE_FILTER_CLOSURE = """
+SELECT s_suppkey FROM supplier
+WHERE s_acctbal > 2000.0 AND s_nationkey % 2 = 0
+ORDER BY s_suppkey
+"""
+
+
+def op_flat_map(spark, sf) -> DataFrame:
+    """flat_map (UDTF surface): one row per order-priority word via a
+    Python generator, checked against SQL unnest."""
+    return (
+        T(spark, sf, "orders")
+        .clip("o_orderkey", "o_orderpriority")
+        .flat_map(
+            lambda r: (
+                {"o_orderkey": r["o_orderkey"], "word": w, "pos": i}
+                for i, w in enumerate(r["o_orderpriority"].split("-"))
+            ),
+            "o_orderkey long, word string, pos int",
+        )
+        .add_field("pos", F.col("pos").cast("long"))
+        .sort("o_orderkey", "pos")
+        .df
+    )
+
+
+ORACLE_FLAT_MAP = """
+SELECT o_orderkey, w.word, CAST(w.pos - 1 AS BIGINT) AS pos
+FROM orders,
+     LATERAL (SELECT unnest(string_split(o_orderpriority, '-')) AS word,
+                     generate_subscripts(string_split(o_orderpriority, '-'), 1) AS pos) w
+ORDER BY o_orderkey, pos
+"""
+
+
+def op_sliding_window(spark, sf) -> DataFrame:
+    """Sliding (hopping) window aggregation: 2-hour windows every hour —
+    each event lands in exactly two hops."""
+    from ..streaming import sliding_agg
+
+    events = T(spark, sf, "events").df
+    out = sliding_agg(events, "2 hours", "1 hour", n=F.count("*"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hop"),
+        "event_type",
+        "n",
+    ).orderBy("hop", "event_type")
+
+
+ORACLE_SLIDING = """
+SELECT strftime(hs, '%Y-%m-%d %H') AS hop, event_type, COUNT(*) AS n
+FROM (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS hs,
+         event_type
+  FROM events
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def op_rollup(spark, sf) -> DataFrame:
     """ROLLUP aggregation (beyond-reference capability)."""
     cust = T(spark, sf, "customer")
@@ -1068,6 +1143,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
+    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -744,6 +744,36 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def op_udaf_pandas(spark, sf) -> DataFrame:
+    """UDAF surface: per-group custom aggregation via
+    group_by().apply_in_pandas (gratum reduce-closure analogue,
+    distributed per group), checked against plain SQL aggregates."""
+    import pandas as pd
+
+    def seg_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = sorted(float(x) for x in pdf["c_acctbal"])
+        n = len(bal)
+        mid = (bal[(n - 1) // 2] + bal[n // 2]) / 2.0
+        return pd.DataFrame(
+            {"c_mktsegment": [pdf["c_mktsegment"].iloc[0]], "n": [n], "median_bal": [mid]}
+        )
+
+    return (
+        T(spark, sf, "customer")
+        .group_by("c_mktsegment")
+        .apply_in_pandas(seg_stats, "c_mktsegment string, n long, median_bal double")
+        .sort("c_mktsegment")
+        .df
+    )
+
+
+ORACLE_UDAF = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       median(c_acctbal) AS median_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def op_rollup(spark, sf) -> DataFrame:
     """ROLLUP aggregation (beyond-reference capability)."""
     cust = T(spark, sf, "customer")
@@ -1146,6 +1176,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
+    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

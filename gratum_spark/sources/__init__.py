@@ -82,6 +82,7 @@ def csv(
     schema: StructType | str | None = None,
     ordered: bool = False,
     name: str | None = None,
+    multiline: bool = True,
 ) -> Pipeline:
     """Delimited text (reference: CsvSource.groovy:50-166 + csv/CSVFile.java).
 
@@ -89,7 +90,13 @@ def csv(
     (``header=False`` + ``columns``), escaping toggle (``escaping=False``
     reads raw lines and splits — for files with bare quotes like
     unescaped.csv), permissive parsing (ragged rows null-padded by
-    Spark's CSV reader). All parsing is JVM-side and splittable.
+    Spark's CSV reader).
+
+    SCALE: ``multiline=True`` (the parity default — the reference keeps
+    newlines inside quoted fields, CSVFile.java:129-169) makes each file
+    single-split: one task per file regardless of size. For 100 TB
+    inputs without embedded newlines pass ``multiline=False`` so files
+    split at ``spark.sql.files.maxPartitionBytes`` boundaries.
     """
     name = name or f"csv({path})"
     if not escaping:
@@ -111,7 +118,7 @@ def csv(
         spark.read.option("header", header)
         .option("sep", separator)
         .option("mode", "PERMISSIVE")
-        .option("multiLine", True)
+        .option("multiLine", multiline)
         .option("escape", '"')
     )
     if schema is not None:

@@ -290,3 +290,11 @@ def test_http_fan_out_file_urls(tmp_path, spark):
     assert out[1]["status"] == 200 and json.loads(out[1]["json"]) == {"v": 1}
     assert out[2]["body"] == "plain text" and out[2]["json"] is None
     assert out[3]["status"] == -1
+
+
+def test_csv_multiline_false_splittable(tmp_path, spark):
+    # multiline=False keeps files splittable at scale (no quoted newlines)
+    f = tmp_path / "plain.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    p = sources.csv(spark, str(f), multiline=False)
+    assert p.go().loaded == 2

@@ -33,7 +33,11 @@ def get_spark(app_name: str = "gratum-spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: parquet on-disk size understates the in-memory hash
+        # relation ~5-10×; at 64 MB a filtered mid-size fact table (1.5M
+        # rows in the 10× scale test) got broadcast and the driver-side
+        # hash build dominated the join. Dimension tables stay well under.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

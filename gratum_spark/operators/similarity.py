@@ -7,6 +7,8 @@ as the scale path — both expression-only (no Python in the hot loop).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,44 +104,50 @@ def ivf_build(
     centroids = init
     for _ in range(n_iters):
         assigned = _assign(df, centroids, id_col, vec_col)
+        # Elementwise mean per list via posexplode + groupBy — all
+        # whole-stage-codegen JVM work, map-side combinable, and the
+        # decimal sum is order-independent so centroids (and thus
+        # assignments) are identical run to run. The earlier shape
+        # (collect_list + nested transform/aggregate lambdas) ran
+        # interpreted at O(dim × n_vectors) evals and was ~50× slower.
         centroids = (
-            assigned.join(df.select(id_col, vec_col), on=id_col)
-            .groupBy("list_id")
-            .agg(F.collect_list(vec_col).alias("vs"))
-            .select(
-                "list_id",
-                # decimal-exact elementwise mean: order-independent under
-                # collect_list's nondeterministic ordering, so centroids
-                # (and thus assignments) are identical run to run
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
-                    lambda i: F.aggregate(
-                        "vs",
-                        F.lit(0).cast("decimal(38,12)"),
-                        lambda acc, v: (
-                            acc + F.element_at(v, i + 1).cast("decimal(38,12)")
-                        ).cast("decimal(38,12)"),
-                    ).cast("double")
-                    / F.size("vs"),
-                ).alias("centroid"),
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
             )
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
         )
-    assignments = _assign(df, centroids, id_col, vec_col)
+    assignments = _assign(df, centroids, id_col, vec_col).select(id_col, "list_id")
     return assignments, centroids
 
 
 def _assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    c = F.broadcast(centroids)
-    scored = df.crossJoin(c).select(
-        F.col(id_col),
-        F.col("list_id"),
-        dot_decimal(F.col(vec_col), F.col("centroid")).alias("dot"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("list_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "list_id")
+    """Nearest-centroid assignment: (id, vec, list_id), ties to the lowest
+    list_id.
+
+    Centroids are collected to the driver (n_lists × dim — tiny, this is
+    Lloyd's-with-broadcast) and closed over by an Arrow-batched numpy
+    argmax: one narrow scan per pass, no join, no shuffle. Replaces a
+    crossJoin × interpreted-decimal-dot + per-id window shape that
+    dominated IVF build time.
+    """
+    rows = centroids.orderBy("list_id").collect()
+    list_ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def best_list(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list_ids[np.argmax(mat @ cmat.T, axis=1)])
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), best_list(F.col(vec_col)).alias("list_id")
     )
 
 

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, joins, multimodal, similarity, text
 from ..pipeline import Pipeline
 from ..sources import table
 
@@ -917,6 +917,91 @@ SELECT word, COUNT(*) AS n FROM (
 """
 
 
+def op_asof_join(spark, sf) -> DataFrame:
+    """As-of join (beyond-reference): each purchase event gets the value
+    of the user's most recent at-or-before click. One shuffle on the key
+    (union + window carry-forward), no per-row range probe — see
+    operators.joins.asof_join."""
+    ev = T(spark, sf, "events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts) so as-of ties are deterministic
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = joins.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return j.select("event_id", "click_value").orderBy("event_id")
+
+
+ORACLE_ASOF = """
+SELECT l.event_id, r.click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def op_range_join(spark, sf) -> DataFrame:
+    """Range/band join (beyond-reference): lineitem quantities against a
+    broadcast band table (non-equi BroadcastNestedLoopJoin — big side
+    never shuffles; see operators.joins.range_join)."""
+    li = T(spark, sf, "lineitem").df.select("l_quantity", "l_extendedprice")
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 10, 25), ("high", 25, 100)],
+        "band string, lo int, hi int",
+    )
+    j = joins.range_join(
+        li, bands,
+        [F.col("l_quantity") >= F.col("lo"), F.col("l_quantity") < F.col("hi")],
+    )
+    return (
+        j.groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("revenue"))
+        .orderBy("band")
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT band, COUNT(*) AS n, {DSUM.format('l_extendedprice')} AS revenue
+FROM lineitem
+JOIN (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 100)) b(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def op_grouping_sets(spark, sf) -> DataFrame:
+    """GROUPING SETS (beyond-reference): single-scan multi-grouping via
+    the native expand operator — not a union of re-scans."""
+    li = T(spark, sf, "lineitem").df
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {DSUM.format('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1184,6 +1269,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_inject": (op_inject, ORACLE_INJECT),
+    "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
     "dedup_minhash": (dedup_minhash, None),

@@ -1088,7 +1088,7 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ann_topk)."""
     emb = T(spark, sf, "embeddings").df
     return dedup.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.62, n_planes=8
+        emb, "vec_id", "embedding", threshold=0.5, n_planes=6, n_tables=16
     ).orderBy("a", "b")
 
 

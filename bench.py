@@ -31,8 +31,12 @@ HEADLINE = [
     "op_rollup",
     "op_sessionize",
     "op_tumbling_window",
+    "op_asof_join",
+    "op_range_join",
+    "op_grouping_sets",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "ann_topk",
     "text_stats",
     "text_lang_id",

@@ -25,7 +25,33 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "interval_join_bucketed"]
+__all__ = ["asof_join", "range_join", "interval_join_bucketed", "salted_join"]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key with a
+    random shard in [0, n_salts) and explode the right side across all
+    shards, so one hot key spreads over ``n_salts`` reducers instead of
+    one straggler task.
+
+    AQE's skew-join split (enabled in session.py) handles most skew
+    after the fact; explicit salting is for the pathological case — one
+    key holding a double-digit percentage of all rows — where even a
+    split partition's sort/build side blows past executor memory. Cost:
+    the right side is replicated n_salts×, so keep it the smaller input.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, on=keys + ["_salt"], how=how).drop("_salt")
 
 
 def asof_join(

@@ -110,3 +110,18 @@ def test_interval_join_bucketed_matches_range_join(spark):
         for r in joins.interval_join_bucketed(pts, "x", ivs, "lo", "hi", 4.0).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (4, "d")], "k long, tag string"
+    )
+    plain = sorted((r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in joins.salted_join(left, right, "k", n_salts=4).collect()
+    )
+    assert salted == plain and len(salted) == 67

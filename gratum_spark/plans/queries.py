@@ -1002,6 +1002,152 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def op_exchange(spark, sf) -> DataFrame:
+    """exchange (gratum Pipeline.groovy:1039-1053): each region row births
+    a new per-row plan (here: nations of that region), results unioned."""
+    nation = T(spark, sf, "nation").df
+
+    def nations_of(row: dict) -> DataFrame:
+        return nation.filter(F.col("n_regionkey") == row["r_regionkey"]).select(
+            "n_nationkey", "n_name", F.lit(row["r_name"]).alias("r_name")
+        )
+
+    return T(spark, sf, "region").exchange(nations_of).sort("n_nationkey").df
+
+
+ORACLE_EXCHANGE = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def op_pivot(spark, sf) -> DataFrame:
+    """PIVOT (beyond-reference): return-flag columns per linestatus.
+    Explicit value list so Spark skips the distinct-values pre-scan."""
+    li = T(spark, sf, "lineitem").df
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity"))
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PIVOT = f"""
+SELECT l_linestatus,
+       {DSUM.format("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A,
+       {DSUM.format("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS N,
+       {DSUM.format("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def op_unpivot(spark, sf) -> DataFrame:
+    """UNPIVOT / melt (beyond-reference): wide part columns to long
+    (metric, value) rows — single scan, no union of re-scans."""
+    part = T(spark, sf, "part").df
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+) ORDER BY p_partkey, metric
+"""
+
+
+def op_percentiles(spark, sf) -> DataFrame:
+    """Exact percentiles (beyond-reference): median/quartiles per group.
+    Exact `percentile` (sort-based), not percentile_approx — quantities
+    are small integers so linear interpolation is bit-deterministic."""
+    li = T(spark, sf, "lineitem").df
+    q = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def op_corr_exact(spark, sf) -> DataFrame:
+    """Pearson correlation per group via exact decimal component sums
+    (beyond-reference). Built-in corr() accumulates doubles in partition
+    order — not reproducible across engines; the decimal-sum formula is."""
+    li = T(spark, sf, "lineitem").df
+    n = F.count("*").cast("double")
+    sx = dsum("l_quantity")
+    sy = dsum("l_extendedprice")
+    sxy = dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+    sxx = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    syy = dsum(F.col("l_extendedprice") * F.col("l_extendedprice"))
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # The component sums are exact, but the final double expression can
+    # differ from another engine's in the last bit — round well inside
+    # that error (1e-9 vs ~1e-16) so hashes match.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(r, 9).alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_CORR = f"""
+SELECT l_returnflag,
+       ROUND((CAST(COUNT(*) AS DOUBLE) * {DSUM.format('l_quantity * l_extendedprice')}
+         - {DSUM.format('l_quantity')} * {DSUM.format('l_extendedprice')})
+       / SQRT((CAST(COUNT(*) AS DOUBLE) * {DSUM.format('l_quantity * l_quantity')}
+               - {DSUM.format('l_quantity')} * {DSUM.format('l_quantity')})
+            * (CAST(COUNT(*) AS DOUBLE) * {DSUM.format('l_extendedprice * l_extendedprice')}
+               - {DSUM.format('l_extendedprice')} * {DSUM.format('l_extendedprice')})), 9)
+       AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def op_histogram(spark, sf) -> DataFrame:
+    """Equi-width histogram (beyond-reference): single-scan bucket
+    groupBy; floor(x/width) is IEEE-deterministic so buckets are
+    engine-portable."""
+    li = T(spark, sf, "lineitem").df
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n, {DSUM.format('l_extendedprice')} AS total
+FROM lineitem GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1272,6 +1418,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_pivot": (op_pivot, ORACLE_PIVOT),
+    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
+    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
+    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
+    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
     "dedup_minhash": (dedup_minhash, None),

@@ -1,0 +1,113 @@
+"""Physical-plan quality gates: these assert the SHAPE of the plans the
+engine produces, not their results — scan pushdown, column pruning,
+broadcast join selection, map-side partial aggregation, and whole-stage
+codegen. A regression here is a 100-TB performance bug even when every
+value is still correct at test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gratum_spark.plans import queries as Q
+from gratum_spark.sources import table
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf):
+    """An engine filter must reach the parquet reader as PushedFilters,
+    not run post-scan only."""
+    df = table(spark, sf, "orders").filter({"o_orderstatus": "O"}).df
+    plan = plan_of(df.select("o_orderkey"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf):
+    """Selecting 2 of 9 orders columns must shrink ReadSchema to those
+    columns — a full-width scan at 100 TB reads TBs it throws away."""
+    df = table(spark, sf, "orders").df.select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_comment" not in read and "o_orderdate" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf):
+    """q5's region/nation/customer dimension joins must be broadcast —
+    shuffling the fact table on a dimension key is the classic scale
+    bug the reference's cached-right-side join avoided by design."""
+    plan = plan_of(Q.q5_region_revenue(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf):
+    """groupBy aggregates must combine map-side (partial_) before the
+    shuffle; a final-only plan ships every input row to the reducers."""
+    plan = plan_of(Q.q1_pricing_summary(spark, sf))
+    assert "partial_" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_expression_pipeline_fuses_to_one_project(spark, sf):
+    """Eight chained column ops (clip/rename/add_field/trim/set_field)
+    must collapse into a single Project over the scan — per-operator
+    materialization or a Python fallback would each show up as extra
+    plan nodes. (AQE's pre-execution explain omits WholeStageCodegen
+    labels, so fusion is asserted structurally.)"""
+    plan = plan_of(Q.op_column_ops(spark, sf))
+    assert "EvalPython" not in plan
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Project") == 1
+
+
+def test_text_stats_no_python_udf(spark, sf):
+    """Token counting / quality scoring is expression-only by design —
+    a Python UDF appearing in this plan means the hot path fell off the
+    JVM."""
+    plan = plan_of(Q.text_stats(spark, sf))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sort_limit_uses_top_k(spark, sf):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (streaming
+    top-k per partition), never a full global sort."""
+    plan = plan_of(Q.q3_top_orders(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark, sf):
+    """The semi-join query must keep LeftSemi in the physical plan —
+    rewriting it as inner-join + distinct doubles the shuffle."""
+    plan = plan_of(Q.op_semi_join(spark, sf))
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_single_scan(spark, sf):
+    """GROUPING SETS must expand in one scan (Expand operator), not
+    union N re-reads of the table."""
+    plan = plan_of(Q.op_grouping_sets(spark, sf))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("(1) Scan parquet") == 1
+
+
+def test_unpivot_single_scan(spark, sf):
+    """UNPIVOT must be a single-scan Expand/Generate, not a UNION ALL
+    of per-column re-scans."""
+    plan = plan_of(Q.op_unpivot(spark, sf))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("(1) Scan parquet") == 1

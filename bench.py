@@ -34,6 +34,12 @@ HEADLINE = [
     "op_asof_join",
     "op_range_join",
     "op_grouping_sets",
+    "op_pivot",
+    "op_unpivot",
+    "op_percentiles",
+    "op_corr_exact",
+    "op_histogram",
+    "stream_tumbling_counts",
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",

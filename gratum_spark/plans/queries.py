@@ -1002,6 +1002,57 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def stream_tumbling_counts(spark, sf) -> DataFrame:
+    """Tumbling window agg EXECUTED AS A STREAM: readStream over the
+    events parquet, availableNow trigger drained to a memory sink —
+    proves the same logical plan runs under Structured Streaming with a
+    watermark, and that its result equals the batch/DuckDB answer."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    agg = streaming.tumbling_agg(
+        sdf, "1 hour", keys=("event_type",), ts_col="ts", watermark="2 hours"
+    )
+    out = streaming.run_available_now(agg, "q_stream_tumbling")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        "n",
+    ).orderBy("hour", "event_type")
+
+
+ORACLE_STREAM_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stream_stateful_counter(spark, sf) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event counter drained with availableNow. The final
+    counter per key must equal the batch COUNT(*) regardless of how the
+    input split into micro-batches (hence max over emitted updates)."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    counted = streaming.stateful_counter(sdf, key="user_id")
+    out = streaming.run_available_now(
+        counted, "q_stream_stateful", output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("total_seen").alias("total_seen"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS total_seen FROM events
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def op_exchange(spark, sf) -> DataFrame:
     """exchange (gratum Pipeline.groovy:1039-1053): each region row births
     a new per-row plan (here: nations of that region), results unioned."""
@@ -1419,6 +1470,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
+    "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "op_pivot": (op_pivot, ORACLE_PIVOT),
     "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
     "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),

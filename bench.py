@@ -43,9 +43,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",
+    "dedup_cluster_cc",
     "ann_topk",
     "text_stats",
     "text_lang_id",
+    "text_top_terms",
 ]
 
 

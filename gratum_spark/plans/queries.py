@@ -1289,6 +1289,66 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def dedup_cluster_cc(spark, sf) -> DataFrame:
+    """Duplicate-group clustering: chain edges between successive doc_ids
+    sharing a text, resolved to components by iterative min-label
+    propagation (connected_components). The chain topology forces real
+    multi-hop propagation — the oracle (min doc_id per text group) only
+    matches if labels traverse the whole chain."""
+    docs = T(spark, sf, "documents").df
+    w = Window.partitionBy("text").orderBy("doc_id")
+    chain = (
+        docs.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    comp = dedup.connected_components(chain, "prev", "doc_id")
+    return (
+        docs.join(comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_CLUSTER = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_top_terms(spark, sf) -> DataFrame:
+    """Top-3 terms per language: tokenize + explode + count + windowed
+    top-k — the vocabulary-analysis shape (all JVM expressions)."""
+    docs = T(spark, sf, "documents").df
+    terms = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") > 3)
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "term", "n")
+        .orderBy("lang", "term")
+    )
+
+
+ORACLE_TOP_TERMS = """
+SELECT lang, term, n FROM (
+  SELECT lang, term, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, term) AS rn
+  FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+    FROM documents
+  )
+  WHERE length(term) > 3
+  GROUP BY lang, term
+) WHERE rn <= 3 ORDER BY lang, term
+"""
+
+
 def ann_topk(spark, sf) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 query vector —
     decimal-summed dot products for engine-portable determinism."""
@@ -1482,6 +1542,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
+    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
+    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "ann_ivf": (ann_ivf, None),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),

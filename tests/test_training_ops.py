@@ -217,3 +217,33 @@ def test_sample_video_frames(spark):
     frames = multimodal.sample_video_frames(with_bin, every_n=30, fake=True).collect()
     assert [r["frame_no"] for r in frames] == [0, 1, 2]
     assert [len(bytes(r["frame"])) for r in frames] == [30, 30, 10]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # two chains (0-1-2-3-4, 10-11-12) + an isolated edge (20,21):
+    # a chain forces multi-round min-label propagation end to end
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (11, 10), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(edges, "a", "b").collect()
+    }
+    assert comp == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_merges_rings(spark):
+    # a cycle plus a bridge between two clusters
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5), (3, 4), (4, 5)], "a long, b long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(edges, "a", "b").collect()
+    }
+    assert set(comp.values()) == {3} and len(comp) == 5

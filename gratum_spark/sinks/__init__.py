@@ -13,7 +13,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_json_array", "write_xlsx", "write_single_csv"]
+__all__ = ["write_json_array", "write_xlsx", "write_single_csv", "write_bucketed"]
 
 
 def write_json_array(df: DataFrame, path: str, columns: Iterable[str] | None = None) -> str:
@@ -70,3 +70,29 @@ def write_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1") -> str:
     except ImportError as e:  # pragma: no cover - environment-gated
         raise NotImplementedError("xlsx sink requires openpyxl") from e
     return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table (beyond-reference, 100 TB feature): rows
+    are hash-partitioned into ``n_buckets`` files per partition keyed on
+    ``bucket_cols`` AT WRITE TIME, so every later equi-join or groupBy
+    on those keys skips its shuffle entirely — the single biggest
+    repeated-cost saving for fact tables that are joined daily.
+
+    Optionally sorted within buckets (sort-merge join without the sort).
+    Bucketing requires saveAsTable (metastore records the bucket spec);
+    ``path`` pins the table location for unmanaged data.
+    """
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").mode("overwrite").saveAsTable(table)

@@ -111,3 +111,32 @@ def test_unpivot_single_scan(spark, sf):
     assert "Expand" in plan
     assert "Union" not in plan
     assert plan.count("(1) Scan parquet") == 1
+
+
+def test_bucketed_join_skips_shuffle(spark, sf, tmp_path):
+    """Joining two tables bucketed on the same key must produce a plan
+    with NO Exchange on either side — the write-time bucketing replaces
+    the per-query shuffle, which at 100 TB is the difference between a
+    join costing a scan and costing a full-network data move."""
+    from gratum_spark.sinks import write_bucketed
+
+    orders = table(spark, sf, "orders").df
+    cust = table(spark, sf, "customer").df
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], 8, path=str(tmp_path / "b_orders")
+    )
+    write_bucketed(
+        cust, "b_customer", ["c_custkey"], 8, path=str(tmp_path / "b_customer")
+    )
+    # hint a merge join: at test scale the 16 MB auto-broadcast would
+    # otherwise win and mask whether bucketing removed the shuffle
+    joined = spark.table("b_orders").hint("merge").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = plan_of(joined)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # values survive the bucketed round-trip
+    assert joined.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()

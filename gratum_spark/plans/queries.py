@@ -1289,6 +1289,56 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def op_json_extract(spark, sf) -> DataFrame:
+    """JSON column extraction (events.props) + aggregation — the
+    semi-structured path stays entirely JVM-side (get_json_object)."""
+    events = T(spark, sf, "events").df
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def op_hash_split(spark, sf) -> DataFrame:
+    """Deterministic md5 train/test split — the exact same rule is
+    reproducible in any engine (portability is the point: an auditor
+    re-derives the split in SQL)."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df
+    return (
+        sampling.hash_split(docs, "doc_id", train_frac=0.8)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_HASH_SPLIT = """
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM documents GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def dedup_cluster_cc(spark, sf) -> DataFrame:
     """Duplicate-group clustering: chain edges between successive doc_ids
     sharing a text, resolved to components by iterative min-label
@@ -1543,6 +1593,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
+    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "ann_ivf": (ann_ivf, None),

@@ -247,3 +247,35 @@ def test_connected_components_merges_rings(spark):
         for r in dedup.connected_components(edges, "a", "b").collect()
     }
     assert set(comp.values()) == {3} and len(comp) == 5
+
+
+def test_hash_split_deterministic_and_near_frac(spark):
+    from gratum_spark.operators import sampling
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = sampling.hash_split(df, "k", 0.8)
+    s2 = sampling.hash_split(df, "k", 0.8)
+    counts = dict(
+        (r["split"], r["n"])
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert abs(counts["train"] / 5000 - 0.8) < 0.02
+    # identical draw on re-run (no rand() anywhere)
+    assert s1.exceptAll(s2).count() == 0
+    # a different salt draws an independent split
+    s3 = sampling.hash_split(df, "k", 0.8, salt="v2")
+    assert s1.exceptAll(s3).count() > 0
+
+
+def test_stratified_sample_caps_strata(spark):
+    from gratum_spark.operators import sampling
+
+    rows = [(i, "en" if i % 10 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = sampling.stratified_sample(df, "lang", {"en": 0.1}, "k")
+    n_en = out.filter("lang = 'en'").count()
+    n_fr = out.filter("lang = 'fr'").count()
+    assert n_fr == 200          # untouched stratum kept whole
+    assert abs(n_en / 1800 - 0.1) < 0.03
+    # deterministic
+    assert out.exceptAll(sampling.stratified_sample(df, "lang", {"en": 0.1}, "k")).count() == 0

@@ -23,8 +23,11 @@ from gratum_spark.plans.queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    fn, _ = QUERIES["q1_pricing_summary"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    pipeline_curation is the engine in one plan: quality filter →
+    exact dedup → deterministic train/test split → summary."""
+    fn, _ = QUERIES["pipeline_curation"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

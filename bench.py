@@ -48,6 +48,7 @@ HEADLINE = [
     "text_stats",
     "text_lang_id",
     "text_top_terms",
+    "pipeline_curation",
 ]
 
 

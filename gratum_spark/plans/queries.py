@@ -1339,6 +1339,44 @@ FROM documents GROUP BY lang, split ORDER BY lang, split
 """
 
 
+def pipeline_curation(spark, sf) -> DataFrame:
+    """Flagship composite: the full corpus-curation chain in ONE lazy
+    plan — quality filter → exact dedup (min doc_id per text) →
+    deterministic train/test split → per-(lang, split) summary. One
+    action, two shuffles (dedup group, final group); the filter runs
+    before both so pruning happens at the scan."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df
+    q = docs.filter(
+        (F.length("text") >= 50) & (F.size(F.split(F.col("text"), " ")) >= 10)
+    )
+    kept = dedup.exact_dedup(q, ["text"], "doc_id")
+    split = sampling.hash_split(kept, "doc_id", train_frac=0.9)
+    return (
+        split.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_CURATION = """
+WITH q AS (
+  SELECT * FROM documents
+  WHERE length(text) >= 50 AND len(string_split(text, ' ')) >= 10
+), kept AS (
+  SELECT q.* FROM q
+  JOIN (SELECT text, MIN(doc_id) AS m FROM q GROUP BY text) w
+    ON q.text = w.text AND q.doc_id = w.m
+)
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM kept GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def dedup_cluster_cc(spark, sf) -> DataFrame:
     """Duplicate-group clustering: chain edges between successive doc_ids
     sharing a text, resolved to components by iterative min-label
@@ -1594,6 +1632,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (dedup_embedding, None),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
     "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
     "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),

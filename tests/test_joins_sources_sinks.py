@@ -298,3 +298,13 @@ def test_csv_multiline_false_splittable(tmp_path, spark):
     f.write_text("a,b\n1,x\n2,y\n")
     p = sources.csv(spark, str(f), multiline=False)
     assert p.go().loaded == 2
+
+
+def test_csv_bom_and_crlf(spark, tmp_path):
+    # reference detects and strips a UTF-8 BOM (csv/CSVFile.java:52-58)
+    # and handles CRLF; Spark's reader does both natively — pin it.
+    p = tmp_path / "bom.csv"
+    p.write_bytes(b"\xef\xbb\xbfname,age\r\nAlice,30\r\nBob,41\r\n")
+    pl = sources.csv(spark, str(p))
+    assert pl.df.columns == ["name", "age"]
+    assert [r["name"] for r in pl.df.sort("name").collect()] == ["Alice", "Bob"]

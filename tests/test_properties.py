@@ -85,3 +85,46 @@ def test_exact_dedup_idempotent(spark, rows):
     once = dedup.exact_dedup(df, ["k", "v"], "rid")
     twice = dedup.exact_dedup(once, ["k", "v"], "rid")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), st.integers(0, 100)),
+    min_size=1, max_size=10,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), st.integers(0, 100), st.integers(-5, 5)),
+    min_size=1, max_size=10,
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@SLOW
+def test_asof_join_matches_python_model(spark, left, right):
+    """asof backward join == 'latest right row at-or-before each left
+    ts per key' — checked against a brute-force python model for any
+    input, including duplicate timestamps and keys with no match."""
+    from gratum_spark.operators import joins
+
+    ldf = spark.createDataFrame(left, "k string, ts long")
+    # dedupe right on (k, ts) keeping max v to make the model unambiguous
+    seen: dict[tuple, int] = {}
+    for k, ts, v in right:
+        seen[(k, ts)] = max(v, seen.get((k, ts), v))
+    rrows = [(k, ts, v) for (k, ts), v in seen.items()]
+    rdf = spark.createDataFrame(rrows, "k string, ts long, v long")
+
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in joins.asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+
+    expect = set()
+    for k, lts in left:
+        best = None
+        for (rk, rts), v in seen.items():
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        expect.add((k, lts, best[1] if best else None))
+    assert got == expect

@@ -138,6 +138,15 @@ class Pipeline:
         """
         exprs: list[Column] = []
         for col, v in cond.items():
+            if col == "*" and callable(v):
+                # whole-row wildcard closure (Condition.groovy:55-58):
+                # predicate sees the full row as a dict
+                exprs.append(
+                    F.udf(lambda r, f=v: bool(f(r.asDict())), BooleanType())(
+                        F.struct(*[F.col(c) for c in self.df.columns])
+                    )
+                )
+                continue
             c = F.col(col)
             if v is None:
                 exprs.append(c.isNull())

@@ -35,6 +35,13 @@ def test_filter_map_forms(people):
     assert people.filter({"age": lambda a: a > 50}).go().loaded == 3
     # conjunction
     assert people.filter({"gender": "female", "age": lambda a: a > 30}).go().loaded == 2
+    # "*" wildcard: whole-row closure (Condition.groovy:55-58)
+    assert (
+        people.filter({"*": lambda r: r["age"] > 50 and r["gender"] == "male"})
+        .go()
+        .loaded
+        == 2
+    )
 
 
 def test_rejections_pipeline(people):

@@ -1053,6 +1053,86 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def op_reject_accounting(spark, sf) -> DataFrame:
+    """The rejection CHANNEL itself, driver-checked: a filter step
+    (IGNORE_ROW) and a failed coercion (INVALID_FORMAT) both route rows
+    into the rejects union with category/step tags; the query returns
+    per-(category, step) counts — SURVEY §3.3's one-pass design."""
+    p = (
+        T(spark, sf, "documents")
+        .filter("n_chars >= 120", name="min-chars")
+        .add_field(
+            "maybe_num",
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+            .when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(F.split(F.col("text"), " ")[0]),
+        )
+        .as_int("maybe_num")
+    )
+    return (
+        p.rejections_df()
+        .groupBy("rejectionCategory", "rejectionStep")
+        .agg(F.count("*").alias("n"))
+        .orderBy("rejectionCategory")
+    )
+
+
+ORACLE_REJECT_ACCOUNTING = """
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 5 = 0 THEN NULL
+              ELSE string_split(text, ' ')[1] END AS maybe_num
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'IGNORE_ROW' AS "rejectionCategory", 'min-chars' AS "rejectionStep",
+         COUNT(*) AS n
+  FROM base WHERE NOT (n_chars >= 120) HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'INVALID_FORMAT', 'asInt(maybe_num)', COUNT(*)
+  FROM base WHERE n_chars >= 120 AND maybe_num IS NOT NULL
+    AND trim(maybe_num) != '' AND TRY_CAST(maybe_num AS BIGINT) IS NULL
+  HAVING COUNT(*) > 0
+) ORDER BY "rejectionCategory"
+"""
+
+
+def stream_session_counts(spark, sf) -> DataFrame:
+    """Session windows EXECUTED AS A STREAM (F.session_window + water-
+    mark, availableNow): per-user session count + event count. The
+    oracle is the classic gap-islands rewrite — new session iff the gap
+    from the previous event is >= 30 min (session_window merges while
+    next.ts < prev_end, i.e. strictly-less-than the gap)."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    agg = streaming.session_agg(
+        sdf, gap="30 minutes", keys=("user_id",), watermark="2 hours"
+    )
+    out = streaming.run_available_now(agg, "q_stream_session")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_SESSION = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 def op_exchange(spark, sf) -> DataFrame:
     """exchange (gratum Pipeline.groovy:1039-1053): each region row births
     a new per-row plan (here: nations of that region), results unioned."""
@@ -1620,6 +1700,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
+    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_pivot": (op_pivot, ORACLE_PIVOT),
     "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
     "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),

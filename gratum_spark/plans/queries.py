@@ -1627,6 +1627,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+def multimodal_frames(spark, sf) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame (mapInPandas
+    over binary payloads), aggregated back per doc. The oracle
+    recomputes frame counts/bytes from the utf-8 byte lengths."""
+    docs = T(spark, sf, "documents").df
+    with_bin = multimodal.attach_binary(docs, "text", "payload")
+    frames = multimodal.sample_video_frames(
+        with_bin, "payload", "doc_id", every_n=32, fake=True
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FRAMES = """
+SELECT doc_id,
+       CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id
+"""
+
+
 def multimodal_features(spark, sf) -> DataFrame:
     """Multimodal plumbing: binary payloads + deterministic fake decode
     via Arrow-batched mapInPandas. Oracle recomputes the same features
@@ -1723,4 +1750,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_lang_id": (text_lang_id, _lang_oracle()),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
 }

@@ -47,7 +47,34 @@ from .rejections import (
 
 ROW_ORDER = "_row_order"
 
-__all__ = ["Pipeline", "ROW_ORDER"]
+__all__ = ["Pipeline", "ROW_ORDER", "stamp_row_order"]
+
+
+def stamp_row_order(df: DataFrame) -> DataFrame:
+    """Add the ``_row_order`` column defining "input order" for the
+    order-dependent operators (unique first-wins, fill_down, flatten
+    window — SURVEY §4.2 risk #2).
+
+    For file scans that expose ``_metadata.row_index`` (parquet/orc —
+    the 100 TB path) the stamp is (file_path, row_index): a pure
+    function of the DATA's location, identical no matter how the scan
+    was split, how many executors ran, or what got retried. Other
+    sources (CSV/JSON text, in-memory) fall back to
+    ``monotonically_increasing_id`` — partition-major file order, stable
+    for a fixed split configuration (documented caveat: mii values
+    change if the partition count changes, though relative file order
+    is preserved for unsplit text files).
+    """
+    try:
+        return df.withColumn(
+            ROW_ORDER,
+            F.struct(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.row_index").alias("i"),
+            ),
+        )
+    except Exception:
+        return df.withColumn(ROW_ORDER, F.monotonically_increasing_id())
 
 
 def _is_regex(v: Any) -> bool:
@@ -116,15 +143,17 @@ class Pipeline:
         return [c for c in self.df.columns if c != ROW_ORDER]
 
     def with_row_order(self) -> "Pipeline":
-        """Stamp a source-order column (monotonic per partition, partition-major).
+        """Stamp a source-order column. Survives later shuffles because
+        it's data.
 
         Must be called before any shuffle to reflect input order — sources
         in :mod:`gratum_spark.sources` do this automatically when
-        ``ordered=True``. Survives later shuffles because it's data.
+        ``ordered=True``. See :func:`stamp_row_order` for the stability
+        guarantee.
         """
         if ROW_ORDER in self.df.columns:
             return self
-        return self._next(self.df.withColumn(ROW_ORDER, F.monotonically_increasing_id()))
+        return self._next(stamp_row_order(self.df))
 
     def _order_col(self) -> Column:
         return F.col(ROW_ORDER) if ROW_ORDER in self.df.columns else F.monotonically_increasing_id()

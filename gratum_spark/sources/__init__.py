@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..pipeline import ROW_ORDER, Pipeline
+from ..pipeline import ROW_ORDER, Pipeline, stamp_row_order
 
 __all__ = [
     "from_collection",
@@ -41,9 +41,7 @@ __all__ = [
 
 
 def _maybe_order(df: DataFrame, ordered: bool) -> DataFrame:
-    if ordered:
-        return df.withColumn(ROW_ORDER, F.monotonically_increasing_id())
-    return df
+    return stamp_row_order(df) if ordered else df
 
 
 def from_collection(

@@ -254,3 +254,41 @@ def test_abort_threshold(spark):
 
     with __import__("pytest").raises(PipelineAbortException):
         p.filter(always_boom).go()
+
+
+def test_row_order_stable_across_scan_splits(spark, sf_dir, tmp_path):
+    """The parquet row-order stamp is (file_path, row_index) — a pure
+    function of the data. unique()'s first-wins winner must therefore be
+    the first row in FILE-PATH order, regardless of how the scan was
+    split or packed. monotonically_increasing_id fails this on
+    multi-file tables: Spark packs scan partitions largest-file-first,
+    so mii order follows file SIZE, not file path."""
+    from gratum_spark import sources
+
+    d = str(tmp_path / "multi")
+    # three files: part-0 (small, the true first-in-order winner rows),
+    # part-1 (large — size-ordered packing would visit it first), part-2
+    spark.createDataFrame([(k, "first") for k in range(10)], "k long, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    import glob, shutil, os
+    f0 = glob.glob(os.path.join(d, "part-*"))[0]
+    shutil.move(f0, os.path.join(d, "part-00000-a.parquet"))
+    spark.createDataFrame(
+        [(k, "bulk-" + "x" * 50) for k in range(10) for _ in range(200)],
+        "k long, v string",
+    ).coalesce(1).write.mode("append").parquet(d)
+    f1 = [p for p in glob.glob(os.path.join(d, "part-*"))
+          if os.path.basename(p) != "part-00000-a.parquet"][0]
+    shutil.move(f1, os.path.join(d, "part-00001-b.parquet"))
+
+    def winners(max_bytes):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
+        try:
+            p = sources.parquet(spark, d, ordered=True)
+            return {(r["k"], r["v"]) for r in p.unique("k").df.collect()}
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    expect = {(k, "first") for k in range(10)}  # file-path order, always
+    assert winners(128 * 1024 * 1024) == expect
+    assert winners(16 * 1024) == expect

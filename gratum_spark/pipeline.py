@@ -298,17 +298,29 @@ class Pipeline:
         return self._next(self.df.dropDuplicates(list(columns) or None))
 
     def limit(self, n: int, halt: bool = True) -> "Pipeline":
-        """Take first n rows (Pipeline.groovy:1107-1120).
+        """Take the first n rows in SOURCE order (Pipeline.groovy:
+        1107-1120).
 
-        halt=True mirrors HaltPipelineException: just ``LIMIT n`` (Spark's
-        CollectLimit early-terminates the scan). halt=False additionally
-        accounts the remainder as IGNORE_ROW rejects via OFFSET.
+        With a row-order stamp, "first" is anchored to it: the kept side
+        plans as TakeOrderedAndProject (per-partition top-k, no global
+        sort), and — critically for halt=False — kept and rejected are
+        consistent partitions of the input. Bare ``df.limit(n)`` +
+        ``df.offset(n)`` are two independently-evaluated arbitrary-order
+        plans that may overlap or drop rows. Unstamped pipelines fall
+        back to plain limit/offset (deterministic per plan, order
+        unspecified — as documented for unordered sources).
+
+        halt=True mirrors HaltPipelineException: limit only (Spark's
+        CollectLimit / TakeOrdered early-terminates). halt=False
+        additionally accounts the remainder as IGNORE_ROW rejects.
         """
-        kept = self.df.limit(n)
+        ordered = ROW_ORDER in self.df.columns
+        base = self.df.orderBy(ROW_ORDER) if ordered else self.df
+        kept = base.limit(n)
         if halt:
             return self._next(kept)
         rejected = tag_rejects(
-            self.df.offset(n),
+            base.offset(n),
             RejectionCategory.IGNORE_ROW,
             f"row number > {n}",
             f"limit({n})",

@@ -292,3 +292,37 @@ def test_row_order_stable_across_scan_splits(spark, sf_dir, tmp_path):
     expect = {(k, "first") for k in range(10)}  # file-path order, always
     assert winners(128 * 1024 * 1024) == expect
     assert winners(16 * 1024) == expect
+
+
+def test_limit_takes_first_in_source_order(spark, tmp_path):
+    """limit must take the FIRST n rows in file-path order on a stamped
+    multi-file source, and halt=False's kept/rejected must exactly
+    partition the input (independent unordered limit+offset plans can
+    overlap)."""
+    import glob
+    import os
+    import shutil
+
+    from gratum_spark import sources
+
+    d = str(tmp_path / "ml")
+    spark.createDataFrame(
+        [(k, "first") for k in range(5)], "k long, v string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.move(
+        glob.glob(os.path.join(d, "part-*"))[0],
+        os.path.join(d, "part-00000-a.parquet"),
+    )
+    spark.createDataFrame(
+        [(k, "bulk-" + "y" * 80) for k in range(5, 300)], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    f1 = [p for p in glob.glob(os.path.join(d, "part-*"))
+          if os.path.basename(p) != "part-00000-a.parquet"][0]
+    shutil.move(f1, os.path.join(d, "part-00001-b.parquet"))
+
+    p = sources.parquet(spark, d, ordered=True)
+    lim = p.limit(5, halt=False)
+    kept = sorted(r["k"] for r in lim.df.collect())
+    assert kept == [0, 1, 2, 3, 4]  # the small first-file rows, not the bulk
+    stat = lim.go()
+    assert stat.loaded == 5 and stat.rejected == 295

@@ -498,7 +498,12 @@ class Pipeline:
         """Order by columns; tuple ('col','desc') for descending
         (Pipeline.groovy:650-654, 587-642). Spark's UnsafeExternalSorter
         subsumes gratum's external merge sort; SortConfig paging knobs are
-        accepted and ignored by design."""
+        accepted and ignored by design.
+
+        The reference's in-memory sort is STABLE (Groovy list sort);
+        Spark's distributed sort is not — so when the pipeline carries a
+        row-order stamp it is appended as the final tie-breaker, making
+        equal-key rows come out in source order every run."""
         exprs = []
         for c in columns:
             if isinstance(c, tuple):
@@ -506,6 +511,8 @@ class Pipeline:
                 exprs.append(F.col(name).desc() if order.lower().startswith("desc") else F.col(name).asc())
             else:
                 exprs.append(F.col(c).asc())
+        if ROW_ORDER in self.df.columns:
+            exprs.append(F.col(ROW_ORDER).asc())
         return self._next(self.df.orderBy(*exprs))
 
     def fill_down_by(

@@ -326,3 +326,14 @@ def test_limit_takes_first_in_source_order(spark, tmp_path):
     assert kept == [0, 1, 2, 3, 4]  # the small first-file rows, not the bulk
     stat = lim.go()
     assert stat.loaded == 5 and stat.rejected == 295
+
+
+def test_sort_is_stable_on_stamped_sources(spark):
+    """Equal sort keys must come out in source order (the reference's
+    Groovy sort is stable); verified by sorting on a constant column."""
+    from gratum_spark import sources
+
+    rows = [{"k": 1, "seq": i} for i in range(50)]
+    p = sources.from_collection(spark, rows)  # ordered=True by default
+    out = [r["seq"] for r in p.sort("k").df.collect()]
+    assert out == list(range(50))

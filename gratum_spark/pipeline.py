@@ -74,7 +74,14 @@ def stamp_row_order(df: DataFrame) -> DataFrame:
             ),
         )
     except Exception:
-        return df.withColumn(ROW_ORDER, F.monotonically_increasing_id())
+        # same struct<f,i> shape as the metadata stamp so differently-
+        # sourced pipelines stay union-compatible (concat)
+        return df.withColumn(
+            ROW_ORDER,
+            F.struct(
+                F.lit("").alias("f"), F.monotonically_increasing_id().alias("i")
+            ),
+        )
 
 
 def _is_regex(v: Any) -> bool:
@@ -773,11 +780,29 @@ class Pipeline:
 
     def concat(self, other: "Pipeline | DataFrame") -> "Pipeline":
         """Union keeping each side's own columns, null-filling the gaps
-        (Pipeline.groovy:208-220; ConcatSource.groovy:5-33)."""
+        (Pipeline.groovy:208-220; ConcatSource.groovy:5-33).
+
+        The reference plays this pipeline's rows first, then ``other``'s
+        — when both sides carry a row-order stamp, the stamps are
+        re-prefixed ("0:"/"1:" on the file field) so that ordering
+        survives the union while within-side order is untouched."""
         right_df = other.df if isinstance(other, Pipeline) else other
         rejects = other._rejects if isinstance(other, Pipeline) else []
+        left_df = self.df
+        if ROW_ORDER in left_df.columns and ROW_ORDER in right_df.columns:
+            def _prefix(df: DataFrame, tag: str) -> DataFrame:
+                o = F.col(ROW_ORDER)
+                return df.withColumn(
+                    ROW_ORDER,
+                    F.struct(
+                        F.concat(F.lit(tag), o.getField("f")).alias("f"),
+                        o.getField("i").alias("i"),
+                    ),
+                )
+            left_df = _prefix(left_df, "0:")
+            right_df = _prefix(right_df, "1:")
         return self._next(
-            self.df.unionByName(right_df, allowMissingColumns=True), rejects
+            left_df.unionByName(right_df, allowMissingColumns=True), rejects
         )
 
     def branch(

@@ -337,3 +337,17 @@ def test_sort_is_stable_on_stamped_sources(spark):
     p = sources.from_collection(spark, rows)  # ordered=True by default
     out = [r["seq"] for r in p.sort("k").df.collect()]
     assert out == list(range(50))
+
+
+def test_concat_mixed_sources_keeps_play_order(spark, sf_dir):
+    """concat of a parquet-stamped pipeline with a collection-stamped
+    one must union (the stamps share one struct shape) and preserve the
+    reference's play order: this pipeline's rows first, then other's
+    (Pipeline.groovy:208-220)."""
+    from gratum_spark import sources
+
+    a = sources.parquet(spark, f"{sf_dir}/region.parquet", ordered=True)
+    b = sources.from_collection(spark, [{"r_regionkey": 99, "r_name": "X"}])
+    first5 = {r["r_regionkey"] for r in a.concat(b).limit(5).df.collect()}
+    assert 99 not in first5 and len(first5) == 5
+    assert [r["r_regionkey"] for r in b.concat(a).limit(1).df.collect()] == [99]

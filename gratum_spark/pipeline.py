@@ -65,23 +65,30 @@ def stamp_row_order(df: DataFrame) -> DataFrame:
     change if the partition count changes, though relative file order
     is preserved for unsplit text files).
     """
+    # inputFiles() is non-empty only for file-scan plans — pre-check so
+    # non-file sources don't hit (and noisily log) the analyzer error
+    # for the unresolvable _metadata column
     try:
-        return df.withColumn(
-            ROW_ORDER,
-            F.struct(
-                F.col("_metadata.file_path").alias("f"),
-                F.col("_metadata.row_index").alias("i"),
-            ),
-        )
+        is_file_scan = bool(df.inputFiles())
     except Exception:
-        # same struct<f,i> shape as the metadata stamp so differently-
-        # sourced pipelines stay union-compatible (concat)
-        return df.withColumn(
-            ROW_ORDER,
-            F.struct(
-                F.lit("").alias("f"), F.monotonically_increasing_id().alias("i")
-            ),
-        )
+        is_file_scan = False
+    if is_file_scan:
+        try:
+            return df.withColumn(
+                ROW_ORDER,
+                F.struct(
+                    F.col("_metadata.file_path").alias("f"),
+                    F.col("_metadata.row_index").alias("i"),
+                ),
+            )
+        except Exception:
+            pass  # e.g. CSV/JSON scans: no row_index metadata field
+    # same struct<f,i> shape as the metadata stamp so differently-
+    # sourced pipelines stay union-compatible (concat)
+    return df.withColumn(
+        ROW_ORDER,
+        F.struct(F.lit("").alias("f"), F.monotonically_increasing_id().alias("i")),
+    )
 
 
 def _is_regex(v: Any) -> bool:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from gratum_spark import RejectionCategory, sources
@@ -351,3 +352,40 @@ def test_concat_mixed_sources_keeps_play_order(spark, sf_dir):
     first5 = {r["r_regionkey"] for r in a.concat(b).limit(5).df.collect()}
     assert 99 not in first5 and len(first5) == 5
     assert [r["r_regionkey"] for r in b.concat(a).limit(1).df.collect()] == [99]
+
+
+def test_missing_column_fails_at_plan_time(spark):
+    """Referencing a nonexistent column must raise AnalysisException
+    when the plan is built — not silently pass or fail mid-job."""
+    from pyspark.errors import AnalysisException
+
+    from gratum_spark import sources
+
+    p = sources.from_collection(spark, [{"a": 1}])
+    with pytest.raises(AnalysisException):
+        p.filter({"nope": 1}).df.collect()
+    with pytest.raises(AnalysisException):
+        p.as_int("nope").df.collect()
+
+
+def test_on_rejection_save_roundtrip(spark, tmp_path, people):
+    """The reference's canonical reject handling: onRejection writes the
+    reject stream to a file with category/reason/step columns
+    (README.md:333-354 in the reference)."""
+    out = str(tmp_path / "rejects.csv")
+    saved = {}
+
+    def handler(rejects):
+        from gratum_spark.sinks import write_single_csv
+
+        saved["path"] = write_single_csv(rejects.df, out)
+
+    stat = people.filter({"gender": "male"}, name="males-only").on_rejection(handler).go()
+    assert stat.loaded == 2 and stat.rejected == 3
+    import csv
+
+    with open(saved["path"]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert all(r["rejectionCategory"] == "IGNORE_ROW" for r in rows)
+    assert all(r["rejectionStep"] == "males-only" for r in rows)

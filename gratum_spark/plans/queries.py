@@ -1053,6 +1053,31 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_dedup_counts(spark, sf) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): duplicate
+    event_ids are dropped while their watermark window is open — the
+    state-bounded streaming analogue of exact dedup. Events are then
+    counted per type and checked against a DISTINCT oracle."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    deduped = sdf.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = streaming.run_available_now(
+        deduped.select("event_id", "event_type"), "q_stream_dedup", "append"
+    )
+    return (
+        out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def op_reject_accounting(spark, sf) -> DataFrame:
     """The rejection CHANNEL itself, driver-checked: a filter step
     (IGNORE_ROW) and a failed coercion (INVALID_FORMAT) both route rows
@@ -1728,6 +1753,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_pivot": (op_pivot, ORACLE_PIVOT),
     "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),

@@ -1578,6 +1578,60 @@ ORDER BY dot / (sqrt(nsq) * sqrt(n)) DESC, vec_id ASC LIMIT 10
 """
 
 
+def ann_topk_many(spark, sf) -> DataFrame:
+    """Batched ANN: top-3 neighbors for EACH of 5 query vectors in one
+    pass — broadcast queries, per-partition scoring (no shuffle of the
+    embedding side), per-query top-k window."""
+    emb = T(spark, sf, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    topk = similarity.cosine_topk_many(
+        emb, queries, "vec_id", "embedding", "query_id", "embedding", k=3
+    )
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", F.col("cosine").desc(), "vec_id")
+
+
+ORACLE_ANN_TOPK_MANY = """
+WITH ev AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+qe AS (
+  SELECT vec_id AS qid, unnest(embedding) AS qx,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 5
+),
+norms AS (
+  SELECT vec_id,
+    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nsq
+  FROM ev GROUP BY vec_id
+),
+dots AS (
+  SELECT qe.qid, ev.vec_id,
+    CAST(SUM(CAST(CAST(ev.x AS DOUBLE) * CAST(qe.qx AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ev JOIN qe USING (i) GROUP BY qe.qid, ev.vec_id
+),
+scored AS (
+  SELECT d.qid AS query_id, d.vec_id,
+         ROUND(d.dot / (sqrt(n1.nsq) * sqrt(n2.nsq)), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.qid
+           ORDER BY d.dot / (sqrt(n1.nsq) * sqrt(n2.nsq)) DESC, d.vec_id
+         ) AS rn
+  FROM dots d
+  JOIN norms n1 ON n1.vec_id = d.vec_id
+  JOIN norms n2 ON n2.vec_id = d.qid
+)
+SELECT query_id, vec_id, cosine FROM scored WHERE rn <= 3
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
 def ann_ivf(spark, sf) -> DataFrame:
     """IVF approximate top-k (no oracle: recall-traded approximation)."""
     emb = T(spark, sf, "embeddings").df.cache()
@@ -1771,6 +1825,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
+    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
     "ann_ivf": (ann_ivf, None),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "text_lang_id": (text_lang_id, _lang_oracle()),

@@ -140,3 +140,22 @@ def test_bucketed_join_skips_shuffle(spark, sf, tmp_path):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # values survive the bucketed round-trip
     assert joined.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf, tmp_path):
+    """A filter on the partition column of a partition_by'd parquet sink
+    must prune at the directory level (PartitionFilters in the scan) —
+    at 100 TB this is the difference between reading one partition and
+    reading the lake."""
+    d = str(tmp_path / "byflag")
+    li = table(spark, sf, "lineitem").df.select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(d)
+    got = spark.read.parquet(d).filter(F.col("l_returnflag") == "R")
+    plan = plan_of(got)
+    assert "PartitionFilters" in plan
+    head = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "l_returnflag" in head
+    # and the non-partition data filters stay out of PartitionFilters
+    assert got.count() == li.filter("l_returnflag = 'R'").count()

@@ -42,6 +42,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram",
     "dedup_embedding",
     "dedup_cluster_cc",
     "ann_topk",

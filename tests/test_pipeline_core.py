@@ -389,3 +389,11 @@ def test_on_rejection_save_roundtrip(spark, tmp_path, people):
     assert len(rows) == 3
     assert all(r["rejectionCategory"] == "IGNORE_ROW" for r in rows)
     assert all(r["rejectionStep"] == "males-only" for r in rows)
+
+
+def test_go_is_repeatable(people):
+    """go() is a pure action over a lazy plan — no state is consumed;
+    running it twice returns identical statistics."""
+    p = people.filter({"gender": "female"})
+    s1, s2 = p.go(), p.go()
+    assert (s1.loaded, s1.rejected) == (s2.loaded, s2.rejected) == (3, 2)

@@ -279,3 +279,22 @@ def test_stratified_sample_caps_strata(spark):
     assert abs(n_en / 1800 - 0.1) < 0.03
     # deterministic
     assert out.exceptAll(sampling.stratified_sample(df, "lang", {"en": 0.1}, "k")).count() == 0
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """On crafted docs with known shingle overlap, the minhash estimate
+    must land within banding tolerance of the true Jaccard."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")  # high overlap
+    far = "completely different words in this unrelated document " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string"
+    )
+    pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            df, "id", "text", threshold=0.0, n_partitions=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -231,9 +231,17 @@ def ngram_jaccard_pairs(
     """
     if n_partitions:
         df = df.repartition(n_partitions)
-    sh = df.select(
-        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws__")
-    ).select("id", F.explode(shingles_of_words(F.col("__ws__"), k)).alias("shingle"))
+    # persist the exploded index: the (interpreted-HOF) shingle
+    # computation is referenced by the size agg, the stop-shingle
+    # frequency pass, and BOTH self-join sides — without a persist it
+    # re-executes 4x (measured ~2x query slowdown at bench scale)
+    from pyspark import StorageLevel
+
+    sh = (
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws__"))
+        .select("id", F.explode(shingles_of_words(F.col("__ws__"), k)).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # stop-shingle guard: drop shingles present in >1% of docs (min 100)
     n_docs = df.count()

@@ -176,13 +176,17 @@ def simhash_pairs(
     """
     if n_partitions:
         df = df.repartition(n_partitions)
-    # hash words JVM-side (xxhash64), bit-vote vectorized in numpy
+    # hash words JVM-side (xxhash64), bit-vote vectorized in numpy;
+    # persist the (id, sh) signatures — both self-join sides reference
+    # this pandas-UDF subtree, which would otherwise run twice
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("id"),
         simhash64_np(
             F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
         ).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_blocks = 64 // prefix_bits
     blocks = [
         F.struct(

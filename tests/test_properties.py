@@ -128,3 +128,49 @@ def test_asof_join_matches_python_model(spark, left, right):
                 best = (rts, v)
         expect.add((k, lts, best[1] if best else None))
     assert got == expect
+
+
+JOIN_LEFT_ROWS = st.lists(
+    st.tuples(st.integers(0, 4), st.sampled_from(["L1", "L2", None])),
+    min_size=1, max_size=8,
+)
+JOIN_RIGHT_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.sampled_from(["R1", "R2"]), st.integers(0, 9)),
+    min_size=0, max_size=8,
+)
+
+
+@given(lrows=JOIN_LEFT_ROWS, rrows=JOIN_RIGHT_ROWS)
+@SLOW
+def test_join_matches_reference_model(spark, lrows, rrows):
+    """gratum join semantics vs a python model for arbitrary inputs:
+    1-to-N multiplication, LEFT-wins column collision on 'v', inner
+    rejects of unmatched lefts (Pipeline.groovy:385-427)."""
+    left = sources.from_collection(
+        spark,
+        [{"k": k, "v": v} for k, v in lrows],
+        schema="k long, v string",
+    )
+    rdf = spark.createDataFrame(
+        [(k, v, x) for k, v, x in rrows], "k long, v string, x long"
+    )
+
+    joined = left.join(rdf, on="k", broadcast=True)
+    key = lambda t: (t[0], t[1] or "", t[2])
+    got = sorted(
+        ((r["k"], r["v"], r["x"]) for r in joined.df.collect()), key=key
+    )
+
+    expect = []
+    for k, v in lrows:
+        matches = [(rk, rv, rx) for rk, rv, rx in rrows if rk == k]
+        for _, _, rx in matches:
+            expect.append((k, v, rx))  # v = LEFT's value (collision rule)
+    assert got == sorted(expect, key=key)
+
+    stat = joined.go()
+    n_unmatched = sum(
+        1 for k, _ in lrows if not any(rk == k for rk, _, _ in rrows)
+    )
+    assert stat.loaded == len(expect)
+    assert stat.rejected == n_unmatched

@@ -166,9 +166,21 @@ def jsonl(spark: SparkSession, path: str, name: str | None = None, ordered: bool
     return json(spark, path, record_per_line=True, name=name or f"jsonl({path})", ordered=ordered)
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """TIMESTAMP(NANOS) parquet (e.g. the testdata events table) throws
+    PARQUET_TYPE_ILLEGAL unless nanosAsLong is set. The repo's own
+    session factory sets it, but callers may hand us any SparkSession —
+    set it defensively here (it is a runtime-settable SQL conf)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Connect server policy) — read may still work
+
+
 def parquet(spark: SparkSession, path: str, name: str | None = None, ordered: bool = False) -> Pipeline:
     """Columnar source of choice at 100 TB: predicate pushdown, column
     pruning, partition pruning all reach the scan."""
+    _ensure_nanos_readable(spark)
     return Pipeline(_maybe_order(spark.read.parquet(path), ordered), name or f"parquet({path})")
 
 

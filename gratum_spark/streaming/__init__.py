@@ -51,6 +51,9 @@ def read_event_stream(
     Applies the same TIMESTAMP(NANOS) -> microsecond conversion as
     sources.table so batch and stream plans see identical types."""
     if schema is None:
+        from ..sources import _ensure_nanos_readable
+
+        _ensure_nanos_readable(spark)
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):

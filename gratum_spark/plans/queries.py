@@ -839,15 +839,32 @@ FROM orders GROUP BY 1 ORDER BY 1
 
 
 def op_approx_distinct(spark, sf) -> DataFrame:
-    """HLL approximate distinct (beyond-reference; no oracle — estimator
-    values are engine-specific by nature)."""
+    """HLL approximate distinct (beyond-reference). Raw estimator values
+    are engine-specific, so the checkable form emits the exact count plus
+    a within-5% accuracy flag — the oracle computes the same exact count
+    with the flag literally TRUE."""
     return (
         T(spark, sf, "orders")
         .group_by("o_orderstatus")
-        .agg(approx_cust=F.approx_count_distinct("o_custkey"))
+        .agg(
+            n_cust=F.countDistinct("o_custkey"),
+            approx_cust=F.approx_count_distinct("o_custkey", rsd=0.02),
+        )
+        .add_field(
+            "approx_ok",
+            F.abs(F.col("approx_cust") - F.col("n_cust"))
+            <= 0.05 * F.col("n_cust"),
+        )
+        .remove_field("approx_cust")
         .sort("o_orderstatus")
         .df
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, TRUE AS approx_ok
+FROM orders GROUP BY 1 ORDER BY 1
+"""
 
 
 def op_group_rows(spark, sf) -> DataFrame:
@@ -1763,62 +1780,54 @@ FROM documents d ORDER BY doc_id
 # Registry
 # --------------------------------------------------------------------------
 
+# Ordering matters: the driver's correctness harness checks the FIRST 50
+# entries against the DuckDB oracle. The window therefore holds (a) the
+# headline TPC-H queries, (b) one representative per operator family, and
+# (c) every oracle-backed query that has never had a green driver row
+# (events-table + LLM-data-pipeline queries). Queries already proven green
+# in round 1 whose operator family stays represented sit past the window
+# (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- headline TPC-H
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
+    # -- core operator representatives (green in r1, kept in-window)
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
-    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
-    "op_anti_join": (op_anti_join, ORACLE_ANTI),
-    "op_concat": (op_concat, ORACLE_CONCAT),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
-    "op_replace": (op_replace, ORACLE_REPLACE),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_inject": (op_inject, ORACLE_INJECT),
+    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
+    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_coerce": (op_coerce, ORACLE_COERCE),
-    "op_as_date": (op_as_date, ORACLE_AS_DATE),
-    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
     "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
-    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
-    "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
-    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
-    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_rollup": (op_rollup, ORACLE_ROLLUP),
-    "op_cube": (op_cube, ORACLE_CUBE),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
-    "op_approx_distinct": (op_approx_distinct, None),
-    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "op_inject": (op_inject, ORACLE_INJECT),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
-    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
-    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    "op_pivot": (op_pivot, ORACLE_PIVOT),
-    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
-    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
-    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
-    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
+    # -- LLM-data-pipeline queries (past the r1 window, never driver-checked)
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
-    "dedup_minhash": (dedup_minhash, None),
-    "dedup_simhash": (dedup_simhash, None),
-    "dedup_embedding": (dedup_embedding, None),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
     "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
@@ -1826,10 +1835,32 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "ann_ivf": (ann_ivf, None),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "text_lang_id": (text_lang_id, _lang_oracle()),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
+    # ---- 50-entry driver window boundary (2 slots above held for new ops) ----
+    # -- r1-green queries whose family stays represented in-window
+    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_anti_join": (op_anti_join, ORACLE_ANTI),
+    "op_semi_join": (op_semi_join, ORACLE_SEMI),
+    "op_concat": (op_concat, ORACLE_CONCAT),
+    "op_replace": (op_replace, ORACLE_REPLACE),
+    "op_as_date": (op_as_date, ORACLE_AS_DATE),
+    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    "op_cube": (op_cube, ORACLE_CUBE),
+    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
+    "op_pivot": (op_pivot, ORACLE_PIVOT),
+    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
+    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
+    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
+    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
+    # -- hash-specific queries with no SQL-expressible oracle
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, None),
+    "ann_ivf": (ann_ivf, None),
 }

@@ -14,7 +14,7 @@ Quick start::
 """
 
 from .pipeline import Pipeline, GroupedPipeline, ROW_ORDER
-from .rejections import LoadStatistic, RejectionCategory
+from .rejections import LoadStatistic, Rejection, RejectionCategory, reject
 from .session import get_spark
 from .concurrency import LocalConcurrentContext
 from . import operators, sinks, sources, streaming
@@ -23,6 +23,8 @@ __all__ = [
     "Pipeline",
     "GroupedPipeline",
     "LoadStatistic",
+    "Rejection",
+    "reject",
     "RejectionCategory",
     "LocalConcurrentContext",
     "get_spark",

@@ -25,6 +25,7 @@ the source scan — file/partition order, stable under later shuffles.
 
 from __future__ import annotations
 
+import functools
 import re
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
@@ -32,13 +33,15 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DataType, StringType, StructType
+from pyspark.sql.types import BooleanType, DataType, StringType, StructField, StructType
 
 from .rejections import (
     REJECT_CATEGORY,
     REJECT_COLS,
+    REJECT_REASON,
     REJECT_STEP,
     LoadStatistic,
+    Rejection,
     RejectionCategory,
     now_ms,
     tag_rejects,
@@ -118,6 +121,11 @@ class Pipeline:
             "branches": [],
             **(hooks or {}),
         }
+        # prepend_step support: the source pipeline this one derives from,
+        # and the recorded (operator, args, kwargs) chain since then —
+        # maintained by the _REPLAYED wrappers at module bottom.
+        self._origin: "Pipeline | None" = None
+        self._ops: list[tuple[str, tuple, dict]] = []
 
     # ------------------------------------------------------------------ infra
 
@@ -340,6 +348,147 @@ class Pipeline:
             f"limit({n})",
         )
         return self._next(kept, [rejected])
+
+    # ----------------------------------------------------- generic steps
+
+    def add_step(
+        self,
+        name: str | Callable[[dict], Any] | None = None,
+        fn: Callable[[dict], Any] | None = None,
+        *,
+        schema: StructType | str | None = None,
+    ) -> "Pipeline":
+        """Generic row step — gratum's primary extension point
+        (Pipeline.groovy:138-144, Step.groovy:23-51).
+
+        ``fn`` receives the row as a dict and returns:
+          * a dict — the (possibly mutated) row passed downstream;
+          * ``None`` — the row rejects (REJECTION, "step returned null");
+          * a :class:`~gratum_spark.rejections.Rejection` (or
+            :func:`gratum_spark.reject`) — the ORIGINAL row rejects with
+            that category/reason;
+          * raising — the row rejects as SCRIPT_ERROR (counts toward the
+            50-error abort in ``go()``).
+
+        gratum rows are schemaless maps; a DataFrame needs a static
+        schema. Without an explicit ``schema`` the output schema is
+        inferred by running ``fn`` on ONE sampled row at plan time
+        (``limit(1)`` — one row-group read even at 100 TB): retained keys
+        keep their input types, added keys get types inferred from the
+        sample's Python values. If the closure's output keys vary by row
+        or the sample row rejects, pass ``schema`` (StructType or DDL
+        string) explicitly.
+
+        Scale: Arrow-batched ``mapInPandas`` with a per-row Python loop —
+        the documented slow path, like every closure form here. Prefer
+        the expression-based operators for hot paths.
+        """
+        if callable(name) and fn is None:
+            name, fn = None, name
+        if not callable(fn):
+            raise TypeError("add_step requires a callable")
+        step = name or getattr(fn, "__name__", None) or "add_step"
+
+        in_cols = self.df.columns
+        has_order = ROW_ORDER in in_cols
+        if schema is None:
+            out_fields = self._infer_step_fields(fn)
+        else:
+            out_fields = list(_schema_fields(schema))
+        out_names = [f.name for f in out_fields]
+
+        full = StructType(out_fields)
+        if has_order:
+            full = full.add(self.df.schema[ROW_ORDER])
+        full = full.add("__cat__", StringType()).add("__reason__", StringType())
+        full_names = [f.name for f in full.fields]
+        callback = fn  # local bind for serialization
+
+        def _run(batches: Iterable[pd.DataFrame]):
+            from .rejections import Rejection as _Rej
+
+            for pdf in batches:
+                out_rows = []
+                for r in pdf.to_dict("records"):
+                    order_v = r.pop(ROW_ORDER, None)
+                    orig = {k: r.get(k) for k in out_names}
+                    try:
+                        res = callback(dict(r))
+                    except Exception as e:  # noqa: BLE001 - reference catches all
+                        row = {**orig, "__cat__": "SCRIPT_ERROR",
+                               "__reason__": f"{type(e).__name__}: {e}"}
+                    else:
+                        if res is None:
+                            row = {**orig, "__cat__": "REJECTION",
+                                   "__reason__": "step returned null"}
+                        elif isinstance(res, _Rej):
+                            row = {**orig, "__cat__": res.category.value,
+                                   "__reason__": res.reason}
+                        else:
+                            row = {k: res.get(k) for k in out_names}
+                            row["__cat__"] = row["__reason__"] = None
+                    if has_order:
+                        row[ROW_ORDER] = order_v
+                    out_rows.append(row)
+                yield pd.DataFrame(out_rows, columns=full_names)
+
+        marked = self.df.mapInPandas(_run, full)
+        kept = marked.filter(F.col("__cat__").isNull()).drop("__cat__", "__reason__")
+        rejected = (
+            marked.filter(F.col("__cat__").isNotNull())
+            .withColumnsRenamed({"__cat__": REJECT_CATEGORY, "__reason__": REJECT_REASON})
+            .withColumn(REJECT_STEP, F.lit(step))
+        )
+        return self._next(kept, [rejected])
+
+    def _infer_step_fields(self, fn: Callable[[dict], Any]) -> list:
+        """Schema inference for add_step: run the closure on one sampled
+        row. Retained keys keep their input StructField; added keys get a
+        type from the Python value. Any failure (empty source, closure
+        raised/rejected the sample, non-dict return) falls back to the
+        input schema unchanged."""
+        base = [f for f in self.df.schema.fields if f.name != ROW_ORDER]
+        try:
+            probe = self.df.drop(ROW_ORDER) if ROW_ORDER in self.df.columns else self.df
+            sample = probe.limit(1).collect()
+            if not sample:
+                return base
+            res = fn(sample[0].asDict(recursive=True))
+        except Exception:  # noqa: BLE001 - inference is best-effort
+            return base
+        if not isinstance(res, dict):
+            return base
+        by_name = {f.name: f for f in base}
+        fields = [by_name[f.name] for f in base if f.name in res]
+        for k, v in res.items():
+            if k not in by_name:
+                fields.append(StructField(k, _infer_py_type(v), True))
+        return fields or base
+
+    def prepend_step(
+        self,
+        name: str | Callable[[dict], Any] | None = None,
+        fn: Callable[[dict], Any] | None = None,
+        *,
+        schema: StructType | str | None = None,
+    ) -> "Pipeline":
+        """Insert a row step BEFORE every operator applied so far
+        (Pipeline.groovy:119-126).
+
+        A Catalyst plan can't be edited in place, so the pipeline replays
+        its recorded operator chain on top of (source → new step). Every
+        public operator records itself (see ``_REPLAYED``), so the rebuilt
+        plan is identical to having called ``add_step`` first.
+        """
+        origin = self._origin or self
+        p = origin.add_step(name, fn, schema=schema)
+        for kind, args, kwargs in self._ops:
+            if kind == "__grouped":
+                cols, sub, ga, gkw = args
+                p = getattr(p.group_by(*cols), sub)(*ga, **gkw)
+            else:
+                p = getattr(p, kind)(*args, **kwargs)
+        return p
 
     # ---------------------------------------------------- column transforms
 
@@ -1028,9 +1177,98 @@ class GroupedPipeline:
         return tree
 
 
+def _infer_py_type(v: Any) -> DataType:
+    """Spark type for a Python value produced by a step closure. Complex /
+    ambiguous values (dicts, empty lists, None) need an explicit schema;
+    they infer as string."""
+    import datetime
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType as _Bool,
+        DateType,
+        DoubleType,
+        LongType,
+        TimestampType,
+    )
+
+    if isinstance(v, bool):
+        return _Bool()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, bytes):
+        return BinaryType()
+    if isinstance(v, datetime.datetime):
+        return TimestampType()
+    if isinstance(v, datetime.date):
+        return DateType()
+    if isinstance(v, (list, tuple)) and v:
+        return ArrayType(_infer_py_type(v[0]))
+    return StringType()
+
+
 def _schema_fields(schema: StructType | str):
     if isinstance(schema, StructType):
         return schema.fields
     from pyspark.sql.types import _parse_datatype_string
 
     return _parse_datatype_string(schema).fields
+
+
+# ---------------------------------------------------------------------------
+# Operator recording for prepend_step
+#
+# gratum's prependStep inserts a Step at position 0 of a mutable chain
+# (Pipeline.groovy:119-126). A Catalyst plan is immutable, so instead every
+# public operator records (name, args, kwargs) on the Pipeline it returns;
+# prepend_step replays that chain on top of (origin source → new step).
+# Eager actions (go/start/save/json/jsonl/parquet/print_row) are NOT
+# recorded: a write that already happened can't retroactively change.
+# ---------------------------------------------------------------------------
+
+_REPLAYED = (
+    "with_row_order", "filter", "trim", "unique", "drop_duplicates", "limit",
+    "add_step", "add_field", "set_field", "remove_field", "rename_fields",
+    "clip", "default_values", "defaults_by", "replace_all", "replace_values",
+    "as_int", "as_double", "as_boolean", "as_date", "sort", "fill_down_by",
+    "flatten_window", "inject", "flat_map", "exchange", "reduce",
+    "reduce_rows", "join", "intersect", "concat", "branch", "apply", "after",
+    "on_rejection", "persist",
+)
+
+
+def _recorded(name: str, orig):
+    @functools.wraps(orig)
+    def inner(self: Pipeline, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        if isinstance(out, Pipeline) and out is not self:
+            out._origin = self._origin or self
+            out._ops = self._ops + [(name, args, kwargs)]
+        return out
+
+    return inner
+
+
+def _grouped_recorded(name: str, orig):
+    @functools.wraps(orig)
+    def inner(self: GroupedPipeline, *args, **kwargs):
+        out = orig(self, *args, **kwargs)
+        if isinstance(out, Pipeline):
+            parent = self.parent
+            out._origin = parent._origin or parent
+            out._ops = parent._ops + [
+                ("__grouped", (tuple(self.columns), name, args, kwargs), {})
+            ]
+        return out
+
+    return inner
+
+
+for _name in _REPLAYED:
+    setattr(Pipeline, _name, _recorded(_name, getattr(Pipeline, _name)))
+for _name in ("agg", "apply_in_pandas", "rows"):
+    setattr(GroupedPipeline, _name, _grouped_recorded(_name, getattr(GroupedPipeline, _name)))
+del _name

@@ -719,6 +719,33 @@ ORDER BY o_orderkey, pos
 """
 
 
+def op_add_step(spark, sf) -> DataFrame:
+    """Generic add_step row closure — gratum's primary extension point
+    (reference Pipeline.groovy:138-144): mutate the row (lowercased
+    segment), reject negative balances by returning None. Schema of the
+    added field is inferred from the sampled row."""
+
+    def normalize(row):
+        if row["c_acctbal"] < 0:
+            return None
+        return {**row, "segment_lc": row["c_mktsegment"].lower()}
+
+    return (
+        T(spark, sf, "customer")
+        .add_step("normalize", normalize)
+        .clip("c_custkey", "segment_lc")
+        .sort("c_custkey")
+        .df
+    )
+
+
+ORACLE_ADD_STEP = """
+SELECT c_custkey, lower(c_mktsegment) AS segment_lc
+FROM customer WHERE c_acctbal >= 0
+ORDER BY c_custkey
+"""
+
+
 def op_sliding_window(spark, sf) -> DataFrame:
     """Sliding (hopping) window aggregation: 2-hour windows every hour —
     each event lands in exactly two hops."""
@@ -1805,6 +1832,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_inject": (op_inject, ORACLE_INJECT),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),

@@ -45,6 +45,28 @@ class RejectionCategory(str, Enum):
     IGNORE_ROW = "IGNORE_ROW"
 
 
+@dataclass
+class Rejection:
+    """Return value for row closures that reject the current row
+    (reference: Rejection.groovy:9-22 + Pipeline.reject helper).
+
+    A gratum closure calls ``reject(row, reason, category)``; the Python
+    closure simply returns ``Rejection(reason, category)`` (or the
+    :func:`reject` convenience) — the original row is preserved by the
+    step machinery."""
+
+    reason: str = "rejected"
+    category: RejectionCategory = RejectionCategory.REJECTION
+
+
+def reject(
+    reason: str = "rejected",
+    category: RejectionCategory = RejectionCategory.REJECTION,
+) -> Rejection:
+    """Convenience mirroring gratum's ``reject(...)`` static helper."""
+    return Rejection(reason, category)
+
+
 def tag_rejects(
     df: DataFrame, category: RejectionCategory, reason: str, step: str
 ) -> DataFrame:

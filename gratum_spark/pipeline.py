@@ -1079,7 +1079,7 @@ class Pipeline:
 
     def save(
         self,
-        path: str,
+        path: "str | Any",
         separator: str = ",",
         columns: Iterable[str] | None = None,
         header: bool = True,
@@ -1087,7 +1087,21 @@ class Pipeline:
     ) -> "Pipeline":
         """CSV sink (Pipeline.groovy:809-824, sink/CsvSink.groovy:9-49 —
         always-quoted fields). Returns a 1-row result pipeline {filename}
-        like the reference (Pipeline.groovy:833-844)."""
+        like the reference (Pipeline.groovy:833-844).
+
+        Passing a :class:`gratum_spark.sinks.Sink` instead of a path uses
+        the pluggable Sink SPI (sink/Sink.groovy:5-13): attach → close →
+        result-row pipeline."""
+        from .sinks import Sink as _Sink
+
+        if isinstance(path, _Sink):
+            sink = path
+            sink.attach(self)
+            sink.close()
+            payload = sink.result() or {"sink": sink.name}
+            result = self.spark.createDataFrame([tuple(payload.values())],
+                                                list(payload.keys()))
+            return Pipeline(result, sink.name, self._rejects, self._hooks)
         (
             self._clean_df(columns)
             .write.mode("overwrite")

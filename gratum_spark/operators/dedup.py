@@ -118,11 +118,12 @@ def minhash_lsh_pairs(
         .filter(F.col("sig").isNotNull())
     )
     # the banding self-join references the signature subtree twice (left +
-    # right); persist so the UDF stage runs once. sig is narrow
-    # (id + n_hashes longs) and spills to disk if it outgrows memory.
-    from pyspark import StorageLevel
-
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # right); materialize it once. Eager localCheckpoint (MEMORY_AND_DISK
+    # blocks) instead of persist(): a bare persist with no unpersist
+    # accumulates in a long-lived session, while checkpoint blocks are
+    # released by the ContextCleaner when the plan is dropped. sig is
+    # narrow — id + n_hashes longs.
+    sig = sig.localCheckpoint(eager=True)
 
     band_cols = []
     for b in range(bands):
@@ -177,16 +178,16 @@ def simhash_pairs(
     if n_partitions:
         df = df.repartition(n_partitions)
     # hash words JVM-side (xxhash64), bit-vote vectorized in numpy;
-    # persist the (id, sh) signatures — both self-join sides reference
-    # this pandas-UDF subtree, which would otherwise run twice
-    from pyspark import StorageLevel
-
+    # materialize the (id, sh) signatures once — both self-join sides
+    # reference this pandas-UDF subtree. Eager localCheckpoint, not
+    # persist: checkpoint blocks are ContextCleaner-released when the
+    # plan is dropped (no long-session cache accumulation).
     sh = df.select(
         F.col(id_col).alias("id"),
         simhash64_np(
             F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
         ).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     n_blocks = 64 // prefix_bits
     blocks = [
         F.struct(
@@ -235,21 +236,25 @@ def ngram_jaccard_pairs(
     """
     if n_partitions:
         df = df.repartition(n_partitions)
-    # persist the exploded index: the (interpreted-HOF) shingle
+    # materialize the exploded index once: the (interpreted-HOF) shingle
     # computation is referenced by the size agg, the stop-shingle
-    # frequency pass, and BOTH self-join sides — without a persist it
-    # re-executes 4x (measured ~2x query slowdown at bench scale)
-    from pyspark import StorageLevel
-
+    # frequency pass, and BOTH self-join sides — rebuilt it re-executes
+    # 4x (measured ~2x query slowdown at bench scale). Eager
+    # localCheckpoint, not persist: blocks release with the plan instead
+    # of accumulating in a long-lived session.
     sh = (
         df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws__"))
         .select("id", F.explode(shingles_of_words(F.col("__ws__"), k)).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # stop-shingle guard: drop shingles present in >1% of docs (min 100)
-    n_docs = df.count()
-    max_doc_freq = max(100, n_docs // 100)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    # stop-shingle guard: drop shingles present in >1% of docs (min 100),
+    # with an ABSOLUTE cap — a relative-only cap stops capping at scale
+    # (10 B docs would allow 100 M-doc shingles ⇒ 10^16 pair rows from a
+    # single stop-shingle). n_docs reuses the sizes aggregate (one narrow
+    # scan of the checkpointed index) instead of a second full-input scan.
+    n_docs = sizes.count()
+    max_doc_freq = min(max(100, n_docs // 100), 10_000)
     freq_ok = (
         sh.groupBy("shingle").agg(F.count("*").alias("df_"))
         .filter(F.col("df_") <= max_doc_freq)

@@ -20,6 +20,19 @@ from pyspark.sql import functions as F
 __all__ = ["hash_split", "stratified_sample"]
 
 
+def _frac_pred(h: F.Column, frac: float) -> F.Column:
+    """keep-predicate for an 8-hex-char uniform hash vs a fraction.
+
+    Clamped: frac>=1.0 keeps everything (16^8 formats to NINE hex chars,
+    and the lexicographic compare against a 9-char string would keep only
+    hashes starting with '0' — ~1/16 of rows); frac<=0 keeps nothing."""
+    if frac >= 1.0:
+        return F.lit(True)
+    if frac <= 0.0:
+        return F.lit(False)
+    return h < F.lit(format(int(frac * 16**8), "08x"))
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -36,11 +49,12 @@ def hash_split(
     DuckDB/Trino/BigQuery for audits). Change ``salt`` to draw a fresh
     independent split without touching the data.
     """
-    frac_hex = format(int(train_frac * 16**8), "08x")
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
     return df.withColumn(
         split_col,
-        F.when(F.substring(h, 1, 8) < F.lit(frac_hex), "train").otherwise("test"),
+        F.when(_frac_pred(h, train_frac), "train").otherwise("test"),
     )
 
 
@@ -62,8 +76,7 @@ def stratified_sample(
     )
     cond = F.lit(True)
     for stratum, frac in fractions.items():
-        frac_hex = format(int(frac * 16**8), "08x")
         cond = F.when(
-            F.col(stratum_col) == stratum, h < F.lit(frac_hex)
+            F.col(stratum_col) == stratum, _frac_pred(h, frac)
         ).otherwise(cond)
     return df.filter(cond)

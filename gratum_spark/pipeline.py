@@ -568,24 +568,42 @@ class Pipeline:
         keep = list(columns) + ([ROW_ORDER] if ROW_ORDER in self.df.columns else [])
         return self._next(self.df.select(*keep))
 
+    def _groovy_falsy(self, c: str) -> Column:
+        """Groovy truthiness per type (the reference tests ``!row[key]``,
+        Pipeline.groovy:1073-1094): null is always falsy; numeric 0/0.0
+        (numeric compare, not string cast — 0.0 stringifies as "0.0");
+        empty string; boolean false. A string "0" is TRUTHY in Groovy
+        (any non-empty string is)."""
+        from pyspark.sql.types import BooleanType as _B
+        from pyspark.sql.types import NumericType as _N
+
+        col = F.col(c)
+        dt = self.df.schema[c].dataType
+        falsy = col.isNull()
+        if isinstance(dt, _N):
+            falsy = falsy | (col == 0)
+        elif isinstance(dt, StringType):
+            falsy = falsy | (col == "")
+        elif isinstance(dt, _B):
+            falsy = falsy | ~col
+        return falsy
+
     def default_values(self, defaults: Mapping[str, Any]) -> "Pipeline":
-        """Set column to literal when null/empty (Groovy-falsy: '' and 0 count)
-        (Pipeline.groovy:1073-1080)."""
-        updates = {}
-        for c, v in defaults.items():
-            col = F.col(c)
-            falsy = col.isNull() | (col.cast("string") == "") | (col.cast("string") == "0")
-            updates[c] = F.when(falsy, F.lit(v)).otherwise(col)
+        """Set column to literal when Groovy-falsy (Pipeline.groovy:1073-1080)."""
+        updates = {
+            c: F.when(self._groovy_falsy(c), F.lit(v)).otherwise(F.col(c))
+            for c, v in defaults.items()
+        }
         return self._next(self.df.withColumns(updates))
 
     def defaults_by(self, dest_src: Mapping[str, str]) -> "Pipeline":
-        """Set dest column from src column when dest is falsy
-        (Pipeline.groovy:1087-1094)."""
-        updates = {}
-        for dest, src in dest_src.items():
-            d = F.col(dest)
-            falsy = d.isNull() | (d.cast("string") == "")
-            updates[dest] = F.when(falsy, F.col(src)).otherwise(d)
+        """Set dest column from src column when dest is Groovy-falsy
+        (Pipeline.groovy:1087-1094) — same truthiness rule as
+        default_values (the reference shares it)."""
+        updates = {
+            dest: F.when(self._groovy_falsy(dest), F.col(src)).otherwise(F.col(dest))
+            for dest, src in dest_src.items()
+        }
         return self._next(self.df.withColumns(updates))
 
     def replace_all(self, column: str, pattern: str, replacement: str) -> "Pipeline":

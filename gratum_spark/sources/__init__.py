@@ -15,7 +15,7 @@ from collections.abc import Callable, Iterable, Mapping
 from functools import reduce as _reduce
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -104,12 +104,27 @@ def csv(
             first = lines.limit(1).collect()[0]["value"]
             columns = first.split(separator)
         assert columns, "escaping=False needs header row or explicit columns"
+        if header:
+            # drop the header row POSITIONALLY, per file: the row holding
+            # each file's minimum monotonically_increasing_id is its first
+            # line (scan partitions are ordered by file offset). A value
+            # match on the first column would also delete legitimate data
+            # rows that happen to equal the column name.
+            lines = lines.withColumns(
+                {
+                    "__file__": F.col("_metadata.file_path"),
+                    "__mii__": F.monotonically_increasing_id(),
+                }
+            )
+            first_per_file = Window.partitionBy("__file__")
+            lines = (
+                lines.withColumn("__first__", F.min("__mii__").over(first_per_file))
+                .filter(F.col("__mii__") != F.col("__first__"))
+                .drop("__file__", "__mii__", "__first__")
+            )
         df = lines.select(
             *[parts.getItem(i).alias(c) for i, c in enumerate(columns)]
         )
-        if header:
-            # drop the header row by value-match on first column
-            df = df.filter(F.col(columns[0]) != F.lit(columns[0]))
         return Pipeline(_maybe_order(df, ordered), name)
 
     reader = (

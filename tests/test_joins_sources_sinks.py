@@ -308,3 +308,13 @@ def test_csv_bom_and_crlf(spark, tmp_path):
     pl = sources.csv(spark, str(p))
     assert pl.df.columns == ["name", "age"]
     assert [r["name"] for r in pl.df.sort("name").collect()] == ["Alice", "Bob"]
+
+
+def test_csv_escaping_off_keeps_data_row_matching_header(tmp_path, spark):
+    # a data row whose first field literally equals the header name must
+    # survive — the header is dropped positionally, not by value
+    f = tmp_path / "h.csv"
+    f.write_text("name,role\nname,analyst\nBob,admin\n")
+    p = sources.csv(spark, str(f), escaping=False)
+    rows = {(r["name"], r["role"]) for r in p.df.collect()}
+    assert rows == {("name", "analyst"), ("Bob", "admin")}

@@ -397,3 +397,35 @@ def test_go_is_repeatable(people):
     p = people.filter({"gender": "female"})
     s1, s2 = p.go(), p.go()
     assert (s1.loaded, s1.rejected) == (s2.loaded, s2.rejected) == (3, 2)
+
+
+def test_default_values_groovy_truthiness_by_type(spark):
+    from gratum_spark import sources
+
+    rows = [
+        {"s": "0", "n": 0, "d": 0.0, "b": False},
+        {"s": "", "n": 7, "d": 1.5, "b": True},
+        {"s": None, "n": None, "d": None, "b": None},
+    ]
+    p = sources.from_collection(spark, rows, name="truthy").default_values(
+        {"s": "S", "n": 99, "d": 9.9, "b": True}
+    )
+    out = p.df.collect()
+    got = {(r["s"], r["n"], r["d"], r["b"]) for r in out}
+    # string "0" is TRUTHY in Groovy (non-empty string) — kept;
+    # numeric 0 and 0.0 are falsy — defaulted; false is falsy — defaulted
+    assert ("0", 99, 9.9, True) in got
+    assert ("S", 7, 1.5, True) in got
+    assert ("S", 99, 9.9, True) in got
+
+
+def test_defaults_by_same_truthiness(spark):
+    from gratum_spark import sources
+
+    rows = [
+        {"dest": 0, "src": 5},
+        {"dest": 3, "src": 7},
+        {"dest": None, "src": 9},
+    ]
+    p = sources.from_collection(spark, rows, name="defby").defaults_by({"dest": "src"})
+    assert sorted(r["dest"] for r in p.df.collect()) == [3, 5, 9]

@@ -298,3 +298,25 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hash_split_frac_one_keeps_all(spark):
+    from gratum_spark.operators import sampling
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    s = sampling.hash_split(df, "k", train_frac=1.0)
+    assert s.filter("split = 'train'").count() == 500
+    assert sampling.hash_split(df, "k", train_frac=0.0).filter("split = 'train'").count() == 0
+
+
+def test_stratified_sample_frac_one_keeps_stratum_whole(spark):
+    from gratum_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = sampling.stratified_sample(df, "lang", {"en": 1.0, "fr": 0.0}, "k")
+    assert out.filter("lang = 'en'").count() == 200
+    assert out.filter("lang = 'fr'").count() == 0

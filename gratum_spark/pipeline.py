@@ -1066,6 +1066,7 @@ class Pipeline:
                     f"{script_errors} SCRIPT_ERROR rejections with 0 loaded rows "
                     f"(threshold {MAX_ERROR_THRESHOLD})"
                 )
+        self._report_progress()
         rej = self.rejections_df()
         for side, configure in self._hooks["branches"]:
             configured = configure(side)
@@ -1086,6 +1087,7 @@ class Pipeline:
         """Execute without stats (Pipeline.groovy:1318-1324): noop-write the
         full plan — runs every operator, collects nothing to the driver."""
         self.df.write.format("noop").mode("overwrite").save()
+        self._report_progress()
 
     # ------------------------------------------------------------- outputs
 
@@ -1154,6 +1156,29 @@ class Pipeline:
         return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
 
     # ------------------------------------------------------------ debugging
+
+    def progress(self, every: int = 50) -> "Pipeline":
+        """Progress hook (Pipeline.groovy:896-904). gratum prints a dot
+        per streamed row; rows don't stream one-at-a-time through a
+        Spark plan, so the Spark-first form observes the row count
+        flowing through this point (``df.observe`` — no extra scan, no
+        Python in the data path) and reports it when the action
+        (``go()``/``start()``) completes. ``every`` is accepted for API
+        parity; batched execution has no per-N-rows console moment."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = self._next(self.df.observe(obs, F.count(F.lit(1)).alias("rows")))
+        out._hooks.setdefault("progress", [])
+        out._hooks["progress"] = list(out._hooks["progress"]) + [obs]
+        return out
+
+    def _report_progress(self) -> None:
+        for obs in self._hooks.get("progress", []):
+            try:
+                print(f"[{self.name}] progress: {obs.get['rows']} rows")
+            except Exception:  # pragma: no cover - observation not reached
+                pass
 
     def print_row(self, *columns: str, n: int = 20) -> "Pipeline":
         """Log selected columns (Pipeline.groovy:884-894)."""
@@ -1268,7 +1293,7 @@ _REPLAYED = (
     "as_int", "as_double", "as_boolean", "as_date", "sort", "fill_down_by",
     "flatten_window", "inject", "flat_map", "exchange", "reduce",
     "reduce_rows", "join", "intersect", "concat", "branch", "apply", "after",
-    "on_rejection", "persist",
+    "on_rejection", "persist", "progress",
 )
 
 

@@ -233,16 +233,24 @@ def jdbc(
     Sql.eachRow). Spark-first: parallel partitioned reads when a numeric
     ``partition_column`` + bounds are given — the difference between one
     connection and ``num_partitions`` concurrent range scans."""
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
+    is_bare_table = " " not in query.strip()
     if partition_column is not None:
+        # Spark rejects query+partitionColumn together: partitioned reads
+        # push per-range WHERE clauses, which need a dbtable target — wrap
+        # a full query as a derived table
+        target = query if is_bare_table else f"({query}) spark_jdbc_sub"
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", target)
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
         )
+    else:
+        reader = reader.option("dbtable" if is_bare_table else "query", query)
     return Pipeline(reader.load(), name or "jdbc")
 
 
@@ -459,6 +467,15 @@ def xlsx(
         import pandas as pd
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("xlsx source requires pandas") from e
+    if isinstance(path, str) and path.lower().endswith(".xls"):
+        # legacy HSSF workbooks (reference: XlsSource.groovy:13-91) go
+        # through pandas' xlrd engine, which is a separate package
+        try:
+            import xlrd  # type: ignore  # noqa: F401
+        except ImportError as e:  # pragma: no cover - environment-gated
+            raise NotImplementedError(
+                "legacy .xls source requires xlrd (not installed in this environment)"
+            ) from e
     handle: Any = path
     if password is not None:
         try:

@@ -318,3 +318,15 @@ def test_csv_escaping_off_keeps_data_row_matching_header(tmp_path, spark):
     p = sources.csv(spark, str(f), escaping=False)
     rows = {(r["name"], r["role"]) for r in p.df.collect()}
     assert rows == {("name", "analyst"), ("Bob", "admin")}
+
+
+def test_legacy_xls_gated_when_xlrd_missing(spark, tmp_path):
+    try:
+        import xlrd  # noqa: F401
+        pytest.skip("xlrd installed; gate not applicable")
+    except ImportError:
+        pass
+    f = tmp_path / "old.xls"
+    f.write_bytes(b"\xd0\xcf\x11\xe0fakehssf")
+    with pytest.raises(NotImplementedError, match="xlrd"):
+        sources.xlsx(spark, str(f))

@@ -429,3 +429,14 @@ def test_defaults_by_same_truthiness(spark):
     ]
     p = sources.from_collection(spark, rows, name="defby").defaults_by({"dest": "src"})
     assert sorted(r["dest"] for r in p.df.collect()) == [3, 5, 9]
+
+
+def test_progress_reports_after_go(people, capsys):
+    stat = people.progress().go()
+    assert stat.loaded == 5
+    assert "progress: 5 rows" in capsys.readouterr().out
+
+
+def test_progress_reports_after_start(people, capsys):
+    people.filter({"gender": "male"}).progress().start()
+    assert "progress: 2 rows" in capsys.readouterr().out

@@ -696,32 +696,95 @@ class Pipeline:
             exprs.append(F.col(ROW_ORDER).asc())
         return self._next(self.df.orderBy(*exprs))
 
-    def fill_down_by(
-        self, key_columns: Iterable[str], order_by: str | None = None
-    ) -> "Pipeline":
-        """Fill null/empty columns from the previous row within runs of equal
-        keys (Pipeline.groovy:437-455; decider is key-equality in practice,
-        PipelineTest.groovy:363-365).
+    def _fill_updates(self, w: Any, skip: Iterable[str]) -> dict:
+        """last-non-falsy-over-window fill expressions for every payload
+        column (Groovy-falsy rule shared with default_values — the
+        reference fills on ``value == null || !value``)."""
+        skip = set(skip)
+        updates = {}
+        for f in self.df.schema.fields:
+            if f.name in skip or f.name == ROW_ORDER or f.name.startswith("__"):
+                continue
+            c = F.col(f.name)
+            keepable = F.when(~self._groovy_falsy(f.name), c)
+            updates[f.name] = F.coalesce(F.last(keepable, ignorenulls=True).over(w), c)
+        return updates
 
-        Window last(ignorenulls) over (partition by keys order by source
-        order) — carries through multi-row gaps in one pass, one shuffle
-        on the key columns.
+    def fill_down_by(
+        self,
+        key_columns: Iterable[str] | Callable[[dict, dict], bool] | None = None,
+        order_by: str | None = None,
+        decider: Callable[[dict, dict], bool] | None = None,
+    ) -> "Pipeline":
+        """Fill falsy columns from the previous row (Pipeline.groovy:437-455).
+
+        Two forms, as in the reference:
+
+        * ``key_columns`` — equality decider (what the reference's own
+          tests use, PipelineTest.groovy:363-365): window
+          last(ignorenulls) over (partition by keys, order by source
+          order). One shuffle on the keys; fully distributed — the 100 TB
+          path.
+        * ``decider(row, previous_row)`` closure — the general form. Runs
+          are delimited by evaluating the decider on each adjacent pair
+          (global-order lag + cumulative sum: a single-partition stage,
+          inherent to "previous row in source order" semantics — same
+          documented cost as flatten_window; prefer key_columns at
+          scale), then the fill itself distributes per run. The decider
+          sees the RAW previous row; the reference hands the
+          already-filled clone — identical for key-style deciders, which
+          compare non-filled columns.
         """
-        keys = list(key_columns)
+        if callable(key_columns) and decider is None:
+            key_columns, decider = None, key_columns
         order = F.col(order_by) if order_by else self._order_col()
-        w = (
-            Window.partitionBy(*keys)
+
+        if decider is None:
+            keys = list(key_columns or [])
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return self._next(self.df.withColumns(self._fill_updates(w, keys)))
+
+        cols = [c for c in self.df.columns if c != ROW_ORDER]
+        w_ord = Window.orderBy(order)
+        cur = F.struct(*[F.col(c) for c in cols])
+        prv = F.lag(cur).over(w_ord)
+        has_prev = F.lag(F.lit(1)).over(w_ord).isNotNull()
+        callback = decider
+
+        @F.pandas_udf(BooleanType())
+        def _joins_run(cur_b: pd.DataFrame, prv_b: pd.DataFrame) -> pd.Series:
+            out = []
+            for i in range(len(cur_b)):
+                try:
+                    out.append(
+                        bool(callback(cur_b.iloc[i].to_dict(), prv_b.iloc[i].to_dict()))
+                    )
+                except Exception:  # noqa: BLE001 - boundary on decider error
+                    out.append(False)
+            return pd.Series(out)
+
+        marked = self.df.withColumn(
+            "__fd_join__",
+            F.when(has_prev, _joins_run(cur, prv)).otherwise(F.lit(False)),
+        ).withColumn(
+            "__fd_run__",
+            F.sum(F.when(F.col("__fd_join__"), 0).otherwise(1)).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        w_fill = (
+            Window.partitionBy("__fd_run__")
             .orderBy(order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        updates = {}
-        for f in self.df.schema.fields:
-            if f.name in keys or f.name == ROW_ORDER:
-                continue
-            c = F.col(f.name)
-            nonempty = F.when(c.isNotNull() & (c.cast("string") != ""), c)
-            updates[f.name] = F.coalesce(F.last(nonempty, ignorenulls=True).over(w), c)
-        return self._next(self.df.withColumns(updates))
+        filled = marked.withColumns(self._fill_updates(w_fill, ())).drop(
+            "__fd_join__", "__fd_run__"
+        )
+        return self._next(filled)
 
     def flatten_window(
         self,

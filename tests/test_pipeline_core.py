@@ -440,3 +440,36 @@ def test_progress_reports_after_go(people, capsys):
 def test_progress_reports_after_start(people, capsys):
     people.filter({"gender": "male"}).progress().start()
     assert "progress: 2 rows" in capsys.readouterr().out
+
+
+def test_fill_down_by_decider_closure(spark):
+    from gratum_spark import sources
+
+    rows = [
+        {"i": 1, "grp": "a", "v": "x"},
+        {"i": 2, "grp": "a", "v": None},
+        {"i": 3, "grp": "a", "v": ""},
+        {"i": 4, "grp": "b", "v": None},   # decider false vs prev -> new run, stays None
+        {"i": 5, "grp": "b", "v": "y"},
+        {"i": 6, "grp": "b", "v": None},
+    ]
+    p = sources.from_collection(spark, rows, name="fd", ordered=True).fill_down_by(
+        lambda row, prev: row["grp"] == prev["grp"]
+    )
+    got = {r["i"]: r["v"] for r in p.df.collect()}
+    assert got == {1: "x", 2: "x", 3: "x", 4: None, 5: "y", 6: "y"}
+
+
+def test_fill_down_by_decider_numeric_zero_fills(spark):
+    from gratum_spark import sources
+
+    rows = [
+        {"i": 1, "k": 1, "n": 5},
+        {"i": 2, "k": 1, "n": 0},  # Groovy-falsy numeric 0 -> filled from prev
+        {"i": 3, "k": 1, "n": 7},
+    ]
+    p = sources.from_collection(spark, rows, name="fdz", ordered=True).fill_down_by(
+        lambda row, prev: row["k"] == prev["k"]
+    )
+    got = {r["i"]: r["n"] for r in p.df.collect()}
+    assert got == {1: 5, 2: 5, 3: 7}

@@ -1686,6 +1686,22 @@ def ann_ivf(spark, sf) -> DataFrame:
     )
 
 
+def ann_ivf_full_probe(spark, sf) -> DataFrame:
+    """IVF with n_probe = n_lists: every list is scanned, so the result
+    is EXACTLY the brute-force top-k — which makes the whole IVF
+    machinery (deterministic k-means build, centroid ranking, list
+    pruning, in-list exact scoring) verifiable against the same SQL
+    oracle as ann_topk. The recall-traded partial-probe variant stays in
+    ann_ivf."""
+    emb = T(spark, sf, "embeddings").df.cache()
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assignments, centroids = similarity.ivf_build(emb, n_lists=8, n_iters=2)
+    topk = similarity.ivf_topk(
+        emb, assignments, centroids, [float(x) for x in query], k=10, n_probe=8
+    )
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def text_stats(spark, sf) -> DataFrame:
     """Token counting + quality scoring, expression-only."""
     docs = T(spark, sf, "documents").df
@@ -1863,6 +1879,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
+    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "text_lang_id": (text_lang_id, _lang_oracle()),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),

@@ -49,6 +49,7 @@ HEADLINE = [
     "text_stats",
     "text_lang_id",
     "text_top_terms",
+    "text_contamination",
     "pipeline_curation",
 ]
 

@@ -59,13 +59,20 @@ def shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
 
 
 def shingles_of_words(word_arr: Column, k: int = 3) -> Column:
-    """k-shingles from an already-split word array column."""
+    """k-shingles from an already-split word array column.
+
+    Documents with fewer than k words yield an EMPTY array — the guard
+    matters: sequence(0, n-k) with n<k produces a DESCENDING sequence
+    (Spark auto-negates the step), and element_at(arr, 0) then kills the
+    whole job under ANSI mode."""
     n = F.size(word_arr)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    idx = F.sequence(F.lit(0), n - F.lit(k))
     parts = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(word_arr, i + F.lit(j + 1)) for j in range(k)]
     )
-    return F.array_distinct(F.transform(idx, parts))
+    return F.when(n >= F.lit(k), F.array_distinct(F.transform(idx, parts))).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def dot_decimal(a: Column, b: Column) -> Column:

@@ -11,14 +11,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import words
+from ..functions import shingles_of_words, words
 
 __all__ = [
     "token_stats_named",
     "quality_score",
     "lang_id",
     "fingerprint",
+    "redact_pii",
+    "ngram_overlap",
     "DEFAULT_LANG_WORDS",
+    "PII_PATTERNS",
+]
+
+# (pattern, replacement) pairs, applied in order. RE2-safe (no
+# backreferences/lookaround) so the same patterns run identically in
+# DuckDB/Trino/BigQuery for cross-engine audits. Email must run before
+# phone so the digits in a local-part aren't half-eaten.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
 ]
 
 # Characteristic-word lists for the heuristic language identifier.
@@ -93,6 +107,55 @@ def fingerprint(col_name: str) -> Column:
     outside Spark."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(col_name))), "\\s+", " ")
     return F.md5(norm)
+
+
+def redact_pii(
+    col_name: str, patterns: list[tuple[str, str]] | None = None
+) -> Column:
+    """PII scrubbing for training corpora: chained regexp_replace of
+    emails/IPs/SSNs/phones with typed placeholder tokens. Expression-only
+    (JVM, codegen'd) — a pure map over the scan, no shuffle, and the
+    patterns are RE2-portable so other engines can reproduce the exact
+    output for audits."""
+    out = F.col(col_name)
+    for pat, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval contamination check: per training doc, the count of
+    DISTINCT word n-grams it shares with the eval corpus — the standard
+    benchmark-decontamination primitive.
+
+    Plan shape at 100 TB: the eval corpus's distinct grams are a small
+    table (benchmarks are MBs) — broadcast them; the training side
+    explodes its distinct grams (shingles are per-doc distinct already)
+    and the broadcast-hash semi-ish join + groupBy(doc) count is one
+    shuffle on the doc id, map-side combinable. No full self-join and no
+    gram table shuffle of the 100 TB side.
+    """
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(shingles_of_words(words(F.col(text_col)), n)).alias("g"),
+    )
+    eg = (
+        eval_docs.select(
+            F.explode(shingles_of_words(words(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        dg.join(F.broadcast(eg), on="g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
 
 
 def apply_text_analysis(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

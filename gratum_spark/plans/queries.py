@@ -1702,6 +1702,64 @@ def ann_ivf_full_probe(spark, sf) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def text_redact_pii(spark, sf) -> DataFrame:
+    """PII scrubbing (operators/text.py redact_pii): deterministic
+    synthetic PII is appended per doc, then the RE2-portable pattern
+    chain redacts emails/IPs/SSNs/phones — byte-identical across
+    engines."""
+    docs = T(spark, sf, "documents").df
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 192.168.0.1 ssn 555-12-3456"),
+        ).alias("text"),
+    )
+    return with_pii.select(
+        "doc_id", text.redact_pii("text").alias("redacted")
+    ).orderBy("doc_id")
+
+
+ORACLE_REDACT_PII = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com at 192.168.0.1 ssn 555-12-3456',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_contamination(spark, sf) -> DataFrame:
+    """Train/eval benchmark decontamination (operators/text.py
+    ngram_overlap): every 37th doc plays the eval corpus; per remaining
+    doc, the count of distinct 3-gram overlaps with it."""
+    docs = T(spark, sf, "documents").df
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    return text.ngram_overlap(tr, ev, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+ORACLE_CONTAMINATION = """
+WITH dw AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[s.i:s.i+2], ' ') AS g
+  FROM dw, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) s
+),
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0)
+SELECT g2.doc_id, COUNT(*) AS n_contaminated
+FROM grams g2 JOIN eg USING (g)
+WHERE g2.doc_id % 37 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def text_stats(spark, sf) -> DataFrame:
     """Token counting + quality scoring, expression-only."""
     docs = T(spark, sf, "documents").df
@@ -1885,7 +1943,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    # ---- 50-entry driver window boundary (2 slots above held for new ops) ----
+    # ---- 50-entry driver window boundary ----
+    # -- new this round (oracle-backed; rotate into the window next round)
+    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
+    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

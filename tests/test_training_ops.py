@@ -320,3 +320,43 @@ def test_stratified_sample_frac_one_keeps_stratum_whole(spark):
     out = sampling.stratified_sample(df, "lang", {"en": 1.0, "fr": 0.0}, "k")
     assert out.filter("lang = 'en'").count() == 200
     assert out.filter("lang = 'fr'").count() == 0
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    from pyspark.sql import functions as F
+
+    from gratum_spark.functions import shingles_of_words, words
+
+    df = spark.createDataFrame([("a b",), ("one two three four",), ("",)], "t string")
+    out = [r["s"] for r in df.select(shingles_of_words(words(F.col("t")), 3).alias("s")).collect()]
+    assert out[0] == [] and out[2] == []
+    assert out[1] == ["one two three", "two three four"]
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from gratum_spark.operators import text
+
+    df = spark.createDataFrame(
+        [("write bob.smith+x@corp.example.org from 10.0.0.1 ssn 123-45-6789 tel +1 (555) 123-4567 ok",)],
+        "t string",
+    )
+    got = df.select(text.redact_pii("t").alias("r")).first()["r"]
+    assert got == "write <EMAIL> from <IP> ssn <SSN> tel <PHONE> ok"
+
+
+def test_ngram_overlap_counts(spark):
+    from gratum_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "a quick brown fox appears")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_contaminated"] for r in text.ngram_overlap(docs, ev, n=3).collect()}
+    # doc 1 shares 'quick brown fox' with the eval doc; doc 2 shares nothing
+    assert out == {1: 1}

@@ -159,3 +159,30 @@ def test_partitioned_write_enables_partition_pruning(spark, sf, tmp_path):
     assert "l_returnflag" in head
     # and the non-partition data filters stay out of PartitionFilters
     assert got.count() == li.filter("l_returnflag = 'R'").count()
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf):
+    """ngram_overlap must broadcast the (small) eval-gram side; a
+    shuffle-hash join here would shuffle the 100 TB training grams."""
+    df = Q.text_contamination(spark, sf)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii_is_expression_only(spark, sf):
+    """PII redaction must stay JVM-side (no Python workers in the map)."""
+    df = Q.text_redact_pii(spark, sf)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_add_step_rejects_dont_rescan_wider(spark, sf):
+    """add_step's kept branch must project only the output schema
+    (mapInPandas is inherent; the scan beneath should still prune)."""
+    p = (
+        table(spark, sf, "customer")
+        .clip("c_custkey", "c_mktsegment")
+        .add_step(lambda r: r)
+    )
+    plan = plan_of(p.df)
+    assert "c_acctbal" not in plan  # unused columns never reach the step

@@ -36,6 +36,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stateful_counter",
+    "write_stream_parquet",
     "run_available_now",
 ]
 
@@ -178,6 +179,41 @@ def stateful_counter(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def write_stream_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Iterable[str] | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once file sink: parquet + checkpoint.
+
+    The streaming file sink commits output files through a write-ahead
+    sink log keyed by batch id, and the checkpoint stores source offsets
+    — so a crashed/restarted query (or a re-run with the same
+    checkpoint) resumes from the last committed batch and NEVER
+    duplicates rows in the output, the property a 100 TB ingestion
+    pipeline actually needs from its sink. ``available_now=True`` drains
+    what exists and stops (batch-style backfill); False runs
+    continuously. Returns the StreamingQuery; availableNow waits for
+    termination.
+    """
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+    return q
 
 
 def run_available_now(

@@ -131,22 +131,23 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice.cast("string")).alias("h"))
         )
-    banded = sig.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bh")
-    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-
-    left = banded.select(
-        F.col("band"), F.col("h"), F.col("id").alias("a"), F.col("sig").alias("sig_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("h"), F.col("id").alias("b"), F.col("sig").alias("sig_b")
+    # the banding self-join stays NARROW — (band, h, id) only. Carrying
+    # the n_hashes-long signature array through the exploded band rows
+    # shuffles ``bands`` copies of every signature per side (measured
+    # ~2.5x on the whole operator); instead the (far smaller) distinct
+    # pair set re-joins the checkpointed signature table on id.
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bh")).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
     )
     pairs = (
-        left.join(right, on=["band", "h"])
+        banded.select("band", "h", F.col("id").alias("a"))
+        .join(banded.select("band", "h", F.col("id").alias("b")), on=["band", "h"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
@@ -154,7 +155,9 @@ def minhash_lsh_pairs(
     )
     est = (matches / F.lit(float(n_hashes))).alias("est_jaccard")
     return (
-        pairs.select("a", "b", est)
+        pairs.join(sig_a, on="a")
+        .join(sig_b, on="b")
+        .select("a", "b", est)
         .filter(F.col("est_jaccard") >= threshold)
     )
 

@@ -174,3 +174,83 @@ def test_join_matches_reference_model(spark, lrows, rrows):
     )
     assert stat.loaded == len(expect)
     assert stat.rejected == n_unmatched
+
+
+@given(rows=ROWS)
+@SLOW
+def test_add_step_matches_sequential_model(spark, rows):
+    """add_step must agree with the obvious sequential interpreter:
+    mutate / None-reject / raise-reject per row, independent of Spark's
+    partitioning and execution order."""
+
+    def step(row):
+        if row["v"] is None:
+            return None  # reject
+        if row["n"] == "bad":
+            raise ValueError("boom")  # SCRIPT_ERROR
+        return {**row, "kv": f'{row["k"]}:{row["v"]}'}
+
+    # sequential reference model
+    expected_kept, expected_rejected, expected_errors = [], 0, 0
+    for r in rows:
+        if r["v"] is None:
+            expected_rejected += 1
+        elif r["n"] == "bad":
+            expected_errors += 1
+        else:
+            expected_kept.append(f'{r["k"]}:{r["v"]}')
+
+    p = _pipe(spark, rows).add_step("model", step, schema="k string, v string, n string, kv string")
+    stat = p.go()
+    assert stat.loaded == len(expected_kept)
+    assert stat.rejections_for(RejectionCategory.REJECTION) == expected_rejected
+    assert stat.rejections_for(RejectionCategory.SCRIPT_ERROR) == expected_errors
+    assert sorted(r["kv"] for r in p.df.collect()) == sorted(expected_kept)
+
+
+@given(rows=ROWS)
+@SLOW
+def test_prepend_step_equals_pre_registration(spark, rows):
+    """prepend_step(f) after registering ops == add_step(f) before them."""
+
+    def tag(row):
+        return {**row, "t": (row["v"] or "") + "!"}
+
+    base = _pipe(spark, rows)
+    a = base.filter({"k": ["a", "b"]}).prepend_step("tag", tag, schema="k string, v string, n string, t string")
+    b = base.add_step("tag", tag, schema="k string, v string, n string, t string").filter({"k": ["a", "b"]})
+    def key(rows_):
+        return sorted((tuple(r) for r in rows_), key=repr)
+
+    ra = key(a.df.select("k", "v", "n", "t").collect())
+    rb = key(b.df.select("k", "v", "n", "t").collect())
+    assert ra == rb
+
+
+@given(rows=st.lists(st.fixed_dictionaries({
+    "g": st.sampled_from(["p", "q"]),
+    "x": st.one_of(st.none(), st.text(alphabet="ab", min_size=1, max_size=2)),
+}), min_size=1, max_size=10))
+@SLOW
+def test_fill_down_decider_matches_sequential_model(spark, rows):
+    """Closure fill_down_by must equal the reference's sequential loop."""
+    rows = [{"i": i, **r} for i, r in enumerate(rows)]
+
+    # sequential model (reference Pipeline.groovy:437-455 semantics)
+    expected, prev = [], None
+    for r in rows:
+        cur = dict(r)
+        if prev is not None and cur["g"] == prev["g"]:
+            for c in ("x",):
+                if cur[c] is None or cur[c] == "":
+                    cur[c] = prev[c]
+        expected.append(cur["x"])
+        prev = cur
+
+    p = sources.from_collection(
+        spark, rows, "i long, g string, x string", name="fdp", ordered=True
+    ).fill_down_by(
+        lambda row, prev_row: row["g"] == prev_row["g"]
+    )
+    got = [r["x"] for r in sorted(p.df.collect(), key=lambda r: r["i"])]
+    assert got == expected

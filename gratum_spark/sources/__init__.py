@@ -81,6 +81,7 @@ def csv(
     ordered: bool = False,
     name: str | None = None,
     multiline: bool = True,
+    on_header: Callable[[list[str]], Any] | None = None,
 ) -> Pipeline:
     """Delimited text (reference: CsvSource.groovy:50-166 + csv/CSVFile.java).
 
@@ -88,7 +89,9 @@ def csv(
     (``header=False`` + ``columns``), escaping toggle (``escaping=False``
     reads raw lines and splits — for files with bare quotes like
     unescaped.csv), permissive parsing (ragged rows null-padded by
-    Spark's CSV reader).
+    Spark's CSV reader), and the header callback (``on_header`` receives
+    the column list at plan-build time — CsvSource.groovy ``header{}``,
+    PipelineTest.groovy:980-992).
 
     SCALE: ``multiline=True`` (the parity default — the reference keeps
     newlines inside quoted fields, CSVFile.java:129-169) makes each file
@@ -125,6 +128,8 @@ def csv(
         df = lines.select(
             *[parts.getItem(i).alias(c) for i, c in enumerate(columns)]
         )
+        if on_header:
+            on_header(list(columns))
         return Pipeline(_maybe_order(df, ordered), name)
 
     reader = (
@@ -139,6 +144,8 @@ def csv(
     df = reader.csv(path)
     if columns:
         df = df.toDF(*columns)
+    if on_header:
+        on_header(list(df.columns))
     return Pipeline(_maybe_order(df, ordered), name)
 
 

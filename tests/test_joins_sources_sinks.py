@@ -330,3 +330,14 @@ def test_legacy_xls_gated_when_xlrd_missing(spark, tmp_path):
     f.write_bytes(b"\xd0\xcf\x11\xe0fakehssf")
     with pytest.raises(NotImplementedError, match="xlrd"):
         sources.xlsx(spark, str(f))
+
+
+def test_csv_header_callback(tmp_path, spark):
+    # reference: CsvSource.header{} callback, PipelineTest.groovy:980-992
+    f = tmp_path / "hc.csv"
+    f.write_text("a,b,c\n1,2,3\n")
+    seen = []
+    p = sources.csv(spark, str(f), on_header=seen.append)
+    assert seen == [["a", "b", "c"]]
+    stat = p.limit(0, halt=True).go()
+    assert stat.loaded == 0

@@ -117,6 +117,26 @@ class LoadStatistic:
         key = category.value if isinstance(category, RejectionCategory) else category
         return sum(self.rejections.get(key, {}).values())
 
+    def rejections_by_step(self, category: RejectionCategory | str) -> dict[str, int]:
+        key = category.value if isinstance(category, RejectionCategory) else category
+        return dict(self.rejections.get(key, {}))
+
+    def merge(self, other: "LoadStatistic") -> "LoadStatistic":
+        """Fold another run's statistics into this one (reference:
+        LoadStatistic.groovy merge, LoadStatisticTest.groovy:9-52) —
+        the concurrency-context aggregation primitive. Sums loaded and
+        per-category×step reject counts; the merged duration spans both
+        runs (min start .. max end). Mutates and returns self, like the
+        reference."""
+        self.loaded += other.loaded
+        for cat, by_step in other.rejections.items():
+            mine = self.rejections.setdefault(cat, {})
+            for step, n in by_step.items():
+                mine[step] = mine.get(step, 0) + n
+        self.start_ms = min(self.start_ms, other.start_ms)
+        self.end_ms = max(self.end_ms, other.end_ms)
+        return self
+
     def __str__(self) -> str:  # pragma: no cover - debug aid
         return (
             f"LoadStatistic(name={self.name!r}, loaded={self.loaded}, "

@@ -473,3 +473,31 @@ def test_fill_down_by_decider_numeric_zero_fills(spark):
     )
     got = {r["i"]: r["n"] for r in p.df.collect()}
     assert got == {1: 5, 2: 5, 3: 7}
+
+
+def test_load_statistic_merge(spark):
+    # mirrors reference LoadStatisticTest.groovy:9-52 (minus per-step timings,
+    # which don't exist under fused lazy execution)
+    from gratum_spark import RejectionCategory, sources
+
+    s1 = (
+        sources.from_collection(spark, [{"color": c} for c in ["red", "green", "blue"]])
+        .filter({"color": ["green", "blue"]}, name="f1")
+        .go()
+    )
+    s2 = (
+        sources.from_collection(
+            spark, [{"color": c} for c in ["yellow", "brown", "black", "grey"]]
+        )
+        .filter({"color": ["yellow", "grey"]}, name="f2")
+        .filter({"color": "grey"}, name="f3")
+        .go()
+    )
+    assert s1.loaded == 2 and s1.rejected == 1
+    assert s2.loaded == 1 and s2.rejected == 3
+    s1.merge(s2)
+    assert s1.loaded == 3
+    assert s1.rejected == 4
+    assert s1.rejections_for(RejectionCategory.IGNORE_ROW) == 4
+    by_step = s1.rejections_by_step(RejectionCategory.IGNORE_ROW)
+    assert by_step == {"f1": 1, "f2": 2, "f3": 1}

@@ -20,6 +20,7 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "ngram_overlap",
+    "repetition_signals",
     "DEFAULT_LANG_WORDS",
     "PII_PATTERNS",
 ]
@@ -155,6 +156,46 @@ def ngram_overlap(
         dg.join(F.broadcast(eg), on="g")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: per doc, the
+    fraction of duplicate word occurrences and the dominance of the
+    single most frequent word — the standard "degenerate/repetitive
+    text" quality gates for corpus curation.
+
+    Plan: explode words → two-level aggregate (doc×word counts, then per
+    doc). Both aggregates are map-side combinable; the shuffle key is
+    (doc, word) then doc — no skew beyond document length, no Python.
+    Returns (id, n_words, distinct_words, dup_word_frac, top_word_frac).
+    """
+    per_word = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("distinct_words"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "distinct_words",
+            (
+                (F.col("n_words") - F.col("distinct_words")).cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+            (F.col("top_c").cast("double") / F.col("n_words").cast("double")).alias(
+                "top_word_frac"
+            ),
+        )
     )
 
 

@@ -1760,6 +1760,29 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def text_repetition(spark, sf) -> DataFrame:
+    """Intra-doc repetition quality gates (operators/text.py
+    repetition_signals) — Gopher-style duplicate-word and top-word
+    dominance fractions."""
+    docs = T(spark, sf, "documents").df
+    return text.repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_REPETITION = """
+WITH pw AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(c) AS n_words,
+       COUNT(*) AS distinct_words,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_word_frac,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+FROM pw GROUP BY 1 ORDER BY 1
+"""
+
+
 def text_stats(spark, sf) -> DataFrame:
     """Token counting + quality scoring, expression-only."""
     docs = T(spark, sf, "documents").df
@@ -1947,6 +1970,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- new this round (oracle-backed; rotate into the window next round)
     "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

@@ -360,3 +360,15 @@ def test_ngram_overlap_counts(spark):
     out = {r["doc_id"]: r["n_contaminated"] for r in text.ngram_overlap(docs, ev, n=3).collect()}
     # doc 1 shares 'quick brown fox' with the eval doc; doc 2 shares nothing
     assert out == {1: 1}
+
+
+def test_repetition_signals(spark):
+    from gratum_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(docs).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["distinct_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_word_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_word_frac"] == 0.25

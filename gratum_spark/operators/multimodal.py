@@ -25,6 +25,7 @@ __all__ = [
     "attach_binary",
     "media_metadata",
     "extract_image_features",
+    "extract_audio_features",
     "sample_video_frames",
 ]
 
@@ -108,6 +109,60 @@ def extract_image_features(
                 )
             yield pd.DataFrame(out) if out else pd.DataFrame(
                 columns=[id_col, "width", "height", "mean_intensity", "n_bytes"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_extract, schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+    target_rate: int = 16000,
+) -> DataFrame:
+    """Decode + resample + feature-extract audio partition-parallel via
+    mapInPandas: (id, sample_rate, n_samples, duration_sec, rms).
+
+    ``fake=False`` needs soundfile/librosa (absent here — gated with
+    NotImplementedError); ``fake=True`` derives deterministic features
+    from the bytes (4 fake samples per byte at ``target_rate``; rms =
+    mean of the first 256 byte values / 255) through the identical
+    Spark plumbing — and the formula is reproducible in plain SQL for
+    the oracle."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples long, "
+        "duration_sec double, rms double"
+    )
+
+    def _extract(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row[bin_col])
+                if fake:
+                    n_samples = len(blob) * 4
+                    rms = (sum(blob[:256]) / max(1, min(len(blob), 256))) / 255.0
+                else:
+                    try:
+                        import soundfile  # type: ignore  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "real audio decode requires soundfile/librosa (not in "
+                            "this container); pass fake=True for the plumbing path"
+                        ) from e
+                    raise NotImplementedError("real audio path needs the decode libs")
+                out.append(
+                    {
+                        id_col: row[id_col],
+                        "sample_rate": target_rate,
+                        "n_samples": n_samples,
+                        "duration_sec": n_samples / float(target_rate),
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                columns=[id_col, "sample_rate", "n_samples", "duration_sec", "rms"]
             )
 
     return df.select(id_col, bin_col).mapInPandas(_extract, schema)

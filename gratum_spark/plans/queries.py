@@ -1900,6 +1900,27 @@ FROM documents d ORDER BY doc_id
 """
 
 
+def multimodal_audio(spark, sf) -> DataFrame:
+    """Audio-column plumbing: fake decode/resample features over
+    mapInPandas, SQL-reproducible from the same bytes."""
+    docs = T(spark, sf, "documents").df
+    with_bin = multimodal.attach_binary(docs, "text", "payload")
+    feats = multimodal.extract_audio_features(with_bin, "payload", "doc_id", fake=True)
+    return feats.orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) * 4 AS DOUBLE) / 16000.0 AS duration_sec,
+       (CAST((SELECT SUM(ord(substr(d.text, i, 1)))
+              FROM (SELECT unnest(generate_series(1, greatest(1, least(256, length(d.text))))) AS i)) AS DOUBLE)
+        / greatest(1, least(256, length(d.text)))) / 255.0 AS rms
+FROM documents d ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1971,6 +1992,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

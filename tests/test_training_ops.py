@@ -372,3 +372,21 @@ def test_repetition_signals(spark):
     assert out[1]["n_words"] == 4 and out[1]["distinct_words"] == 1
     assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_word_frac"] == 1.0
     assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_word_frac"] == 0.25
+
+
+def test_audio_features_fake_and_gate(spark):
+    from gratum_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    with_bin = multimodal.attach_binary(docs, "text")
+    out = multimodal.extract_audio_features(with_bin, fake=True).first()
+    assert out["n_samples"] == 16 and out["sample_rate"] == 16000
+    assert out["duration_sec"] == 16 / 16000.0
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="soundfile|NotImplemented"):
+            multimodal.extract_audio_features(with_bin, fake=False).collect()

@@ -1438,6 +1438,44 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def dedup_minhash_verified(spark, sf) -> DataFrame:
+    """LSH candidates + exact-Jaccard verification (the production
+    near-dup shape, operators/dedup.py minhash_verified_pairs). Exact
+    verification makes the hash-based candidate plan oracle-checkable:
+    at these thresholds banded-LSH recall is ~1, so the output equals
+    the full exact enumeration."""
+    docs = T(spark, sf, "documents").df
+    pairs = dedup.minhash_verified_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return pairs.orderBy("a", "b")
+
+
+ORACLE_MINHASH_VERIFIED = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= 0.5
+ORDER BY a, b
+"""
+
+
 def op_json_extract(spark, sf) -> DataFrame:
     """JSON column extraction (events.props) + aggregation — the
     semi-structured path stays entirely JVM-side (get_json_object)."""
@@ -1993,6 +2031,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

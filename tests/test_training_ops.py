@@ -390,3 +390,27 @@ def test_audio_features_fake_and_gate(spark):
 
         with _pytest.raises(Exception, match="soundfile|NotImplemented"):
             multimodal.extract_audio_features(with_bin, fake=False).collect()
+
+
+def test_minhash_verified_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from gratum_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated words in this one text")],
+        "doc_id long, text string",
+    )
+    verified = {
+        (r["a"], r["b"]) for r in dedup.minhash_verified_pairs(docs, "doc_id", "text").collect()
+    }
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert verified == exact == {(1, 2)}
+    # verified jaccard is the EXACT value, not the estimate
+    j = dedup.minhash_verified_pairs(docs, "doc_id", "text").first()["jaccard"]
+    je = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).first()["jaccard"]
+    assert j == je

@@ -1438,6 +1438,35 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def emb_quantize(spark, sf) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.py
+    quantize_embeddings) — codes joined to a string for a portable
+    value compare."""
+    emb = T(spark, sf, "embeddings").df
+    q = similarity.quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(",", F.col("q")).alias("q_str"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         END AS scale
+  FROM embeddings
+)
+SELECT vec_id, ROUND(scale, 9) AS scale,
+       array_to_string(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)), ',') AS q_str
+FROM s ORDER BY vec_id
+"""
+
+
 def dedup_minhash_verified(spark, sf) -> DataFrame:
     """LSH candidates + exact-Jaccard verification (the production
     near-dup shape, operators/dedup.py minhash_verified_pairs). Exact
@@ -2032,6 +2061,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
+    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

@@ -414,3 +414,29 @@ def test_minhash_verified_equals_exact(spark):
     j = dedup.minhash_verified_pairs(docs, "doc_id", "text").first()["jaccard"]
     je = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).first()["jaccard"]
     assert j == je
+
+
+def test_quantize_and_normalize_embeddings(spark):
+    import math
+
+    from gratum_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, -4.0]), (2, [0.0, 0.0]), (3, [1.27, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert q[1]["q"] == [95, -127] and abs(q[1]["scale"] - 4.0 / 127) < 1e-12
+    assert q[2]["q"] == [0, 0] and q[2]["scale"] == 1.0  # zero vector guarded
+    assert q[3]["q"] == [127, 0]
+
+    n = {r["vec_id"]: r["embedding"] for r in similarity.normalize_embeddings(emb).collect()}
+    assert abs(n[1][0] - 0.6) < 1e-9 and abs(n[1][1] + 0.8) < 1e-9
+    assert abs(math.hypot(*n[3]) - 1.0) < 1e-9
+
+
+def test_normalize_zero_vector_stays_zero(spark):
+    from gratum_spark.operators import similarity
+
+    emb = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assert similarity.normalize_embeddings(emb).first()["embedding"] == [0.0, 0.0]

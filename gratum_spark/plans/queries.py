@@ -1009,13 +1009,17 @@ def op_range_join(spark, sf) -> DataFrame:
     )
     return (
         j.groupBy("band")
-        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("revenue"))
+        # final ROUND(...,2): at ~1e10 the sum's double ULP is ~2e-6 and
+        # DuckDB's int128-decimal->double cast can land one ULP off
+        # Spark's; the exact sum is whole cents (2dp inputs), so rounding
+        # to cents is tie-free and ULP-stable on both engines
+        .agg(F.count("*").alias("n"), F.round(dsum("l_extendedprice"), 2).alias("revenue"))
         .orderBy("band")
     )
 
 
 ORACLE_RANGE_JOIN = f"""
-SELECT band, COUNT(*) AS n, {DSUM.format('l_extendedprice')} AS revenue
+SELECT band, COUNT(*) AS n, ROUND({DSUM.format('l_extendedprice')}, 2) AS revenue
 FROM lineitem
 JOIN (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 100)) b(band, lo, hi)
   ON l_quantity >= lo AND l_quantity < hi

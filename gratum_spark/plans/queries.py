@@ -1442,6 +1442,36 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def op_set_ops(spark, sf) -> DataFrame:
+    """True multiset set operators (beyond-reference — gratum has no
+    except/intersect set semantics, SURVEY §2.5): EXCEPT ALL and
+    INTERSECT ALL between customer-key multisets, summarized as
+    (count, key-sum) per op for a stable compare."""
+    o = T(spark, sf, "orders").df
+    a = o.filter("o_orderpriority IN ('1-URGENT', '2-HIGH')").select("o_custkey")
+    b = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    ex = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    it = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return (
+        ex.unionAll(it)
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.sum("o_custkey").alias("key_sum"))
+        .orderBy("op")
+    )
+
+
+ORACLE_SET_OPS = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+u AS (
+  SELECT 'except_all' AS op, o_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+  UNION ALL
+  SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+)
+SELECT op, COUNT(*) AS n, SUM(o_custkey) AS key_sum FROM u GROUP BY op ORDER BY op
+"""
+
+
 def emb_quantize(spark, sf) -> DataFrame:
     """Int8 embedding quantization (operators/similarity.py
     quantize_embeddings) — codes joined to a string for a portable
@@ -2066,6 +2096,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
+    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

@@ -1442,6 +1442,30 @@ def dedup_embedding(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def op_salted_join(spark, sf) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.py salted_join) —
+    results are salt-independent, so the plain-join oracle verifies the
+    skew-mitigation plan end-to-end."""
+    o = T(spark, sf, "orders").df.select("o_custkey", "o_totalprice")
+    c = (
+        T(spark, sf, "customer").df
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    j = joins.salted_join(o, c, on="o_custkey", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(dsum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+SELECT c_mktsegment, COUNT(*) AS n, ROUND({DSUM.format('o_totalprice')}, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def op_set_ops(spark, sf) -> DataFrame:
     """True multiset set operators (beyond-reference — gratum has no
     except/intersect set semantics, SURVEY §2.5): EXCEPT ALL and
@@ -2097,6 +2121,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
+    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

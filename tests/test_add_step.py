@@ -94,3 +94,30 @@ def test_add_step_error_threshold_aborts(spark):
     )
     with pytest.raises(PipelineAbortException):
         p.go()
+
+
+def test_every_public_operator_is_replayed_or_excluded():
+    """prepend_step replays the recorded operator chain; an operator
+    missing from _REPLAYED would be silently DROPPED from the rebuilt
+    plan. Every public Pipeline method must be recorded or in the
+    documented exclusion list (eager actions + replay machinery)."""
+    import inspect
+
+    from gratum_spark import pipeline as P
+
+    eager_or_machinery = {
+        # eager actions: a write/print that already happened can't be replayed
+        "go", "start", "save", "json", "jsonl", "parquet", "print_row",
+        "explain", "rejections_df",
+        # replay machinery / re-rooting (group_by records via GroupedPipeline)
+        "prepend_step", "group_by", "with_row_order",
+    }
+    for name, member in vars(P.Pipeline).items():
+        if name.startswith("_") or not callable(member):
+            continue
+        if isinstance(inspect.getattr_static(P.Pipeline, name), (staticmethod, property)):
+            continue
+        assert name in P._REPLAYED or name in eager_or_machinery, (
+            f"Pipeline.{name} is neither replayed nor excluded — "
+            "prepend_step would drop it from rebuilt plans"
+        )

@@ -846,9 +846,16 @@ class Pipeline:
 
         return self._next(self.df.mapInPandas(_gen, schema))
 
-    def exchange(self, fn: Callable[[dict], DataFrame]) -> "Pipeline":
-        """Per input row, expand into a whole new DataFrame and union all
-        (gratum exchange, Pipeline.groovy:1039-1053).
+    def exchange(self, fn: Callable[[dict], "DataFrame | Pipeline"]) -> "Pipeline":
+        """Per input row, expand into a whole new DataFrame/Pipeline and
+        union all (gratum exchange, Pipeline.groovy:1039-1053).
+
+        The closure may return a DataFrame or a Pipeline (the reference
+        shape — closures return Sources/Pipelines); a returned Pipeline's
+        reject branches merge into this pipeline's accounting, and
+        rejects from steps BEFORE the exchange are preserved — both
+        counted in the final LoadStatistic (reference
+        PipelineTest.groovy:1099-1123 testExchangeRejections).
 
         Driver-side by necessity (each row births a new Spark plan, e.g.
         row -> file path -> spark.read). Keys are collected to the driver:
@@ -857,14 +864,23 @@ class Pipeline:
         lists files directly.
         """
         rows = [r.asDict(recursive=True) for r in self.df.collect()]
-        dfs = [fn(r) for r in rows]
-        dfs = [d for d in dfs if d is not None]
+        dfs: list[DataFrame] = []
+        extra_rejects: list[DataFrame] = []
+        for r in rows:
+            res = fn(r)
+            if res is None:
+                continue
+            if isinstance(res, Pipeline):
+                extra_rejects.extend(res._rejects)
+                dfs.append(res.df)
+            else:
+                dfs.append(res)
         if not dfs:
             raise ValueError("exchange produced no DataFrames")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        return self._next(out)
+        return self._next(out, extra_rejects)
 
     # ------------------------------------------------------------- grouping
 

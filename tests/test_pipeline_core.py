@@ -501,3 +501,36 @@ def test_load_statistic_merge(spark):
     assert s1.rejections_for(RejectionCategory.IGNORE_ROW) == 4
     by_step = s1.rejections_by_step(RejectionCategory.IGNORE_ROW)
     assert by_step == {"f1": 1, "f2": 2, "f3": 1}
+
+
+def test_exchange_counts_rejections_before_and_after(spark, titanic_like=None):
+    # mirrors reference PipelineTest.groovy:1099-1123 testExchangeRejections:
+    # rejects BEFORE the exchange and in steps AFTER it both reach go()
+    from gratum_spark import RejectionCategory, reject, sources
+
+    rows = [
+        {"sex": "female", "ticket": "a1b23"},
+        {"sex": "female", "ticket": "77"},
+        {"sex": "male", "ticket": "999"},
+    ]
+    p = (
+        sources.from_collection(spark, rows, name="ex")
+        .filter({"sex": "female"}, name="females")
+        .exchange(
+            lambda row: sources.from_collection(
+                spark,
+                [{"number": int(ch)} for ch in row["ticket"] if ch.isdigit()],
+                "number long",
+                name="digits",
+            )
+        )
+        .add_step(
+            "small only",
+            lambda row: row if row["number"] <= 5 else reject("too big", RejectionCategory.REJECTION),
+        )
+    )
+    stat = p.go()
+    # digits of 'a1b23' and '77': 1,2,3,7,7 -> 1,2,3 kept; 7,7 rejected
+    assert stat.loaded == 3
+    assert stat.rejections_for(RejectionCategory.IGNORE_ROW) == 1  # the male row
+    assert stat.rejections_for(RejectionCategory.REJECTION) == 2

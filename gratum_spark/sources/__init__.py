@@ -376,10 +376,14 @@ def http(
     max_retries: int = 5,
     reject_non_200: bool = False,
     name: str | None = None,
+    method: str = "GET",
+    body: bytes | str | None = None,
 ) -> Pipeline:
     """HTTP source (reference: OkHttpSource.groovy:44-249): one row
     {url, status, body, json?} with basic/bearer auth, query params, and
     a 429 Retry-After loop capped at MAX_RETRIES=5 (OkHttpSource.groovy:46).
+    ``method``/``body`` cover the verb-based HttpSource variant
+    (HttpSource.groovy:30-143 — POST/PUT/DELETE with a request body).
 
     Driver-side fetch (single URL = single row, like the reference). For
     URL *tables*, use :func:`gratum_spark.operators.http.http_fan_out` which
@@ -401,9 +405,12 @@ def http(
     if bearer:
         req_headers["Authorization"] = f"Bearer {bearer}"
 
+    payload = body.encode("utf-8") if isinstance(body, str) else body
     status, body = 0, ""
     for attempt in range(max_retries + 1):
-        req = urllib.request.Request(url, headers=req_headers)
+        req = urllib.request.Request(
+            url, headers=req_headers, method=method.upper(), data=payload
+        )
         try:
             with urllib.request.urlopen(req, timeout=30) as resp:
                 status, body = resp.status, resp.read().decode("utf-8", "replace")

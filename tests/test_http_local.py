@@ -33,6 +33,11 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", "0"))
+        received = self.rfile.read(n).decode()
+        self._send(200, {"method": "POST", "received": received})
+
     def do_GET(self):
         if self.path.startswith("/echo"):
             self._send(
@@ -94,3 +99,11 @@ def test_http_fan_out_executor_side(spark, server):
     got = {r["i"]: json.loads(r["json"])["n"] for r in out.collect()}
     assert got == {i: i for i in range(20)}
     assert out.filter(F.col("status") == 200).count() == 20
+
+
+def test_http_source_post_body(spark, server):
+    p = sources.http(spark, f"{server}/post", method="POST", body='{"x": 1}')
+    row = p.df.first()
+    assert row["status"] == 200
+    data = json.loads(row["body"])
+    assert data["method"] == "POST" and data["received"] == '{"x": 1}'

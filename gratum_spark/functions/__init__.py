@@ -61,16 +61,22 @@ def shingles(text: Column | str, k: int = 3, sep: str = " ") -> Column:
 def shingles_of_words(word_arr: Column, k: int = 3) -> Column:
     """k-shingles from an already-split word array column.
 
+    Shape: zip k shifted slices of the word array and concat each struct
+    — one interpreted-HOF lambda with k field reads per gram. The
+    previous sequence+element_at form paid index arithmetic plus k
+    array probes per gram and measured ~2x slower cold / 20% warm.
+
     Documents with fewer than k words yield an EMPTY array — the guard
-    matters: sequence(0, n-k) with n<k produces a DESCENDING sequence
-    (Spark auto-negates the step), and element_at(arr, 0) then kills the
-    whole job under ANSI mode."""
+    matters: a negative slice length (n<k) is an ANSI error, and the
+    old descending-sequence form crashed on element_at(arr, 0)."""
     n = F.size(word_arr)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(word_arr, i + F.lit(j + 1)) for j in range(k)]
+    zipped = F.arrays_zip(
+        *[F.slice(word_arr, j + 1, F.greatest(n - F.lit(k) + 1, F.lit(0))) for j in range(k)]
     )
-    return F.when(n >= F.lit(k), F.array_distinct(F.transform(idx, parts))).otherwise(
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 

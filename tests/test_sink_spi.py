@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from gratum_spark import sources
 from gratum_spark.sinks import CsvSink, JsonSink, Sink
 
@@ -70,3 +72,17 @@ def test_csv_sink_quoted(spark, tmp_path):
     text = open(out).read().splitlines()
     assert text[0] == '"firstName","lastName"'
     assert len(text) == 6
+
+
+def test_xlsx_sink_gated_when_openpyxl_missing(spark, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("openpyxl installed; gate not applicable")
+    except ImportError:
+        pass
+    from gratum_spark.sinks import XlsxSink
+
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        sources.from_collection(spark, BANDS, name="bands").save(
+            XlsxSink(str(tmp_path / "b.xlsx"))
+        )

@@ -172,15 +172,48 @@ def json(
     """
     name = name or f"json({path})"
     df = spark.read.option("multiLine", not record_per_line).json(path)
+    if include_root:
+        # the ROOT document as a JSON string, attached before any path
+        # descent (reference: JsonSource.includeRoot — works with or
+        # without path(), JsonSourceTest.groovy:26-64)
+        df = df.withColumn("_root_json", F.to_json(F.struct(*df.columns)))
     if path_expr:
-        if include_root:
-            df = df.withColumn("_root_json", F.to_json(F.struct(*df.columns)))
         for key in path_expr:
             root = ["_root_json"] if include_root else []
             df = df.select(*root, F.explode(F.col(key)).alias("__e__")).select(
                 *root, "__e__.*"
             )
     return Pipeline(_maybe_order(df, ordered), name)
+
+
+def json_text(
+    spark: SparkSession,
+    text: str,
+    path_expr: list[str] | None = None,
+    include_root: bool = False,
+    record_per_line: bool = False,
+    name: str | None = None,
+    ordered: bool = False,
+) -> Pipeline:
+    """JSON from a literal string (reference: ``JsonSource.json(String)``,
+    JsonSourceTest.groovy:26-64) — same semantics as :func:`json` over a
+    file. The text is staged through a temp file so the native reader
+    (and its schema inference) does the parsing."""
+    import tempfile
+
+    suffix = ".jsonl" if record_per_line else ".json"
+    with tempfile.NamedTemporaryFile("w", suffix=suffix, delete=False, encoding="utf-8") as f:
+        if record_per_line:
+            for line in text.strip().splitlines():
+                if line.strip():
+                    f.write(line.strip() + "\n")
+        else:
+            f.write(text)
+        tmp = f.name
+    return json(
+        spark, tmp, path_expr, include_root, record_per_line,
+        name or "json(<string>)", ordered,
+    )
 
 
 def jsonl(spark: SparkSession, path: str, name: str | None = None, ordered: bool = False) -> Pipeline:

@@ -341,3 +341,33 @@ def test_csv_header_callback(tmp_path, spark):
     assert seen == [["a", "b", "c"]]
     stat = p.limit(0, halt=True).go()
     assert stat.loaded == 0
+
+
+def test_json_text_with_path_and_root(spark):
+    # mirrors reference JsonSourceTest.jsonSourceWithPathTest
+    text = '''{"status": 200, "items": [
+        {"name": "Lamp", "price": 30.0, "color": ["white", "black", "red"]},
+        {"name": "Desk", "price": 90.0, "color": ["oak", "pine"]},
+        {"name": "Chair", "price": 125.0, "color": ["gray", "black"]}]}'''
+    p = sources.json_text(spark, text, path_expr=["items"], include_root=True)
+    rows = p.df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["_root_json"] and len(r["color"]) > 0
+    assert {r["name"] for r in rows} == {"Lamp", "Desk", "Chair"}
+
+
+def test_json_text_record_per_line_include_root(spark):
+    # mirrors reference JsonSourceTest.parseRecordPerJson: includeRoot
+    # WITHOUT a path must still attach _root_json
+    text = '''
+        {"firstName": "Bob", "lastName": "Smith", "age": 41}
+        {"firstName": "Don", "lastName": "Johnson", "age": 64}
+        {"firstName": "Rick", "lastName": "Richards", "age": 72}
+        {"firstName": "Frank", "lastName": "Kilgore", "age": 22}
+    '''
+    p = sources.json_text(spark, text, include_root=True, record_per_line=True)
+    stat = p.go()
+    assert stat.loaded == 4 and stat.rejected == 0
+    for r in p.df.collect():
+        assert r["_root_json"] and r["firstName"] and r["age"]

@@ -49,7 +49,16 @@ class LocalConcurrentContext:
         self._collect = fn
         return self
 
-    def connect(self, pipeline: Pipeline) -> Pipeline:
+    def connect(self, pipeline: Pipeline | None = None):
+        """Wire spread+collect onto a pipeline. Two forms, matching the
+        reference's usage (LocalConcurrentContextTest.groovy:21-43):
+
+        * ``ctx.connect(pipeline)`` — apply directly;
+        * ``pipeline.apply(ctx.spread(f).collect(g).connect())`` — no-arg
+          form returns the Pipeline -> Pipeline callable for ``apply``.
+        """
+        if pipeline is None:
+            return lambda p: self.connect(p)
         p = pipeline
         if self._spread is not None:
             p = self._spread(p._next(p.df.repartition(self.workers)))

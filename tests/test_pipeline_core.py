@@ -534,3 +534,22 @@ def test_exchange_counts_rejections_before_and_after(spark, titanic_like=None):
     assert stat.loaded == 3
     assert stat.rejections_for(RejectionCategory.IGNORE_ROW) == 1  # the male row
     assert stat.rejections_for(RejectionCategory.REJECTION) == 2
+
+
+def test_concurrent_context_apply_connect_form(spark):
+    # reference usage: pipeline.apply(ctx.spread{..}.collect{..}.connect())
+    # with spread-side rejections counted in the final stats
+    # (LocalConcurrentContextTest.groovy:45-68)
+    from pyspark.sql import functions as F
+
+    from gratum_spark import LocalConcurrentContext, sources
+
+    rows = [{"sex": "female"}] * 3 + [{"sex": "male"}] * 2
+    ctx = (
+        LocalConcurrentContext(4, 50)
+        .spread(lambda p: p.filter({"sex": "female"}, name="Only Females"))
+        .collect(lambda p: p.add_field("collected", F.lit(True)))
+    )
+    stat = sources.from_collection(spark, rows, name="cc").apply(ctx.connect()).go()
+    assert stat.loaded == 3
+    assert stat.rejected == 2

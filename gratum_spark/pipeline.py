@@ -675,11 +675,25 @@ class Pipeline:
 
     # -------------------------------------------------- stateful / reshaping
 
-    def sort(self, *columns: str | tuple[str, str]) -> "Pipeline":
+    def sort(
+        self,
+        *columns: str | tuple[str, str],
+        downstream: bool = True,
+        after_file: Callable[[str], Any] | None = None,
+        file: str | None = None,
+    ) -> "Pipeline":
         """Order by columns; tuple ('col','desc') for descending
         (Pipeline.groovy:650-654, 587-642). Spark's UnsafeExternalSorter
         subsumes gratum's external merge sort; SortConfig paging knobs are
-        accepted and ignored by design.
+        accepted and ignored by design. Arbitrary comparator closures
+        don't distribute — sorting is key-based (the reference's own
+        tests compare keys).
+
+        SortConfig's sort-to-file workflow (Pipeline.groovy:587-642,
+        PipelineTest.groovy:549-598): pass ``after_file`` (and optionally
+        ``file``) to write the sorted rows as a single CSV and receive
+        its path; ``downstream=False`` additionally stops rows from
+        flowing to later steps — the sorted file is the only output.
 
         The reference's in-memory sort is STABLE (Groovy list sort);
         Spark's distributed sort is not — so when the pipeline carries a
@@ -694,7 +708,23 @@ class Pipeline:
                 exprs.append(F.col(c).asc())
         if ROW_ORDER in self.df.columns:
             exprs.append(F.col(ROW_ORDER).asc())
-        return self._next(self.df.orderBy(*exprs))
+        ordered = self.df.orderBy(*exprs)
+        if after_file is not None or file is not None or not downstream:
+            import tempfile
+
+            from .sinks import write_single_csv
+
+            path = file
+            if path is None:
+                tmp = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
+                tmp.close()
+                path = tmp.name
+            write_single_csv(ordered.drop(ROW_ORDER) if ROW_ORDER in ordered.columns else ordered, path)
+            if after_file is not None:
+                after_file(path)
+            if not downstream:
+                return self._next(ordered.limit(0))
+        return self._next(ordered)
 
     def _fill_updates(self, w: Any, skip: Iterable[str]) -> dict:
         """last-non-falsy-over-window fill expressions for every payload

@@ -553,3 +553,28 @@ def test_concurrent_context_apply_connect_form(spark):
     stat = sources.from_collection(spark, rows, name="cc").apply(ctx.connect()).go()
     assert stat.loaded == 3
     assert stat.rejected == 2
+
+
+def test_sort_to_file_without_downstream(spark, tmp_path):
+    # mirrors reference testSortExternalWithoutDownstream
+    # (PipelineTest.groovy:549-598): sorted CSV lands in the file, the
+    # after hook fires, and NO rows flow to later steps
+    import csv as _csv
+
+    from gratum_spark import sources
+
+    rows = [{"hobby": h} for h in ["zx", "aa", "mm"] * 200]
+    seen_files = []
+    hit_downstream = []
+    p = (
+        sources.from_collection(spark, rows, name="hob", ordered=True)
+        .sort("hobby", downstream=False, after_file=seen_files.append,
+              file=str(tmp_path / "sorted.csv"))
+        .add_step("never", lambda r: hit_downstream.append(r) or r)
+    )
+    stat = p.go()
+    assert stat.loaded == 0 and not hit_downstream
+    assert seen_files == [str(tmp_path / "sorted.csv")]
+    with open(seen_files[0]) as f:
+        data = [r["hobby"] for r in _csv.DictReader(f)]
+    assert len(data) == 600 and data == sorted(data)

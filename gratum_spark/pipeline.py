@@ -126,16 +126,23 @@ class Pipeline:
         # maintained by the _REPLAYED wrappers at module bottom.
         self._origin: "Pipeline | None" = None
         self._ops: list[tuple[str, tuple, dict]] = []
+        # post-save result pipelines report the PARENT's loaded count
+        # (reference: save() result rows are DO_NOT_TRACK,
+        # Pipeline.groovy:833-844; asserted by PipelineTest.testSave) —
+        # go() counts this DataFrame instead of self.df when set.
+        self._count_source: DataFrame | None = None
 
     # ------------------------------------------------------------------ infra
 
     def _next(self, df: DataFrame, rejects: list[DataFrame] | None = None) -> "Pipeline":
-        return Pipeline(
+        out = Pipeline(
             df,
             self.name,
             self._rejects + list(rejects or []),
             {k: list(v) for k, v in self._hooks.items()},
         )
+        out._count_source = self._count_source
+        return out
 
     def _split(
         self,
@@ -1150,7 +1157,8 @@ class Pipeline:
         SURVEY §3.3 without a second scan of the kept rows for counting.
         """
         start = now_ms()
-        kept_tags = self.df.select(
+        counted = self._count_source if self._count_source is not None else self.df
+        kept_tags = counted.select(
             F.lit("__kept__").alias(REJECT_CATEGORY), F.lit("").alias(REJECT_STEP)
         )
         counts_df = kept_tags
@@ -1230,7 +1238,9 @@ class Pipeline:
             payload = sink.result() or {"sink": sink.name}
             result = self.spark.createDataFrame([tuple(payload.values())],
                                                 list(payload.keys()))
-            return Pipeline(result, sink.name, self._rejects, self._hooks)
+            out = Pipeline(result, sink.name, self._rejects, self._hooks)
+            out._count_source = self._count_source if self._count_source is not None else self.df
+            return out
         (
             self._clean_df(columns)
             .write.mode("overwrite")
@@ -1240,7 +1250,9 @@ class Pipeline:
             .csv(path)
         )
         result = self.spark.createDataFrame([(path,)], "filename string")
-        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out._count_source = self._count_source if self._count_source is not None else self.df
+        return out
 
     def json(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
         """JSON-array sink (sink/JsonSink.groovy:9-83) — written as JSONL
@@ -1248,7 +1260,9 @@ class Pipeline:
         single-file array form."""
         self._clean_df(columns).write.mode("overwrite").json(path)
         result = self.spark.createDataFrame([(path,)], "filename string")
-        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out._count_source = self._count_source if self._count_source is not None else self.df
+        return out
 
     def jsonl(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
         """JSONL sink (Pipeline.groovy:864-877) — native Spark json writer."""
@@ -1262,7 +1276,9 @@ class Pipeline:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         result = self.spark.createDataFrame([(path,)], "filename string")
-        return Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        out._count_source = self._count_source if self._count_source is not None else self.df
+        return out
 
     # ------------------------------------------------------------ debugging
 

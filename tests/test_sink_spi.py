@@ -86,3 +86,16 @@ def test_xlsx_sink_gated_when_openpyxl_missing(spark, tmp_path):
         sources.from_collection(spark, BANDS, name="bands").save(
             XlsxSink(str(tmp_path / "b.xlsx"))
         )
+
+
+def test_save_result_pipeline_reports_parent_loaded(spark, tmp_path):
+    # reference PipelineTest.testSave: go() after save() counts the SAVED
+    # rows, not the 1-row result (result rows are DO_NOT_TRACK)
+    p = sources.from_collection(spark, BANDS, name="bands").save(
+        str(tmp_path / "out_csv")
+    )
+    assert len(p.df.collect()) == 1  # downstream sees the result row
+    stat = p.go()
+    assert stat.loaded == 5
+    s2 = sources.from_collection(spark, BANDS, name="bands").save(CollectingSink()).go()
+    assert s2.loaded == 5

@@ -51,6 +51,13 @@ HEADLINE = [
     "text_top_terms",
     "text_contamination",
     "pipeline_curation",
+    # added r3: the operators rotated into the driver window this round
+    "text_redact_pii",
+    "text_repetition",
+    "multimodal_audio",
+    "dedup_minhash_verified",
+    "emb_quantize",
+    "op_salted_join",
 ]
 
 

@@ -63,6 +63,26 @@ def exact_dedup_rejects(
     )
 
 
+def derive_banding(n_hashes: int, threshold: float, max_miss: float = 1e-3) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) with bands*rows == n_hashes such that
+    the probability of MISSING a pair at exactly ``threshold`` Jaccard,
+    (1 - t^rows)^bands, is <= max_miss — using the largest rows (fewest
+    false candidates) that still meets it.
+
+    Rationale (r2 advice): a fixed 16x4 banding has only ~64% recall at
+    j=0.5, so an oracle that enumerates ALL pairs >= 0.5 catches the
+    missed tail. 64 hashes at t=0.5 derive to 32x2 (miss ~1e-4 at the
+    threshold, ~4e-10 by j=0.7); t=0.8 derives to 16x4.
+    """
+    for rows in range(n_hashes, 0, -1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        if (1.0 - threshold ** rows) ** bands <= max_miss:
+            return bands, rows
+    return n_hashes, 1
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -170,7 +190,7 @@ def minhash_verified_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """The production near-dup shape: MinHash-LSH candidate generation +
@@ -179,13 +199,19 @@ def minhash_verified_pairs(
     Unlike ngram_jaccard_pairs (exact over ALL co-shingled pairs — the
     inverted-index blowup), this verifies O(candidates) pairs: every
     LSH candidate re-joins its two shingle sets and computes exact
-    |A∩B|/|A∪B| with array expressions. At near-dup thresholds banded
-    LSH recall is effectively 1 (16 bands of 4: misses a j=0.9 pair
-    with p≈3e-8), so the verified output equals the full exact
-    enumeration — which is what makes this hash-based plan
-    oracle-checkable — while scaling as candidates, not pairs.
+    |A∩B|/|A∪B| with array expressions. Banding is DERIVED from the
+    verify threshold (bands=None) so the miss probability at exactly
+    j=threshold is <=1e-3 — a fixed 16x4 banding has only ~64% recall
+    at j=0.5 and would drop borderline pairs the oracle enumerates;
+    t=0.5 derives to 32 bands of 2 (miss ~1e-4 at the threshold,
+    ~4e-10 by j=0.7). With recall pinned this way the verified output
+    equals the full exact enumeration — which is what makes this
+    hash-based plan oracle-checkable — while scaling as candidates,
+    not pairs.
     Returns (a, b, jaccard) with exact jaccard >= threshold.
     """
+    if bands is None:
+        bands, _ = derive_banding(n_hashes, threshold)
     cands = minhash_lsh_pairs(
         df, id_col, text_col, shingle_k, n_hashes, bands,
         threshold=0.0,  # verify every candidate exactly; no estimate cut

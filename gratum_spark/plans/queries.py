@@ -417,7 +417,7 @@ def op_coerce(spark, sf) -> DataFrame:
 
 ORACLE_COERCE = f"""
 SELECT event_type, value > 5 AS big, COUNT(*) AS n,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        {DSUM.format('value')} AS sum_v
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -510,7 +510,7 @@ def op_flatten_window(spark, sf) -> DataFrame:
 
 
 ORACLE_FLATTEN = """
-SELECT user_id, SUM(chg) AS n_runs, COUNT(*) AS n_events FROM (
+SELECT user_id, CAST(SUM(chg) AS BIGINT) AS n_runs, COUNT(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) <> event_type
@@ -536,7 +536,7 @@ def op_sessionize(spark, sf) -> DataFrame:
 
 
 ORACLE_SESSIONIZE = """
-SELECT user_id, SUM(ns) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
@@ -1492,7 +1492,7 @@ u AS (
   UNION ALL
   SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
 )
-SELECT op, COUNT(*) AS n, SUM(o_custkey) AS key_sum FROM u GROUP BY op ORDER BY op
+SELECT op, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum FROM u GROUP BY op ORDER BY op
 """
 
 
@@ -1583,7 +1583,7 @@ def op_json_extract(spark, sf) -> DataFrame:
 ORACLE_JSON_EXTRACT = """
 SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1646,7 +1646,7 @@ WITH q AS (
 SELECT lang,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
             THEN 'train' ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM kept GROUP BY lang, split ORDER BY lang, split
 """
 
@@ -1900,7 +1900,7 @@ WITH pw AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(c) AS n_words,
+       CAST(SUM(c) AS BIGINT) AS n_words,
        COUNT(*) AS distinct_words,
        CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_word_frac,
        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
@@ -2064,15 +2064,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     # -- core operator representatives (green in r1, kept in-window)
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
-    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_inject": (op_inject, ORACLE_INJECT),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
@@ -2080,7 +2077,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
     "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_coerce": (op_coerce, ORACLE_COERCE),
@@ -2088,14 +2084,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
-    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
-    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
-    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
-    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     # -- LLM-data-pipeline queries (past the r1 window, never driver-checked)
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
@@ -2112,8 +2104,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    # ---- 50-entry driver window boundary ----
-    # -- new this round (oracle-backed; rotate into the window next round)
+    # -- rotated into the window in r3 (oracle-backed, first driver check)
     "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "text_repetition": (text_repetition, ORACLE_REPETITION),
@@ -2122,6 +2113,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    # ---- 50-entry driver window boundary ----
+    # -- rotated out in r3 (r1/r2 driver-green twice; family stays in-window:
+    #    filter via op_filter_map, set-membership via op_set_ops, fold via
+    #    op_udaf_pandas, windows via op_window_rank/op_tumbling_window,
+    #    distinct via op_approx_distinct, streaming via the 3 stream_* rows)
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
+    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
+    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
+    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
+    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

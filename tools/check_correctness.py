@@ -48,6 +48,18 @@ def compare(name: str, sdf_pd: pd.DataFrame, odf_pd: pd.DataFrame) -> list[str]:
         problems.append(f"rowcount: spark={len(sdf_pd)} oracle={len(odf_pd)}")
         return problems
     a, b = normalize(sdf_pd), normalize(odf_pd)
+    # The driver's hash is serialization-based: int64 123 vs float64 123.0
+    # can never match even when values are ==-equal.  Mirror that here by
+    # requiring identical post-normalize dtypes (r2 lesson: DuckDB returns
+    # SUM(<int>) as HUGEINT -> pandas float64, Spark sum(long) -> int64).
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(
+                f"dtype[{c}]: spark={a[c].dtype} oracle={b[c].dtype}"
+                " (would hash-mismatch in driver even if values are equal)"
+            )
+    if problems:
+        return problems
     for c in a.columns:
         col_a, col_b = a[c].tolist(), b[c].tolist()
         bad = [

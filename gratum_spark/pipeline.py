@@ -128,9 +128,16 @@ class Pipeline:
         self._ops: list[tuple[str, tuple, dict]] = []
         # post-save result pipelines report the PARENT's loaded count
         # (reference: save() result rows are DO_NOT_TRACK,
-        # Pipeline.groovy:833-844; asserted by PipelineTest.testSave) —
-        # go() counts this DataFrame instead of self.df when set.
+        # Pipeline.groovy:833-844; asserted by PipelineTest.testSave).
+        # File saves capture the count from an Observation attached to
+        # the write itself (no second execution of the parent plan) into
+        # _loaded_override; the Sink SPI path (arbitrary user attach())
+        # keeps a DataFrame to count at go(). NEITHER survives _next —
+        # any operator applied to a result pipeline counts its own rows
+        # (p.save(x).filter(...).go() reports the filtered count, not
+        # the parent's).
         self._count_source: DataFrame | None = None
+        self._loaded_override: int | None = None
 
     # ------------------------------------------------------------------ infra
 
@@ -141,7 +148,6 @@ class Pipeline:
             self._rejects + list(rejects or []),
             {k: list(v) for k, v in self._hooks.items()},
         )
-        out._count_source = self._count_source
         return out
 
     def _split(
@@ -449,21 +455,37 @@ class Pipeline:
         return self._next(kept, [rejected])
 
     def _infer_step_fields(self, fn: Callable[[dict], Any]) -> list:
-        """Schema inference for add_step: run the closure on one sampled
-        row. Retained keys keep their input StructField; added keys get a
-        type from the Python value. Any failure (empty source, closure
-        raised/rejected the sample, non-dict return) falls back to the
-        input schema unchanged."""
+        """Schema inference for add_step: run the closure on a few sampled
+        rows and use the first plain-dict result. Retained keys keep their
+        input StructField; added keys get a type from the Python value.
+        If every probe row rejects/raises/returns non-dict (or the source
+        is empty), falls back to the input schema unchanged — with a
+        warning, because downstream references to columns the step would
+        have added then fail with an unrelated AnalysisException; pass an
+        explicit ``schema=`` to add_step to avoid sampling entirely."""
+        import warnings
+
         base = [f for f in self.df.schema.fields if f.name != ROW_ORDER]
+        probe = self.df.drop(ROW_ORDER) if ROW_ORDER in self.df.columns else self.df
+        res = None
         try:
-            probe = self.df.drop(ROW_ORDER) if ROW_ORDER in self.df.columns else self.df
-            sample = probe.limit(1).collect()
-            if not sample:
-                return base
-            res = fn(sample[0].asDict(recursive=True))
-        except Exception:  # noqa: BLE001 - inference is best-effort
-            return base
-        if not isinstance(res, dict):
+            for sample in probe.limit(5).collect():
+                try:
+                    r = fn(sample.asDict(recursive=True))
+                except Exception:  # noqa: BLE001 - inference is best-effort
+                    continue
+                if isinstance(r, dict):
+                    res = r
+                    break
+        except Exception:  # noqa: BLE001 - probe collect itself failed
+            pass
+        if res is None:
+            warnings.warn(
+                "add_step schema inference fell back to the unchanged input "
+                "schema (no sampled row produced a dict result); pass "
+                "schema=... to add_step if the step adds columns",
+                stacklevel=3,
+            )
             return base
         by_name = {f.name: f for f in base}
         fields = [by_name[f.name] for f in base if f.name in res]
@@ -726,11 +748,22 @@ class Pipeline:
                 tmp = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
                 tmp.close()
                 path = tmp.name
-            write_single_csv(ordered.drop(ROW_ORDER) if ROW_ORDER in ordered.columns else ordered, path)
-            if after_file is not None:
-                after_file(path)
-            if not downstream:
-                return self._next(ordered.limit(0))
+            clean = ordered.drop(ROW_ORDER) if ROW_ORDER in ordered.columns else ordered
+
+            # DEFERRED to go()/start() like the reference, where SortConfig
+            # output is produced during execution — not at plan-build time.
+            # Deferral also makes prepend_step replay safe: only the
+            # pipeline that actually runs writes the file / fires
+            # after_file, exactly once per action.
+            def _write_sorted(_df=clean, _path=path, _cb=after_file):
+                write_single_csv(_df, _path)
+                if _cb is not None:
+                    _cb(_path)
+
+            out = self._next(ordered.limit(0) if not downstream else ordered)
+            out._hooks.setdefault("deferred", [])
+            out._hooks["deferred"] = list(out._hooks["deferred"]) + [_write_sorted]
+            return out
         return self._next(ordered)
 
     def _fill_updates(self, w: Any, skip: Iterable[str]) -> dict:
@@ -1157,23 +1190,30 @@ class Pipeline:
         SURVEY §3.3 without a second scan of the kept rows for counting.
         """
         start = now_ms()
-        counted = self._count_source if self._count_source is not None else self.df
-        kept_tags = counted.select(
-            F.lit("__kept__").alias(REJECT_CATEGORY), F.lit("").alias(REJECT_STEP)
-        )
-        counts_df = kept_tags
-        if self._rejects:
-            for r in self._rejects:
-                counts_df = counts_df.unionAll(r.select(REJECT_CATEGORY, REJECT_STEP))
+        self._run_deferred()
         loaded = 0
         rejections: dict[str, dict[str, int]] = {}
-        for row in counts_df.groupBy(REJECT_CATEGORY, REJECT_STEP).count().collect():
-            if row[REJECT_CATEGORY] == "__kept__":
-                loaded = row["count"]
-            else:
-                rejections.setdefault(row[REJECT_CATEGORY], {})[row[REJECT_STEP]] = row[
-                    "count"
-                ]
+        if self._loaded_override is not None:
+            # a file save already counted its written rows via Observation —
+            # don't execute anything again for the kept-row count
+            loaded = self._loaded_override
+            counts_df = None
+        else:
+            counted = self._count_source if self._count_source is not None else self.df
+            counts_df = counted.select(
+                F.lit("__kept__").alias(REJECT_CATEGORY), F.lit("").alias(REJECT_STEP)
+            )
+        for r in self._rejects:
+            tags = r.select(REJECT_CATEGORY, REJECT_STEP)
+            counts_df = tags if counts_df is None else counts_df.unionAll(tags)
+        if counts_df is not None:
+            for row in counts_df.groupBy(REJECT_CATEGORY, REJECT_STEP).count().collect():
+                if row[REJECT_CATEGORY] == "__kept__":
+                    loaded = row["count"]
+                else:
+                    rejections.setdefault(row[REJECT_CATEGORY], {})[row[REJECT_STEP]] = row[
+                        "count"
+                    ]
         if loaded == 0:
             from .rejections import MAX_ERROR_THRESHOLD, PipelineAbortException
 
@@ -1203,8 +1243,16 @@ class Pipeline:
     def start(self) -> None:
         """Execute without stats (Pipeline.groovy:1318-1324): noop-write the
         full plan — runs every operator, collects nothing to the driver."""
+        self._run_deferred()
         self.df.write.format("noop").mode("overwrite").save()
         self._report_progress()
+
+    def _run_deferred(self) -> None:
+        """Side-effecting steps registered at plan-build time (sort-to-file)
+        execute here, when an action runs — mirroring the reference, where
+        SortConfig writes its file during pipeline execution."""
+        for fn in self._hooks.get("deferred", []):
+            fn()
 
     # ------------------------------------------------------------- outputs
 
@@ -1213,6 +1261,30 @@ class Pipeline:
         if columns:
             df = df.select(*columns)
         return df
+
+    def _observed_for_save(self, columns: Iterable[str] | None = None):
+        """The outgoing write plan plus an Observation riding on it, so the
+        saved-row count is a byproduct of the write — go() on the result
+        pipeline never re-executes the parent plan just to count."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return (
+            self._clean_df(columns).observe(obs, F.count(F.lit(1)).alias("rows")),
+            obs,
+        )
+
+    def _save_result(self, path: str, obs) -> "Pipeline":
+        result = self.spark.createDataFrame([(path,)], "filename string")
+        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
+        if self._loaded_override is not None:
+            # chained saves keep reporting the ORIGINAL parent's count
+            out._loaded_override = self._loaded_override
+        elif self._count_source is not None:
+            out._count_source = self._count_source
+        else:
+            out._loaded_override = int(obs.get["rows"])
+        return out
 
     def save(
         self,
@@ -1239,30 +1311,31 @@ class Pipeline:
             result = self.spark.createDataFrame([tuple(payload.values())],
                                                 list(payload.keys()))
             out = Pipeline(result, sink.name, self._rejects, self._hooks)
-            out._count_source = self._count_source if self._count_source is not None else self.df
+            # arbitrary user attach() — the consumed count isn't observable
+            # from out here, so go() counts the parent plan (documented cost)
+            out._loaded_override = self._loaded_override
+            if out._loaded_override is None:
+                out._count_source = (
+                    self._count_source if self._count_source is not None else self.df
+                )
             return out
+        df, obs = self._observed_for_save(columns)
         (
-            self._clean_df(columns)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .option("header", header)
             .option("sep", separator)
             .option("quoteAll", quote_all)
             .csv(path)
         )
-        result = self.spark.createDataFrame([(path,)], "filename string")
-        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
-        out._count_source = self._count_source if self._count_source is not None else self.df
-        return out
+        return self._save_result(path, obs)
 
     def json(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
         """JSON-array sink (sink/JsonSink.groovy:9-83) — written as JSONL
         directory (the scalable form); see sinks.write_json_array for the
         single-file array form."""
-        self._clean_df(columns).write.mode("overwrite").json(path)
-        result = self.spark.createDataFrame([(path,)], "filename string")
-        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
-        out._count_source = self._count_source if self._count_source is not None else self.df
-        return out
+        df, obs = self._observed_for_save(columns)
+        df.write.mode("overwrite").json(path)
+        return self._save_result(path, obs)
 
     def jsonl(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
         """JSONL sink (Pipeline.groovy:864-877) — native Spark json writer."""
@@ -1271,14 +1344,12 @@ class Pipeline:
     def parquet(self, path: str, partition_by: Iterable[str] | None = None) -> "Pipeline":
         """Parquet sink — the 100 TB-native output format (columnar,
         predicate-pushdown-able, splittable)."""
-        w = self._clean_df().write.mode("overwrite")
+        df, obs = self._observed_for_save()
+        w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        result = self.spark.createDataFrame([(path,)], "filename string")
-        out = Pipeline(result, f"{self.name}-saved", self._rejects, self._hooks)
-        out._count_source = self._count_source if self._count_source is not None else self.df
-        return out
+        return self._save_result(path, obs)
 
     # ------------------------------------------------------------ debugging
 

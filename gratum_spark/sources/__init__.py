@@ -108,22 +108,34 @@ def csv(
             columns = first.split(separator)
         assert columns, "escaping=False needs header row or explicit columns"
         if header:
-            # drop the header row POSITIONALLY, per file: the row holding
-            # each file's minimum monotonically_increasing_id is its first
-            # line (scan partitions are ordered by file offset). A value
-            # match on the first column would also delete legitimate data
-            # rows that happen to equal the column name.
+            # drop the header row POSITIONALLY, per file, anchored on FILE
+            # OFFSET: the header is the first read-order row of the block
+            # that starts at offset 0 (_metadata.file_block_start == 0). A
+            # global min(monotonically_increasing_id) per file is NOT safe
+            # — mii ordering across the splits of one file depends on
+            # FilePartition bin-packing, so another split can sort ahead
+            # and a legitimate data row would be dropped instead. Within
+            # block 0 itself min(mii) is exact: a block is read by one
+            # task, where mii is monotonic in read order. A value match on
+            # the first column would also delete legitimate data rows that
+            # happen to equal the column name.
             lines = lines.withColumns(
                 {
                     "__file__": F.col("_metadata.file_path"),
+                    "__bstart__": F.col("_metadata.file_block_start"),
                     "__mii__": F.monotonically_increasing_id(),
                 }
             )
-            first_per_file = Window.partitionBy("__file__")
+            per_file = Window.partitionBy("__file__")
+            first_in_block0 = F.min(
+                F.when(F.col("__bstart__") == 0, F.col("__mii__"))
+            ).over(per_file)
             lines = (
-                lines.withColumn("__first__", F.min("__mii__").over(first_per_file))
-                .filter(F.col("__mii__") != F.col("__first__"))
-                .drop("__file__", "__mii__", "__first__")
+                lines.withColumn("__first__", first_in_block0)
+                .filter(
+                    (F.col("__bstart__") != 0) | (F.col("__mii__") != F.col("__first__"))
+                )
+                .drop("__file__", "__bstart__", "__mii__", "__first__")
             )
         df = lines.select(
             *[parts.getItem(i).alias(c) for i, c in enumerate(columns)]

@@ -371,3 +371,58 @@ def test_json_text_record_per_line_include_root(spark):
     assert stat.loaded == 4 and stat.rejected == 0
     for r in p.df.collect():
         assert r["_root_json"] and r["firstName"] and r["age"]
+
+
+# --------------------------------------------- r3 advice regression tests
+
+def test_save_count_from_write_not_reexecution(tmp_path, spark):
+    # the saved-row count must come from the write itself (Observation),
+    # not a second execution of the parent plan: with a nondeterministic
+    # source a recount would disagree with what was written
+    import random
+
+    from pyspark.sql import functions as F
+
+    base = sources.from_collection(
+        spark, [{"id": i} for i in range(100)], name="nd"
+    )
+    seed = random.randint(0, 1 << 30)
+    nd = base.filter(F.rand(seed) < 0.5, name="coin")
+    result = nd.save(str(tmp_path / "nd_csv"))
+    written = len(sources.csv(spark, str(tmp_path / "nd_csv")).df.collect())
+    assert result.go().loaded == written
+
+
+def test_save_result_operators_count_their_own_rows(tmp_path, people, spark):
+    # p.save(x).filter(...).go() reports the FILTERED count, not the
+    # parent's pre-save count (r2 advice: _count_source leaked through
+    # _next to every derived pipeline)
+    path = str(tmp_path / "ppl_csv")
+    result = people.save(path)
+    assert result.go().loaded == 5  # immediate result: parent's count
+    derived = result.filter({"filename": "nope"}, name="none")
+    assert derived.go().loaded == 0
+    kept = result.filter({"filename": path}, name="all")
+    assert kept.go().loaded == 1  # its own single result row
+
+
+def test_csv_escaping_off_header_drop_across_splits(tmp_path, spark):
+    # header drop is anchored on file offset (block start 0), so it stays
+    # exact when one file splits into many read tasks (r2 advice: min(mii)
+    # per file depends on FilePartition bin-packing)
+    f = tmp_path / "wide.csv"
+    rows = "\n".join(f'r{i}|x{i}' for i in range(5000))
+    f.write_text("a|b\n" + rows + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        # the raw scan really splits into multiple read tasks (the window
+        # that finds the header collapses partitions downstream, so check
+        # the scan itself, not p.df)
+        assert spark.read.text(str(f)).rdd.getNumPartitions() > 1
+        p = sources.csv(spark, str(f), separator="|", escaping=False)
+        got = p.df.collect()
+        assert len(got) == 5000  # exactly the header dropped
+        assert {r["a"] for r in got} == {f"r{i}" for i in range(5000)}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

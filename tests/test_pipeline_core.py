@@ -578,3 +578,62 @@ def test_sort_to_file_without_downstream(spark, tmp_path):
     with open(seen_files[0]) as f:
         data = [r["hobby"] for r in _csv.DictReader(f)]
     assert len(data) == 600 and data == sorted(data)
+
+
+def test_sort_to_file_deferred_until_action(spark, tmp_path):
+    # r2 advice: SortConfig output is produced during execution in the
+    # reference — the file must NOT exist at plan-build time, only after
+    # go()/start(); replay via prepend_step must not double-fire after_file
+    from gratum_spark import sources
+
+    target = tmp_path / "deferred.csv"
+    fired = []
+    p = (
+        sources.from_collection(spark, [{"v": 3}, {"v": 1}, {"v": 2}], name="d", ordered=True)
+        .sort("v", file=str(target), after_file=fired.append)
+    )
+    assert not target.exists() and fired == []
+    stat = p.go()
+    assert stat.loaded == 3
+    assert target.exists() and fired == [str(target)]
+
+    fired.clear()
+    target.unlink()
+    p2 = p.prepend_step("bump", lambda r: {**r, "v": r["v"] + 10})
+    assert not target.exists() and fired == []  # replay didn't write eagerly
+    p2.start()
+    assert target.exists() and fired == [str(target)]
+    import csv as _csv
+
+    with open(target) as fh:
+        vals = [int(r["v"]) for r in _csv.DictReader(fh)]
+    assert vals == [11, 12, 13]
+
+
+def test_add_step_inference_skips_rejecting_probe_rows(spark):
+    # r2 advice: inference probed exactly one row; a rejecting first row
+    # silently fell back to the input schema and downstream column refs
+    # exploded. Now up to 5 rows are probed.
+    from gratum_spark import rejections, sources
+
+    rows = [{"v": -1}, {"v": -2}, {"v": 7}]
+    p = (
+        sources.from_collection(spark, rows, name="probe", ordered=True)
+        .add_step("derive", lambda r: rejections.reject("neg") if r["v"] < 0
+                  else {**r, "double": r["v"] * 2})
+        .filter({"double": 14}, name="sel")
+    )
+    got = p.df.collect()
+    assert len(got) == 1 and got[0]["double"] == 14
+
+
+def test_add_step_inference_fallback_warns(spark):
+    import warnings
+
+    from gratum_spark import sources
+
+    p = sources.from_collection(spark, [{"v": 1}], name="w")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p.add_step("bad", lambda r: None)  # every probe row rejects
+    assert any("schema inference fell back" in str(w.message) for w in caught)

@@ -83,34 +83,17 @@ def derive_banding(n_hashes: int, threshold: float, max_miss: float = 1e-3) -> t
     return n_hashes, 1
 
 
-def minhash_lsh_pairs(
+def _lsh_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 3,
-    n_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
-    n_partitions: int | None = None,
-) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash + LSH banding.
-
-    Plan shape (all joins are equality joins — no cross product):
-      1. signature: n_hashes expression-only min-hashes per doc (no UDF);
-      2. banding: explode signature into ``bands`` (band_id, band_hash)
-         rows — band_hash is xxhash64 over the band's slice;
-      3. bucket join: self-join on (band_id, band_hash) with id<id —
-         shuffle keyed on the 16-byte band key; docs agreeing on any
-         band meet in exactly one shuffle partition;
-      4. estimate: distinct pairs re-joined to signatures; estimated
-         Jaccard = fraction of matching signature positions; filter by
-         threshold.
-
-    At 100 TB: stage 3's key cardinality ≈ n_docs × bands, uniformly
-    hashed — no skew by construction unless many docs are *identical*
-    (run exact_dedup first, which is cheaper anyway).
-    Returns (a, b, est_jaccard) with a < b.
-    """
+    shingle_k: int,
+    n_hashes: int,
+    bands: int,
+    n_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH candidate stage: (checkpointed signatures, distinct
+    candidate (a, b) pairs). See minhash_lsh_pairs for the plan shape."""
     rows_per_band = n_hashes // bands
     if n_partitions:
         # signature computation is the CPU-heavy stage; when the input
@@ -167,6 +150,40 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    return sig, pairs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape (all joins are equality joins — no cross product):
+      1. signature: n_hashes expression-only min-hashes per doc (no UDF);
+      2. banding: explode signature into ``bands`` (band_id, band_hash)
+         rows — band_hash is xxhash64 over the band's slice;
+      3. bucket join: self-join on (band_id, band_hash) with id<id —
+         shuffle keyed on the 16-byte band key; docs agreeing on any
+         band meet in exactly one shuffle partition;
+      4. estimate: distinct pairs re-joined to signatures; estimated
+         Jaccard = fraction of matching signature positions; filter by
+         threshold.
+
+    At 100 TB: stage 3's key cardinality ≈ n_docs × bands, uniformly
+    hashed — no skew by construction unless many docs are *identical*
+    (run exact_dedup first, which is cheaper anyway).
+    Returns (a, b, est_jaccard) with a < b.
+    """
+    sig, pairs = _lsh_candidates(
+        df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+    )
     sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     matches = F.size(
@@ -212,11 +229,12 @@ def minhash_verified_pairs(
     """
     if bands is None:
         bands, _ = derive_banding(n_hashes, threshold)
-    cands = minhash_lsh_pairs(
-        df, id_col, text_col, shingle_k, n_hashes, bands,
-        threshold=0.0,  # verify every candidate exactly; no estimate cut
-        n_partitions=n_partitions,
-    ).select("a", "b")
+    # candidate (a, b) pairs only — the exact verify replaces the
+    # estimate, so the two signature re-joins minhash_lsh_pairs does to
+    # compute est_jaccard would be pure overhead here
+    _, cands = _lsh_candidates(
+        df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+    )
     sh = df.select(
         F.col(id_col).alias("__vid__"),
         shingles_of_words(words(F.col(text_col)), shingle_k).alias("__vsh__"),

@@ -138,6 +138,10 @@ class Pipeline:
         # the parent's).
         self._count_source: DataFrame | None = None
         self._loaded_override: int | None = None
+        # (step name, float accumulator) per Python-closure step — go()
+        # snapshots these into LoadStatistic.step_timings (approximate;
+        # see LoadStatistic docstring)
+        self._step_timers: list[tuple[str, Any]] = []
 
     # ------------------------------------------------------------------ infra
 
@@ -148,6 +152,7 @@ class Pipeline:
             self._rejects + list(rejects or []),
             {k: list(v) for k, v in self._hooks.items()},
         )
+        out._step_timers = list(self._step_timers)
         return out
 
     def _split(
@@ -262,9 +267,14 @@ class Pipeline:
         Closure exceptions don't kill the job: the row rejects as
         SCRIPT_ERROR, mirroring Step.execute (etl/Step.groovy:23-51)."""
         cols = self.df.columns
+        timer = self.spark.sparkContext.accumulator(0.0)
 
         @F.pandas_udf("keep boolean, err string")
         def _pred(batch: pd.DataFrame) -> pd.DataFrame:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+
             def one(r):
                 try:
                     return bool(fn(r.to_dict())), None
@@ -273,6 +283,7 @@ class Pipeline:
 
             out = batch.apply(one, axis=1, result_type="expand")
             out.columns = ["keep", "err"]
+            timer.add((_time.perf_counter() - _t0) * 1000.0)
             return out
 
         marked = self.df.withColumn("__p__", _pred(F.struct(*cols)))
@@ -289,7 +300,9 @@ class Pipeline:
             "closure raised",
             step,
         )
-        return self._next(kept, [rejected, errored])
+        out = self._next(kept, [rejected, errored])
+        out._step_timers.append((step, timer))
+        return out
 
     def trim(self) -> "Pipeline":
         """Trim whitespace on all string columns (Pipeline.groovy:301-306).
@@ -416,11 +429,15 @@ class Pipeline:
         full = full.add("__cat__", StringType()).add("__reason__", StringType())
         full_names = [f.name for f in full.fields]
         callback = fn  # local bind for serialization
+        timer = self.spark.sparkContext.accumulator(0.0)
 
         def _run(batches: Iterable[pd.DataFrame]):
+            import time as _time
+
             from .rejections import Rejection as _Rej
 
             for pdf in batches:
+                _t0 = _time.perf_counter()
                 out_rows = []
                 for r in pdf.to_dict("records"):
                     order_v = r.pop(ROW_ORDER, None)
@@ -443,6 +460,7 @@ class Pipeline:
                     if has_order:
                         row[ROW_ORDER] = order_v
                     out_rows.append(row)
+                timer.add((_time.perf_counter() - _t0) * 1000.0)
                 yield pd.DataFrame(out_rows, columns=full_names)
 
         marked = self.df.mapInPandas(_run, full)
@@ -452,7 +470,9 @@ class Pipeline:
             .withColumnsRenamed({"__cat__": REJECT_CATEGORY, "__reason__": REJECT_REASON})
             .withColumn(REJECT_STEP, F.lit(step))
         )
-        return self._next(kept, [rejected])
+        out = self._next(kept, [rejected])
+        out._step_timers.append((step, timer))
+        return out
 
     def _infer_step_fields(self, fn: Callable[[dict], Any]) -> list:
         """Schema inference for add_step: run the closure on a few sampled
@@ -1191,6 +1211,9 @@ class Pipeline:
         """
         start = now_ms()
         self._run_deferred()
+        # accumulators persist across actions — snapshot so a repeated
+        # go() reports only THIS run's closure time
+        timer_base = {id(acc): acc.value for _, acc in self._step_timers}
         loaded = 0
         rejections: dict[str, dict[str, int]] = {}
         if self._loaded_override is not None:
@@ -1234,7 +1257,13 @@ class Pipeline:
                 configure(Pipeline(rej, f"{self.name}-rejections"))
         for hook in self._hooks["after"]:
             hook()
-        return LoadStatistic(self.name, loaded, start, now_ms(), rejections)
+        step_timings: dict[str, float] = {}
+        for step_name, acc in self._step_timers:
+            delta = acc.value - timer_base[id(acc)]
+            step_timings[step_name] = step_timings.get(step_name, 0.0) + delta
+        return LoadStatistic(
+            self.name, loaded, start, now_ms(), rejections, step_timings
+        )
 
     @staticmethod
     def go_stats_script_errors(rejections: dict[str, dict[str, int]]) -> int:

@@ -93,9 +93,13 @@ def union_rejects(rejects: list[DataFrame]) -> DataFrame | None:
 class LoadStatistic:
     """Result of Pipeline.go(): loaded count + reject accounting + timing.
 
-    Mirrors gratum's LoadStatistic (LoadStatistic.groovy:12-163) minus
-    per-step wall timings, which don't exist under lazy fused execution;
-    we expose the end-to-end action duration instead.
+    Mirrors gratum's LoadStatistic (LoadStatistic.groovy:12-163). Per-step
+    wall timings exist only for Python-closure steps (add_step, closure
+    filters), measured executor-side via accumulators; expression-only
+    steps fuse into whole-stage codegen and have no separable time. A
+    step's reported ms is the SUM over every plan branch that executed it
+    (kept + reject branches may each run the step), so totals are
+    APPROXIMATE and can exceed the action's wall-clock.
     """
 
     name: str
@@ -104,6 +108,8 @@ class LoadStatistic:
     end_ms: float
     # {category: {step: count}}
     rejections: dict[str, dict[str, int]] = field(default_factory=dict)
+    # {step: executor-side Python ms} — closure steps only; see class doc
+    step_timings: dict[str, float] = field(default_factory=dict)
 
     @property
     def duration_ms(self) -> float:
@@ -135,6 +141,8 @@ class LoadStatistic:
                 mine[step] = mine.get(step, 0) + n
         self.start_ms = min(self.start_ms, other.start_ms)
         self.end_ms = max(self.end_ms, other.end_ms)
+        for step, ms in other.step_timings.items():
+            self.step_timings[step] = self.step_timings.get(step, 0.0) + ms
         return self
 
     def __str__(self) -> str:  # pragma: no cover - debug aid

@@ -476,8 +476,8 @@ def test_fill_down_by_decider_numeric_zero_fills(spark):
 
 
 def test_load_statistic_merge(spark):
-    # mirrors reference LoadStatisticTest.groovy:9-52 (minus per-step timings,
-    # which don't exist under fused lazy execution)
+    # mirrors reference LoadStatisticTest.groovy:9-52 (per-step timings are
+    # covered by test_load_statistic_step_timings)
     from gratum_spark import RejectionCategory, sources
 
     s1 = (
@@ -637,3 +637,32 @@ def test_add_step_inference_fallback_warns(spark):
         warnings.simplefilter("always")
         p.add_step("bad", lambda r: None)  # every probe row rejects
     assert any("schema inference fell back" in str(w.message) for w in caught)
+
+
+def test_load_statistic_step_timings(spark):
+    # mirrors reference LoadStatisticTest per-step ms reporting
+    # (LoadStatistic.groovy:12-163), approximated for fused execution:
+    # Python-closure steps are timed executor-side via accumulators
+    from gratum_spark import sources
+
+    rows = [{"v": i} for i in range(200)]
+    p = (
+        sources.from_collection(spark, rows, name="timed")
+        .add_step("square", lambda r: {**r, "sq": r["v"] * r["v"]})
+        .filter(lambda r: r["sq"] % 2 == 0, name="evens")
+    )
+    stat = p.go()
+    assert stat.loaded == 100
+    assert set(stat.step_timings) == {"square", "evens"}
+    assert all(ms >= 0 for ms in stat.step_timings.values())
+    assert any(ms > 0 for ms in stat.step_timings.values())
+
+    # repeat go(): timings reflect only the new run (accumulators snapshot)
+    stat2 = p.go()
+    assert set(stat2.step_timings) == {"square", "evens"}
+    assert all(ms >= 0 for ms in stat2.step_timings.values())
+
+    # merge sums per-step timings like the reference
+    merged_ms = stat.step_timings["square"] + stat2.step_timings["square"]
+    stat.merge(stat2)
+    assert stat.step_timings["square"] == merged_ms

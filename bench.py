@@ -58,6 +58,9 @@ HEADLINE = [
     "dedup_minhash_verified",
     "emb_quantize",
     "op_salted_join",
+    "corpus_quota_sample",
+    "dedup_chunks",
+    "text_tfidf",
 ]
 
 

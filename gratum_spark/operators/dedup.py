@@ -32,6 +32,7 @@ __all__ = [
     "minhash_verified_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "chunk_dedup_stats",
     "embedding_cosine_pairs",
     "connected_components",
 ]
@@ -510,3 +511,69 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Chunk-level corpus dedup accounting (the C4/RefinedWeb line-dedup
+    shape: a text unit repeated ANYWHERE in the corpus survives only in
+    its first-seen document).
+
+    Documents split into non-overlapping ``chunk_words``-word chunks
+    (expression-only); each distinct chunk text is owned by its
+    first-seen (doc, position); per doc this reports how much of it
+    survives chunk dedup. Plan: explode -> one groupBy on the chunk
+    text (map-side combinable min) -> re-join owners on chunk text ->
+    per-doc agg. Two shuffles total; nothing is pairwise.
+
+    At 100 TB the groupBy key space is huge but uniform (text chunks);
+    boilerplate mega-chunks (the same cookie banner a billion times)
+    are exactly what this removes, and their groups reduce to a single
+    min before the second shuffle thanks to partial aggregation.
+
+    Returns (id, n_chunks, n_kept, kept_frac) per document.
+    """
+    warr = words(F.col(text_col))
+    n_chunks_expr = (F.size(warr) + F.lit(chunk_words - 1)) / F.lit(chunk_words)
+    chunks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), n_chunks_expr.cast("int") - 1
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(warr, i * chunk_words + 1, chunk_words)
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    # first-seen owner per distinct chunk text: min over an encoded
+    # (doc, position) — portable across engines as plain integer math
+    owner_key = F.col("id") * F.lit(1_000_000) + F.col("pos")
+    owners = chunks.groupBy("chunk").agg(F.min(owner_key).alias("__owner__"))
+    kept = (
+        chunks.join(owners, on="chunk")
+        .withColumn("__keep__", (owner_key == F.col("__owner__")).cast("int"))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("__keep__").alias("n_kept"),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_chunks").cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+    )

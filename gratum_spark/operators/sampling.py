@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample"]
+__all__ = ["hash_split", "stratified_sample", "quota_sample"]
 
 
 def _frac_pred(h: F.Column, frac: float) -> F.Column:
@@ -80,3 +80,39 @@ def stratified_sample(
             F.col(stratum_col) == stratum, _frac_pred(h, frac)
         ).otherwise(cond)
     return df.filter(cond)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group quota sampling — keep at most ``quota`` rows per group
+    (the domain-cap staple of web-corpus curation: no single source may
+    dominate the training mix).
+
+    Selection is DETERMINISTIC and engine-portable: rows rank within
+    their group by md5(key || salt) (uniform, so the quota takes an
+    unbiased sample of the group), key as tie-break. Same audit
+    property as hash_split: any SQL engine reproduces the exact keep
+    set.
+
+    Scale: one shuffle on ``group_col``. A hot group (one domain = half
+    the corpus) serializes its rank into a single task, so for
+    heavy-skew corpora pre-thin hot groups first with a cheap
+    hash-threshold pass (keep rows with md5 below ~ 2*quota/|group|
+    estimated from a count) and apply the exact window to the
+    survivors; the window then sorts ~2*quota rows per group instead
+    of |group|.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__qrn__", F.row_number().over(w))
+        .filter(F.col("__qrn__") <= quota)
+        .drop("__qrn__")
+    )

@@ -21,6 +21,7 @@ __all__ = [
     "redact_pii",
     "ngram_overlap",
     "repetition_signals",
+    "tfidf_top_terms",
     "DEFAULT_LANG_WORDS",
     "PII_PATTERNS",
 ]
@@ -211,4 +212,52 @@ def apply_text_analysis(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         qs["mean_word_len"].alias("mean_word_len"),
         lang_id(text_col).alias("pred_lang"),
         fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic signal
+    used for corpus mixing and cluster labeling.
+
+    Plan: explode words -> per-(doc, term) counts (one shuffle,
+    map-side combinable) -> document frequencies from the SAME counts
+    table (a second small agg keyed on term; its output is
+    |vocabulary|-sized, broadcast back onto the counts) -> windowed
+    top-k per doc. The fact table shuffles once; idf rides in on a
+    broadcast hash join, so no second shuffle of the corpus-sized side.
+
+    Determinism across engines: ranking compares ROUND(score, 6) with
+    the term string as tie-break — a 1-ULP ln()/division divergence
+    between engines can flip an UNROUNDED order, and ranks must agree
+    exactly for audits (the reported score is the same rounded value).
+
+    Returns (id, rank, term, score), score = tf * ln((N+1)/(df+1))
+    rounded to 6 places.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(F.countDistinct(F.col(id_col))).collect()[0][0]
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf")
+        * F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df").cast("double") + 1.0)),
+        6,
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), on="term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "score")
     )

@@ -2046,6 +2046,87 @@ FROM documents d ORDER BY doc_id
 """
 
 
+
+def corpus_quota_sample(spark, sf) -> DataFrame:
+    """Per-source quota sampling (operators/sampling.py quota_sample):
+    the domain-cap staple of web-corpus curation, deterministic via
+    md5-ranking so any engine reproduces the keep set."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df
+    kept = sampling.quota_sample(docs, "source", 40, "doc_id")
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+ORACLE_QUOTA_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 40 ORDER BY doc_id
+"""
+
+
+def dedup_chunks(spark, sf) -> DataFrame:
+    """C4-style chunk-level corpus dedup accounting (operators/dedup.py
+    chunk_dedup_stats): a 10-word chunk repeated anywhere in the corpus
+    survives only in its first-seen (doc, position)."""
+    docs = T(spark, sf, "documents").df
+    return dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_words=10).orderBy("id")
+
+
+ORACLE_DEDUP_CHUNKS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') AS chunk
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1)) AS i
+        FROM w)
+),
+own AS (SELECT chunk, MIN(doc_id*1000000 + pos) AS owner FROM ch GROUP BY chunk)
+SELECT ch.doc_id AS id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN ch.doc_id*1000000 + ch.pos = own.owner
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN ch.doc_id*1000000 + ch.pos = own.owner
+                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS kept_frac
+FROM ch JOIN own ON ch.chunk = own.chunk
+GROUP BY ch.doc_id ORDER BY ch.doc_id
+"""
+
+
+def text_tfidf(spark, sf) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators/text.py tfidf_top_terms);
+    rank compares ROUND(score, 6) with term tie-break for cross-engine
+    determinism."""
+    out = text.tfidf_top_terms(T(spark, sf, "documents").df, "doc_id", "text", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("id", "rank")
+
+
+ORACLE_TEXT_TFIDF = """
+WITH tf AS (
+  SELECT doc_id AS id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id, tf.term,
+         ROUND(tf.tf * ln(((SELECT COUNT(DISTINCT doc_id) FROM documents) + 1.0)
+                          / (dfreq.df + 1.0)), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT id, CAST(rank AS BIGINT) AS rank, term, score FROM (
+  SELECT id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2066,11 +2147,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
-    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    "op_inject": (op_inject, ORACLE_INJECT),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
@@ -2113,6 +2191,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    # -- new in r3 (oracle-backed, local gate green at 3 SFs)
+    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
     # ---- 50-entry driver window boundary ----
     # -- rotated out in r3 (r1/r2 driver-green twice; family stays in-window:
     #    filter via op_filter_map, set-membership via op_set_ops, fold via
@@ -2126,6 +2208,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
+    "op_unique": (op_unique, ORACLE_UNIQUE),
+    "op_inject": (op_inject, ORACLE_INJECT),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
     # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),

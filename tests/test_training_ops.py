@@ -440,3 +440,55 @@ def test_normalize_zero_vector_stays_zero(spark):
 
     emb = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
     assert similarity.normalize_embeddings(emb).first()["embedding"] == [0.0, 0.0]
+
+
+def test_quota_sample_deterministic_cap(spark):
+    from gratum_spark.operators import sampling
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.quota_sample(df, "source", 5, "doc_id")
+    by_src = {r["source"]: 0 for r in kept.collect()}
+    for r in kept.collect():
+        by_src[r["source"]] += 1
+    assert by_src == {"big": 5, "small": 5}  # both groups capped at the quota
+    # re-run: identical keep set (md5 ranking, not rand())
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in sampling.quota_sample(df, "source", 5, "doc_id").collect()}
+    assert a == b
+    # different salt draws a different (still size-5) sample of "big"
+    c = {r["doc_id"] for r in sampling.quota_sample(df, "source", 5, "doc_id", salt="x").collect()}
+    assert len(c) == 10 and c != a
+
+
+def test_chunk_dedup_first_seen_wins(spark):
+    from gratum_spark.operators import dedup
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique1 a b c d e f g h i"),
+         (2, shared + " other words here that differ x y z w q")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in dedup.chunk_dedup_stats(docs, "doc_id", "text").collect()}
+    # both docs have 2 chunks; doc 1 owns the shared first chunk
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_frac"] == 0.5
+
+
+def test_tfidf_top_terms(spark):
+    from gratum_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common common"),
+         (2, "cherry cherry cherry common common"),
+         (3, "banana date common common common")],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    top = {r["id"]: r["term"] for r in out}
+    # "common" appears in every doc -> idf ln(4/4)=0 -> never top
+    assert top == {1: "apple", 2: "cherry", 3: "date"}
+    ranks = {r["id"]: r["rank"] for r in out}
+    assert set(ranks.values()) == {1}

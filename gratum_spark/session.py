@@ -44,6 +44,10 @@ def get_spark(app_name: str = "gratum-spark", cpus: int | None = None) -> SparkS
         # read TIMESTAMP(NANOS) parquet (which Spark has no native type
         # for) as long nanos; sources.table converts to micros timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read TIMESTAMP(MICROS, isAdjustedToUTC=false) as TimestampType
+        # at the scan (not TimestampNTZ + cast) so timestamp predicates
+        # stay pushable into the parquet reader
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # Whole-stage codegen emits one class per query stage; a session

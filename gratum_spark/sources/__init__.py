@@ -234,21 +234,48 @@ def jsonl(spark: SparkSession, path: str, name: str | None = None, ordered: bool
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """TIMESTAMP(NANOS) parquet (e.g. the testdata events table) throws
-    PARQUET_TYPE_ILLEGAL unless nanosAsLong is set. The repo's own
-    session factory sets it, but callers may hand us any SparkSession —
-    set it defensively here (it is a runtime-settable SQL conf)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down (e.g. Connect server policy) — read may still work
+    """Timestamp-typing confs for parquet scans, set defensively (callers
+    may hand us any SparkSession; both are runtime-settable SQL confs):
+
+    - nanosAsLong: TIMESTAMP(NANOS) parquet throws PARQUET_TYPE_ILLEGAL
+      without it (the r1-r3 testdata events table was nanos).
+    - inferTimestampNTZ=false: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      otherwise reads as TimestampNTZType. Reading it as TimestampType
+      AT THE SCAN (rather than casting after) keeps timestamp predicates
+      pushable into the parquet reader — a cast above the scan would
+      turn every date-range filter into a full-file scan."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down (e.g. Connect server policy) — read may still work
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-tz) so every
+    downstream plan sees one timestamp type regardless of how the
+    parquet writer flagged isAdjustedToUTC. Parquet TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) reads as TimestampNTZType; the engine's
+    contract (windows, watermarks, as-of joins, oracle comparison) was
+    built on TimestampType under a UTC session, where this cast is a
+    pure re-tag (same micros value, same wall clock)."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def parquet(spark: SparkSession, path: str, name: str | None = None, ordered: bool = False) -> Pipeline:
     """Columnar source of choice at 100 TB: predicate pushdown, column
     pruning, partition pruning all reach the scan."""
     _ensure_nanos_readable(spark)
-    return Pipeline(_maybe_order(spark.read.parquet(path), ordered), name or f"parquet({path})")
+    return Pipeline(
+        _normalize_ntz(_maybe_order(spark.read.parquet(path), ordered)),
+        name or f"parquet({path})",
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> Pipeline:

@@ -66,6 +66,11 @@ def read_event_stream(
     field_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     if field_types.get(ts_col) == "bigint":
         sdf = sdf.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif field_types.get(ts_col) == "timestamp_ntz":
+        # parquet TIMESTAMP(isAdjustedToUTC=false) when the batch-side
+        # inference conf couldn't be applied — re-tag to TimestampType so
+        # watermarks/windows see the engine's one timestamp type
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return sdf
 
 

@@ -231,6 +231,12 @@ def tfidf_top_terms(
     top-k per doc. The fact table shuffles once; idf rides in on a
     broadcast hash join, so no second shuffle of the corpus-sized side.
 
+    The corpus size N is a 1-row aggregate cross-joined in as a
+    broadcast (NOT a driver-side .collect(): that would be a second
+    Spark ACTION — a second full pass over a 100 TB corpus per
+    invocation). The N branch scans only the pruned id column, and the
+    whole operator stays one action / one plan.
+
     Determinism across engines: ranking compares ROUND(score, 6) with
     the term string as tie-break — a 1-ULP ln()/division divergence
     between engines can flip an UNROUNDED order, and ranks must agree
@@ -241,7 +247,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    n_docs = df.select(F.countDistinct(F.col(id_col))).collect()[0][0]
+    n_docs = df.select(F.col(id_col).alias("id")).agg(
+        F.countDistinct("id").cast("double").alias("__n_docs__")
+    )
     tf = (
         df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
@@ -250,12 +258,13 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = F.round(
         F.col("tf")
-        * F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df").cast("double") + 1.0)),
+        * F.log((F.col("__n_docs__") + 1.0) / (F.col("df").cast("double") + 1.0)),
         6,
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
         tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

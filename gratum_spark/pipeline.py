@@ -98,6 +98,29 @@ def _is_regex(v: Any) -> bool:
     return isinstance(v, re.Pattern)
 
 
+def _pandas_value_predicate(fn: Callable[[Any], Any]):
+    """Arrow-batched boolean predicate over a single column — the
+    Condition-map closure form. One Arrow batch crosses the Python
+    boundary per ~10k rows instead of one pickled value per row."""
+
+    @F.pandas_udf(BooleanType())
+    def _pred(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: bool(fn(x)))
+
+    return _pred
+
+
+def _pandas_row_predicate(fn: Callable[[dict], Any]):
+    """Arrow-batched boolean predicate over the whole row (Condition's
+    "*" wildcard closure): struct input arrives as a pandas DataFrame."""
+
+    @F.pandas_udf(BooleanType())
+    def _pred(batch: pd.DataFrame) -> pd.Series:
+        return batch.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+
+    return _pred
+
+
 class Pipeline:
     """Immutable-ish pipeline facade: every operator returns a new Pipeline.
 
@@ -209,9 +232,11 @@ class Pipeline:
         for col, v in cond.items():
             if col == "*" and callable(v):
                 # whole-row wildcard closure (Condition.groovy:55-58):
-                # predicate sees the full row as a dict
+                # predicate sees the full row as a dict. Arrow-batched
+                # (same boundary as _filter_rows) — a row-at-a-time
+                # F.udf here would pickle per row in the hot path.
                 exprs.append(
-                    F.udf(lambda r, f=v: bool(f(r.asDict())), BooleanType())(
+                    _pandas_row_predicate(v)(
                         F.struct(*[F.col(c) for c in self.df.columns])
                     )
                 )
@@ -224,7 +249,7 @@ class Pipeline:
             elif isinstance(v, (list, tuple, set, frozenset)):
                 exprs.append(c.isin(*v))
             elif callable(v):
-                exprs.append(F.udf(lambda x, f=v: bool(f(x)), BooleanType())(c))
+                exprs.append(_pandas_value_predicate(v)(c))
             elif isinstance(v, Column):
                 exprs.append(v)
             else:

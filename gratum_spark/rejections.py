@@ -127,13 +127,16 @@ class LoadStatistic:
         key = category.value if isinstance(category, RejectionCategory) else category
         return dict(self.rejections.get(key, {}))
 
-    def merge(self, other: "LoadStatistic") -> "LoadStatistic":
+    def merge(self, other: "LoadStatistic", include_timings: bool = True) -> "LoadStatistic":
         """Fold another run's statistics into this one (reference:
         LoadStatistic.groovy merge, LoadStatisticTest.groovy:9-52) —
         the concurrency-context aggregation primitive. Sums loaded and
         per-category×step reject counts; the merged duration spans both
-        runs (min start .. max end). Mutates and returns self, like the
-        reference."""
+        runs (min start .. max end). ``include_timings=False`` leaves
+        this run's step timings untouched (LoadStatisticTest.groovy
+        testMergeWithoutStepTimings — used when the merged pipelines'
+        steps are unrelated and summing their timings would mislead).
+        Mutates and returns self, like the reference."""
         self.loaded += other.loaded
         for cat, by_step in other.rejections.items():
             mine = self.rejections.setdefault(cat, {})
@@ -141,8 +144,9 @@ class LoadStatistic:
                 mine[step] = mine.get(step, 0) + n
         self.start_ms = min(self.start_ms, other.start_ms)
         self.end_ms = max(self.end_ms, other.end_ms)
-        for step, ms in other.step_timings.items():
-            self.step_timings[step] = self.step_timings.get(step, 0.0) + ms
+        if include_timings:
+            for step, ms in other.step_timings.items():
+                self.step_timings[step] = self.step_timings.get(step, 0.0) + ms
         return self
 
     def __str__(self) -> str:  # pragma: no cover - debug aid

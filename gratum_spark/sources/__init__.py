@@ -234,67 +234,171 @@ def jsonl(spark: SparkSession, path: str, name: str | None = None, ordered: bool
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:
-    """Timestamp-typing confs for parquet scans, set defensively (callers
-    may hand us any SparkSession; both are runtime-settable SQL confs):
+    """Make TIMESTAMP(NANOS) parquet readable: it throws
+    PARQUET_TYPE_ILLEGAL without nanosAsLong (the r1-r3 testdata events
+    table was nanos). Set defensively — callers may hand us any
+    SparkSession — and left set for the session: it is error-avoiding
+    only (no Spark type exists for nanos) and does not change the typing
+    of reads that succeed without it."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Connect server policy) — read may still work
 
-    - nanosAsLong: TIMESTAMP(NANOS) parquet throws PARQUET_TYPE_ILLEGAL
-      without it (the r1-r3 testdata events table was nanos).
-    - inferTimestampNTZ=false: TIMESTAMP(MICROS, isAdjustedToUTC=false)
-      otherwise reads as TimestampNTZType. Reading it as TimestampType
-      AT THE SCAN (rather than casting after) keeps timestamp predicates
-      pushable into the parquet reader — a cast above the scan would
-      turn every date-range filter into a full-file scan."""
-    for k, v in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
-    ):
+
+class _scoped_conf:
+    """Set a runtime SQL conf for a `with` block, restoring the caller's
+    prior value (or unsetting) on exit — so reads through this module
+    don't permanently re-type a foreign session's own parquet reads."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+        self.old: str | None = None
+        self.changed = False
+
+    def __enter__(self):
         try:
-            spark.conf.set(k, v)
+            self.old = self.spark.conf.get(self.key, None)
         except Exception:
-            pass  # conf locked down (e.g. Connect server policy) — read may still work
+            self.old = None
+        try:
+            self.spark.conf.set(self.key, self.value)
+            self.changed = True
+        except Exception:
+            pass  # conf locked down — _normalize_ntz covers the fallback
+        return self
+
+    def __exit__(self, *exc):
+        if self.changed:
+            try:
+                if self.old is None:
+                    self.spark.conf.unset(self.key)
+                else:
+                    self.spark.conf.set(self.key, self.old)
+            except Exception:
+                pass
+        return False
+
+
+def _swap_ntz_type(dt):
+    """Rewrite a DataType with every nested TimestampNTZType replaced by
+    TimestampType (struct/array/map recursed)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampNTZType):
+        return TimestampType()
+    if isinstance(dt, ArrayType):
+        return ArrayType(_swap_ntz_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _swap_ntz_type(dt.keyType), _swap_ntz_type(dt.valueType), dt.valueContainsNull
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _swap_ntz_type(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Names of columns stored as parquet TIMESTAMP(NANOS). Spark has no
+    nanosecond timestamp type and (under nanosAsLong) surfaces them as
+    bigint; sources convert those to microsecond timestamps (the same
+    floor-truncation DuckDB applies) so every encoding — micros-UTC,
+    micros-NTZ, nanos — lands on one uniform TimestampType. Detection
+    reads ONE footer (pyarrow), not the data."""
+    try:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        p = path
+        if _os.path.isdir(p):
+            cand = sorted(x for x in _os.listdir(p) if x.endswith(".parquet"))
+            if not cand:
+                return []
+            p = _os.path.join(p, cand[0])
+        sch = _pq.read_schema(p)
+        return [
+            f.name
+            for f in sch
+            if _pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def _convert_nanos_cols(df: DataFrame, nanos_cols: Iterable[str]) -> DataFrame:
+    """bigint nanos -> microsecond timestamp. Integer div — float
+    division would lose precision on int64 nanos (> 2^53). This is a
+    projection above the scan, so nanos-column predicates don't push
+    down — unavoidable while Spark lacks a nanos type; store micros."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in nanos_cols:
+        if types.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:
-    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-tz) so every
-    downstream plan sees one timestamp type regardless of how the
-    parquet writer flagged isAdjustedToUTC. Parquet TIMESTAMP(MICROS,
-    isAdjustedToUTC=false) reads as TimestampNTZType; the engine's
-    contract (windows, watermarks, as-of joins, oracle comparison) was
-    built on TimestampType under a UTC session, where this cast is a
-    pure re-tag (same micros value, same wall clock)."""
-    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    """Cast TIMESTAMP_NTZ columns (including NTZ nested inside
+    struct/array/map) to TIMESTAMP so every downstream plan sees one
+    timestamp type regardless of how the parquet writer flagged
+    isAdjustedToUTC. The engine's contract (windows, watermarks, as-of
+    joins, oracle comparison) was built on TimestampType.
+
+    UTC REQUIREMENT: the cast reinterprets the NTZ wall clock in the
+    SESSION timezone, while the scan-level inferTimestampNTZ=false path
+    reads stored micros as UTC instants — the two agree only under
+    spark.sql.session.timeZone=UTC (which get_spark pins). A foreign
+    non-UTC session that also blocks the inference conf would see
+    shifted instants; see the note on :func:`parquet`."""
+    out = df
+    for f in df.schema.fields:
+        new = _swap_ntz_type(f.dataType)
+        if new != f.dataType:
+            out = out.withColumn(f.name, F.col(f.name).cast(new))
+    return out
 
 
 def parquet(spark: SparkSession, path: str, name: str | None = None, ordered: bool = False) -> Pipeline:
     """Columnar source of choice at 100 TB: predicate pushdown, column
-    pruning, partition pruning all reach the scan."""
+    pruning, partition pruning all reach the scan.
+
+    Timestamp typing: TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet
+    is read as TimestampType AT THE SCAN (inferTimestampNTZ=false,
+    scoped to this read so a caller's session conf is untouched) — a
+    cast above the scan would make every date-range predicate
+    unpushable. If the conf is locked down (e.g. Connect policy), the
+    fallback is a post-scan `_normalize_ntz` cast, which is value-
+    identical only under a UTC session timezone (get_spark pins it;
+    foreign sessions should do the same before using NTZ data)."""
     _ensure_nanos_readable(spark)
+    with _scoped_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+        df = spark.read.parquet(path)
+    df = _convert_nanos_cols(df, _nanos_ts_cols(path))
     return Pipeline(
-        _normalize_ntz(_maybe_order(spark.read.parquet(path), ordered)),
+        _normalize_ntz(_maybe_order(df, ordered)),
         name or f"parquet({path})",
     )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> Pipeline:
-    """Convenience: one of the driver testdata tables.
-
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as long
-    nanos under spark.sql.legacy.parquet.nanosAsLong — convert to a
-    microsecond timestamp (same floor-truncation DuckDB applies)."""
-    p = parquet(spark, f"{sf_dir}/{name}.parquet", name)
-    if name == "events":
-        schema = {f.name: f.dataType.simpleString() for f in p.df.schema.fields}
-        if schema.get("ts") == "bigint":
-            p = Pipeline(
-                # integer div — float division would lose precision on
-                # int64 nanos (> 2^53)
-                p.df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
-                p.name,
-            )
-    return p
+    """Convenience: one of the driver testdata tables. All timestamp
+    encodings (micros-UTC, micros-NTZ, legacy nanos) arrive as one
+    uniform TimestampType — see :func:`parquet`."""
+    return parquet(spark, f"{sf_dir}/{name}.parquet", name)
 
 
 def jdbc(

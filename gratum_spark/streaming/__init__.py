@@ -45,17 +45,26 @@ def read_event_stream(
     spark: SparkSession,
     path: str,
     schema: StructType | None = None,
-    ts_col: str = "ts",
+    ts_col: str = "ts",  # kept for API compat; typing now covers all columns
 ) -> DataFrame:
     """File-based event stream (parquet dir). Schema is required by
     readStream; by default it is inferred from a one-file batch read.
-    Applies the same TIMESTAMP(NANOS) -> microsecond conversion as
-    sources.table so batch and stream plans see identical types."""
-    if schema is None:
-        from ..sources import _ensure_nanos_readable
+    Applies the same timestamp typing as sources.parquet (nanos ->
+    micros, NTZ -> TimestampType, every column) so batch and stream
+    plans over the same files see identical types."""
+    from ..sources import (
+        _convert_nanos_cols,
+        _ensure_nanos_readable,
+        _nanos_ts_cols,
+        _normalize_ntz,
+        _scoped_conf,
+    )
 
+    if schema is None:
         _ensure_nanos_readable(spark)
-        schema = spark.read.parquet(path).schema
+        with _scoped_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+            schema = spark.read.parquet(path).schema
+    nanos_cols = _nanos_ts_cols(path)
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # the file stream source wants a directory; point it at the
@@ -63,15 +72,13 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     sdf = reader.parquet(path)
-    field_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-    if field_types.get(ts_col) == "bigint":
-        sdf = sdf.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
-    elif field_types.get(ts_col) == "timestamp_ntz":
-        # parquet TIMESTAMP(isAdjustedToUTC=false) when the batch-side
-        # inference conf couldn't be applied — re-tag to TimestampType so
-        # watermarks/windows see the engine's one timestamp type
-        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return sdf
+    # Same typing pipeline as the batch source (sources.parquet): legacy
+    # TIMESTAMP(NANOS) bigints -> micros timestamps for ALL nanos
+    # columns, then every remaining TIMESTAMP_NTZ column (inference conf
+    # couldn't be applied, or a caller-supplied schema says so) re-tagged
+    # to TimestampType — so batch and stream plans over the same files
+    # always see identical types on every column, not just ts_col.
+    return _normalize_ntz(_convert_nanos_cols(sdf, nanos_cols))
 
 
 def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:

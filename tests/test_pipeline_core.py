@@ -666,3 +666,29 @@ def test_load_statistic_step_timings(spark):
     merged_ms = stat.step_timings["square"] + stat2.step_timings["square"]
     stat.merge(stat2)
     assert stat.step_timings["square"] == merged_ms
+
+
+def test_load_statistic_merge_without_step_timings(spark):
+    # mirrors reference LoadStatisticTest.groovy testMergeWithoutStepTimings
+    # (:55-78): merge(other, false) folds counts/duration but leaves this
+    # run's step timings untouched
+    from gratum_spark import sources
+
+    rows = [{"v": i} for i in range(50)]
+    s1 = (
+        sources.from_collection(spark, rows, name="a")
+        .add_step("double", lambda r: {**r, "d": r["v"] * 2})
+        .go()
+    )
+    s2 = (
+        sources.from_collection(spark, rows, name="b")
+        .add_step("triple", lambda r: {**r, "t": r["v"] * 3})
+        .filter(lambda r: r["t"] % 2 == 0, name="even_t")
+        .go()
+    )
+    assert set(s1.step_timings) == {"double"}
+    assert set(s2.step_timings) == {"triple", "even_t"}
+    before = dict(s1.step_timings)
+    s1.merge(s2, include_timings=False)
+    assert s1.loaded == 50 + 25
+    assert s1.step_timings == before  # timings NOT folded in

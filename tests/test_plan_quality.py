@@ -176,6 +176,86 @@ def test_redact_pii_is_expression_only(spark, sf):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_range_join_broadcasts_band_table_no_fact_shuffle(spark, sf):
+    """The non-equi band join must plan as BroadcastNestedLoopJoin of the
+    3-row band table — never a CartesianProduct, and the lineitem side
+    must reach the join unshuffled (the only hash shuffle in the plan is
+    the 3-group post-aggregation exchange). Pinned so a bench outlier on
+    op_range_join can never again be a plan mystery (r4: recorded 20.9 s
+    was sandbox noise; steady-state 1.3 s on this exact shape)."""
+    plan = plan_of(Q.op_range_join(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    hash_shuffles = [
+        line for line in plan.splitlines() if "hashpartitioning(" in line
+    ]
+    assert len(hash_shuffles) == 1 and "band" in hash_shuffles[0]
+    assert "partial_" in plan  # agg combines map-side before that shuffle
+
+
+def test_minhash_band_join_carries_only_band_h_id(spark, sf):
+    """The LSH banding self-join must stay NARROW: every shuffle in the
+    candidate-pair plan moves at most (band, h, id) — the n_hashes-long
+    signature array must never ride through the exploded band rows
+    (measured ~2.5x whole-operator cost when it did; dedup.py keeps the
+    signatures checkpointed and re-joins them per-candidate instead)."""
+    import re
+
+    from gratum_spark.operators.dedup import _lsh_candidates
+
+    docs = table(spark, sf, "documents").df
+    _sig, pairs = _lsh_candidates(docs, "doc_id", "text", 3, 64, 16, None)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    exchanges = [
+        p for p in re.split(r"\n\s*\n", plan) if re.match(r"\(\d+\) Exchange", p)
+    ]
+    assert exchanges, "expected the (band, h) shuffle in the candidate plan"
+    for ex in exchanges:
+        assert "sig" not in ex, f"signature array crossed a shuffle:\n{ex}"
+        m = re.search(r"Input \[(\d+)\]", ex)
+        assert m and int(m.group(1)) <= 3, f"wide shuffle in band join:\n{ex}"
+
+
+def test_tfidf_is_one_action(spark, sf):
+    """tfidf_top_terms must fold the corpus size N into the plan (1-row
+    broadcast cross join), not .collect() it — a driver-side N is a
+    second full pass over a 100 TB corpus per invocation."""
+    sc = spark.sparkContext
+    # baseline: even a bare parquet read runs one footer/schema job, so
+    # "no extra action" means the tfidf build runs exactly as many jobs
+    # as its single table read does — the old .collect() added one more
+    sc.setLocalProperty("spark.jobGroup.id", "tfidf_baseline_read")
+    try:
+        table(spark, sf, "documents")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("tfidf_baseline_read"))
+    sc.setLocalProperty("spark.jobGroup.id", "tfidf_plan_build")
+    try:
+        df = Q.text_tfidf(spark, sf)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    built = len(sc.statusTracker().getJobIdsForGroup("tfidf_plan_build"))
+    assert built <= baseline
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N rides a broadcast
+
+
+def test_filter_map_closure_predicates_are_arrow_batched(spark, sf):
+    """Condition-map closure predicates (per-value and whole-row "*")
+    must cross the Python boundary Arrow-batched (ArrowEvalPython), not
+    row-at-a-time pickled (BatchEvalPython) — same boundary as the
+    closure-filter path."""
+    p = table(spark, sf, "customer").filter(
+        {"c_mktsegment": lambda v: v == "BUILDING", "*": lambda r: r["c_custkey"] > 0}
+    )
+    plan = plan_of(p.df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_add_step_rejects_dont_rescan_wider(spark, sf):
     """add_step's kept branch must project only the output schema
     (mapInPandas is inherent; the scan beneath should still prune)."""

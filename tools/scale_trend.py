@@ -1,0 +1,94 @@
+"""Dedup-family scale-trend measurement (r4 verdict task 5; closes r2
+task 4): run the four near-dup operators at sf0.01 and sf0.1 in ONE
+session and record wall time, input rows, and output rows at each scale.
+
+What this is evidence for: the r2 "narrow band-join" trade
+(dedup.py _lsh_candidates carries only (band, h, id) through the LSH
+shuffle and re-joins signatures per-candidate) was chosen for 100 TB
+behavior. If candidate generation were super-linear (a skewed band
+bucket, a stop-shingle blowup), the 10x input step would show a >>10x
+time/output step. ~Linear-in-rows growth is the pass condition.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_trend.py
+Writes SCALE_TREND.json + prints a markdown table (committed as
+SCALE_TREND.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gratum_spark.plans.queries import QUERIES
+from gratum_spark.session import get_spark
+
+OPS = ["dedup_minhash", "dedup_minhash_verified", "dedup_ngram", "dedup_embedding"]
+SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+INPUT_TABLE = {
+    "dedup_minhash": "documents",
+    "dedup_minhash_verified": "documents",
+    "dedup_ngram": "documents",
+    "dedup_embedding": "embeddings",
+}
+
+
+def main() -> int:
+    spark = get_spark("scale-trend")
+    # warm-up: one pass of each op at the small SF so JVM/codegen/Arrow
+    # startup isn't charged to the first measured cell
+    for op in OPS:
+        fn, _ = QUERIES[op]
+        fn(spark, SFS[0]).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, dict[str, float]]] = {}
+    for sf_dir in SFS:
+        sf = os.path.basename(sf_dir)
+        for op in OPS:
+            fn, _ = QUERIES[op]
+            in_rows = spark.read.parquet(
+                f"{sf_dir}/{INPUT_TABLE[op]}.parquet"
+            ).count()
+            best = None
+            out_rows = None
+            for _ in range(2):  # min-of-2: drop one-off JIT noise
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                out_rows = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(op, {})[sf] = {
+                "sec": round(best, 3),
+                "input_rows": in_rows,
+                "output_rows": out_rows,
+            }
+
+    trend = {}
+    for op, by_sf in results.items():
+        a, b = by_sf["sf0.01"], by_sf["sf0.1"]
+        trend[op] = {
+            **by_sf,
+            "ratio_input": round(b["input_rows"] / a["input_rows"], 2),
+            "ratio_time": round(b["sec"] / a["sec"], 2),
+            "ratio_output": round(b["output_rows"] / max(a["output_rows"], 1), 2),
+        }
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALE_TREND.json"), "w") as f:
+        json.dump(trend, f, indent=2)
+
+    print("| operator | sf0.01 s | sf0.1 s | in 10x | time x | out pairs 0.01 -> 0.1 |")
+    print("|---|---|---|---|---|---|")
+    for op, t in trend.items():
+        print(
+            f"| {op} | {t['sf0.01']['sec']} | {t['sf0.1']['sec']} | "
+            f"{t['ratio_input']} | {t['ratio_time']} | "
+            f"{t['sf0.01']['output_rows']} -> {t['sf0.1']['output_rows']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

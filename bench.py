@@ -1,11 +1,28 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "calibration": {...}, "passes": [...]}.
 
 Each query is timed as plan-build + full execution (count-style action
-that materializes every row of the result).  A warm-up action runs first
-so JVM/codegen startup isn't attributed to the first query.
+that materializes every row of the result).
+
+Adjudicability against sandbox noise (r4 verdict task 1): the recorded
+total can swing 2-3x with host contention while the plans are byte-
+identical, so the JSON now carries everything needed to normalize a
+cross-round comparison:
+
+  * ``calibration`` — wall time of two fixed workloads measured at the
+    start AND end of the bench: a full parquet scan+count of lineitem
+    (I/O + JVM path) and a pure-Python CPU loop (interpreter path).
+    These never change with repo code; if they move 2x between rounds,
+    the environment moved 2x and query ratios should be read against
+    them.
+  * ``passes`` — the raw per-query wall time of every measured pass
+    (3 passes), not just the min, so sustained contention is visible as
+    cross-pass spread rather than silently inflating a single min.
+  * warm-up now includes one throwaway pass at the BENCH scale factor
+    (not just sf0.001), so pass 1 isn't charged for cold page cache
+    (measured 4.6 s -> 1.3 s on op_range_join from cache alone).
 """
 
 from __future__ import annotations
@@ -63,6 +80,22 @@ HEADLINE = [
     "text_tfidf",
 ]
 
+N_PASSES = 3
+
+
+def _calibrate(spark, sf_dir: str) -> dict[str, float]:
+    """Fixed reference workloads whose cost is independent of repo code.
+    Ratios between rounds normalize query timings against host speed."""
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    scan_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    cpu_sec = round(time.perf_counter() - t0, 3)
+    return {"lineitem_count_sec": scan_sec, "cpu_loop_sec": cpu_sec}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +108,16 @@ def main() -> int:
     from gratum_spark.plans.queries import QUERIES  # noqa: E402
 
     spark = get_spark("gratum-bench")
+
+    def run_once(name: str, data_dir: str) -> float:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, data_dir)
+        # Materialize every output row (not just a count, which could
+        # let Spark prune the plan) — write.noop-style full evaluation.
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     # Warm up JVM/codegen/Arrow/python-worker pools by running every
     # headline query once at the smallest scale factor: first-query cost
     # in a fresh session is dominated by one-time setup (measured ~45 s
@@ -82,26 +125,35 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
-            fn, _ = QUERIES[name]
             try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+                run_once(name, warm_dir)
             except Exception:
                 pass
 
-    # Two measured passes, report per-query MIN: filters out one-time
-    # JVM/python-worker warm-up noise that otherwise lands on a random
-    # query (JIT compilation, worker-pool respawn after idle reaping).
+    calibration_start = _calibrate(spark, sf_dir)
+
+    # One throwaway pass at the BENCH scale factor: page-cache warm-up,
+    # so measured pass 1 reads the same warm files as passes 2-3.
+    for name in HEADLINE:
+        try:
+            run_once(name, sf_dir)
+        except Exception:
+            pass
+
+    # Measured passes: per-query MIN is the headline (filters one-time
+    # JIT / worker-respawn noise landing on a random query), and every
+    # raw pass is recorded so contention shows up as cross-pass spread.
+    passes: list[dict[str, float]] = []
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _ in range(N_PASSES):
+        this_pass: dict[str, float] = {}
         for name in HEADLINE:
-            fn, _ = QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # Materialize every output row (not just a count, which could
-            # let Spark prune the plan) — write.noop-style full evaluation.
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = run_once(name, sf_dir)
+            this_pass[name] = dt
             timings[name] = min(timings.get(name, dt), dt)
+        passes.append(this_pass)
+
+    calibration_end = _calibrate(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +164,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "calibration": {
+                    "start": calibration_start,
+                    "end": calibration_end,
+                },
+                "passes": passes,
             }
         )
     )

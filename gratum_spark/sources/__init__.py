@@ -249,7 +249,14 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
 class _scoped_conf:
     """Set a runtime SQL conf for a `with` block, restoring the caller's
     prior value (or unsetting) on exit — so reads through this module
-    don't permanently re-type a foreign session's own parquet reads."""
+    don't permanently re-type a foreign session's own parquet reads.
+
+    Thread note: SQL confs are session-global, so a concurrent reader in
+    another thread could observe the scoped value. For sessions built by
+    :func:`gratum_spark.get_spark` the scoped set is a no-op (the session
+    already pins the same value), which makes the engine's own
+    concurrency shim (spread/collect) race-free; foreign multi-threaded
+    sessions should pin the conf themselves."""
 
     def __init__(self, spark: SparkSession, key: str, value: str):
         self.spark, self.key, self.value = spark, key, value

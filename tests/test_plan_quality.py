@@ -218,6 +218,31 @@ def test_minhash_band_join_carries_only_band_h_id(spark, sf):
         assert m and int(m.group(1)) <= 3, f"wide shuffle in band join:\n{ex}"
 
 
+def test_asof_join_no_cartesian(spark, sf):
+    """The as-of join is a union + per-key window (last-non-null carry),
+    NOT a range cross-product: any CartesianProduct/BNLJ here would be
+    O(n*m) at scale instead of one per-key shuffle."""
+    plan = plan_of(Q.op_asof_join(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_single_bucket_shuffle(spark, sf):
+    """embedding_cosine_pairs must reach its per-bucket BLAS scoring with
+    ONE hash shuffle on (table, bucket) — a candidate-pair self-join
+    shape (4 shuffles carrying the vector payload) measured 3x slower
+    and grows with the candidate set, not the survivor set."""
+    plan = plan_of(Q.dedup_embedding(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    bucket_shuffles = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(" in line and "bucket" in line
+    ]
+    assert len(bucket_shuffles) == 1
+
+
 def test_tfidf_is_one_action(spark, sf):
     """tfidf_top_terms must fold the corpus size N into the plan (1-row
     broadcast cross join), not .collect() it — a driver-side N is a

@@ -1076,6 +1076,30 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def stream_dedup_keys(spark, sf) -> DataFrame:
+    """Exact dedup EXECUTED AS A STREAM (streaming.stream_dedup →
+    dropDuplicates under availableNow): first event per (event_type,
+    user_id) survives; projecting the keys makes the result
+    deterministic and oracle-comparable (= SELECT DISTINCT). The
+    bounded-state dropDuplicatesWithinWatermark regime is covered in
+    tests/test_streaming.py (watermark semantics aren't SQL-expressible)."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    deduped = streaming.stream_dedup(sdf, ["event_type", "user_id"])
+    out = streaming.run_available_now(
+        deduped.select("event_type", "user_id"),
+        "q_stream_dedup_keys",
+        output_mode="append",
+    )
+    return out.orderBy("event_type", "user_id")
+
+
+ORACLE_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id
+"""
+
+
 def stream_stateful_counter(spark, sf) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running event counter drained with availableNow. The final
@@ -1109,8 +1133,8 @@ def stream_dedup_counts(spark, sf) -> DataFrame:
     from .. import streaming
 
     sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
-    deduped = sdf.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
-        ["event_id"]
+    deduped = streaming.stream_dedup(
+        sdf, ["event_id"], watermark="2 hours", within_watermark=True
     )
     out = streaming.run_available_now(
         deduped.select("event_id", "event_type"), "q_stream_dedup", "append"
@@ -2154,7 +2178,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_coerce": (op_coerce, ORACLE_COERCE),
@@ -2166,6 +2189,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    # -- new in r5: streaming dedup (first driver check; op_rollup rotated
+    #    past the window after 4 green rounds — cube/grouping-sets family
+    #    stays covered by op_grouping_sets/op_cube below)
+    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
     # -- LLM-data-pipeline queries (past the r1 window, never driver-checked)
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
@@ -2221,6 +2248,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    # rotated out in r5 after 4 green rounds (family: cube/grouping-sets)
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
     "op_pivot": (op_pivot, ORACLE_PIVOT),

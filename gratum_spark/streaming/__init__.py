@@ -36,6 +36,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stateful_counter",
+    "stream_dedup",
     "write_stream_parquet",
     "run_available_now",
 ]
@@ -157,6 +158,41 @@ def session_agg(
             *aggs.keys(),
         )
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Iterable[str],
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Exact deduplication on a stream — the streaming face of
+    operators.dedup.exact_dedup (same one-shuffle-on-keys plan; state
+    store instead of a hash aggregate). First occurrence wins, like the
+    batch operator and the reference's `unique` (Pipeline.groovy
+    uniqueness semantics).
+
+    Two state regimes, chosen by how duplicates arrive:
+
+    - ``within_watermark=False``: ``dropDuplicates(keys)`` — state keeps
+      every key ever seen. Exact over the whole stream, but state grows
+      with |distinct keys|; right for bounded backfills and replay.
+    - ``within_watermark=True`` (requires ``watermark``):
+      ``dropDuplicatesWithinWatermark`` — a key's state is evicted once
+      the watermark passes it, so state is bounded by the watermark
+      horizon. The continuous-ingestion mode at 100 TB/day, where a
+      document's duplicates (retries, multi-source crawls) arrive near
+      each other in event time.
+    """
+    keys = list(keys)
+    if within_watermark:
+        if not watermark:
+            raise ValueError("within_watermark=True requires a watermark")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.dropDuplicates(keys)
 
 
 def stateful_counter(

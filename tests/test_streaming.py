@@ -80,6 +80,46 @@ def test_stateful_counter(spark, events_path, events_batch):
     assert latest == expect
 
 
+def test_stream_dedup_equals_batch_distinct(spark, events_path, events_batch):
+    """stream_dedup (unbounded-state regime) keeps exactly one row per
+    key — the projected key set equals batch SELECT DISTINCT."""
+    sdf = streaming.stream_dedup(
+        streaming.read_event_stream(spark, events_path), ["event_type", "user_id"]
+    )
+    got = streaming.run_available_now(
+        sdf.select("event_type", "user_id"), "dedup_test", output_mode="append"
+    )
+    want = events_batch.select("event_type", "user_id").distinct()
+    cols = ["event_type", "user_id"]
+    assert _normalize(got, cols) == _normalize(want, cols)
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, events_path, events_batch):
+    """Bounded-state regime (dropDuplicatesWithinWatermark): on a single
+    drained batch every duplicate arrives inside the watermark horizon,
+    so the result still equals DISTINCT — while the plan carries the
+    state-eviction operator that makes it viable on unbounded streams."""
+    sdf = streaming.stream_dedup(
+        streaming.read_event_stream(spark, events_path),
+        ["event_id"],
+        watermark="2 hours",
+        within_watermark=True,
+    )
+    got = streaming.run_available_now(
+        sdf.select("event_id"), "dedup_wm_test", output_mode="append"
+    )
+    assert got.count() == events_batch.select("event_id").distinct().count()
+
+
+def test_stream_dedup_within_watermark_requires_watermark(spark, events_path):
+    with pytest.raises(ValueError):
+        streaming.stream_dedup(
+            streaming.read_event_stream(spark, events_path),
+            ["event_id"],
+            within_watermark=True,
+        )
+
+
 def test_write_stream_parquet_exactly_once(spark, sf_dir, tmp_path):
     from gratum_spark import streaming
 

@@ -325,17 +325,30 @@ def _nanos_ts_cols(path: str) -> list[str]:
     micros-NTZ, nanos — lands on one uniform TimestampType. Detection
     reads ONE footer (pyarrow), not the data."""
     try:
+        import glob as _glob
         import os as _os
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         p = path
-        if _os.path.isdir(p):
-            cand = sorted(x for x in _os.listdir(p) if x.endswith(".parquet"))
-            if not cand:
+        if any(ch in p for ch in "*?["):  # glob path: first match decides
+            matches = sorted(_glob.glob(p))
+            if not matches:
                 return []
-            p = _os.path.join(p, cand[0])
+            p = matches[0]
+        if _os.path.isdir(p):
+            # walk (handles partitionBy layouts: key=value subdirs)
+            found = None
+            for root, dirs, names in _os.walk(p):
+                dirs.sort()
+                cand = sorted(x for x in names if x.endswith(".parquet"))
+                if cand:
+                    found = _os.path.join(root, cand[0])
+                    break
+            if not found:
+                return []
+            p = found
         sch = _pq.read_schema(p)
         return [
             f.name

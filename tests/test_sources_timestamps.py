@@ -105,6 +105,24 @@ def test_stream_normalizes_second_ntz_column(spark, tmp_path):
     assert all(f.dataType.simpleString() == "timestamp" for f in sdf.schema.fields if f.name != "id")
 
 
+def test_nanos_detected_under_partitioned_layout(spark, tmp_path):
+    """Legacy nanos parquet written with partitionBy (key=value subdirs)
+    must still be detected and converted — the footer sniff walks to the
+    first data file."""
+    d = tmp_path / "nanos_part" / "pt=1"
+    d.mkdir(parents=True)
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(WALL, type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, str(d / "part-0.parquet"))
+    df = parquet(spark, str(tmp_path / "nanos_part")).df
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert sorted(r["ts"] for r in df.collect()) == WALL
+
+
 def test_normalize_ntz_recurses_into_nested_types(spark, tmp_path):
     """ADVICE r4 (low): NTZ nested inside struct/array must not leak
     through normalization."""

@@ -911,19 +911,81 @@ class Pipeline:
         """Group *consecutive* rows sharing ``field``'s value; apply fn per
         run (Pipeline.groovy:1284-1313).
 
-        Run-id = running count of value changes: lag + change flag + sum
-        over the global order. NOTE: the run-id computation is a global
-        ordered window (single-partition stage). That is inherent to
-        "consecutive in source order" semantics; at 100 TB, prefer a real
-        session key and ``group_by().apply_in_pandas`` instead. The
-        per-run fn then executes distributed via applyInPandas.
+        DISTRIBUTED run-id — no single-partition stage (the pre-r5 form
+        computed the running change count in one global ordered window,
+        which serialized the whole input through one task). The
+        "consecutive in source order" semantics only need ADJACENT-row
+        comparisons, so run-ids stitch from per-partition pieces:
+
+        1. range-shuffle on the order key → partitions are globally
+           ordered and each is locally sorted by its own window;
+        2. local run-ids per partition (lag + change flag + sum — all
+           partition-local windows);
+        3. one tiny row per partition (first/last value, #runs) fixes up
+           the boundaries: a partition whose first value equals its
+           predecessor's last value continues the predecessor's run
+           (eqNullSafe — consecutive nulls are one run, matching the
+           reference's Groovy == on null). The prefix arithmetic runs in
+           a window over #partitions rows (thousands, not data-sized)
+           and rejoins as a broadcast.
+
+        Cost shape: the boundary-digest branch re-scans only (order,
+        field) — column pruning keeps it narrow, the same
+        narrow-branch trade as the minhash signature re-join — and the
+        local-window stage adds one pid-hash shuffle Catalyst can't
+        elide (it cannot prove spark_partition_id alignment). Both are
+        data-parallel; what's gone is the pre-r5 single-task global
+        window, which serialized the entire input through one executor
+        thread — the actual 100 TB killer.
+
+        The per-run fn then executes distributed via applyInPandas.
         """
-        order = F.col(order_by) if order_by else self._order_col()
-        w = Window.orderBy(order)
+        if order_by:
+            d = self.df
+            ordc = F.col(order_by)
+            helper_cols = ["__pid__", "__lid__", "__base__"]
+        elif ROW_ORDER in self.df.columns:
+            d = self.df
+            ordc = F.col(ROW_ORDER)
+            helper_cols = ["__pid__", "__lid__", "__base__"]
+        else:
+            # materialize the synthetic order BEFORE the range shuffle so
+            # every later reference sees one consistent value
+            d = self.df.withColumn("__ord0__", F.monotonically_increasing_id())
+            ordc = F.col("__ord0__")
+            helper_cols = ["__pid__", "__lid__", "__base__", "__ord0__"]
+
+        d = d.repartitionByRange(ordc).withColumn("__pid__", F.spark_partition_id())
+        wloc = Window.partitionBy("__pid__").orderBy(ordc)
         changed = (
-            F.when(F.lag(F.col(field)).over(w).eqNullSafe(F.col(field)), 0).otherwise(1)
+            F.when(F.row_number().over(wloc) == 1, 1)
+            .when(F.lag(F.col(field)).over(wloc).eqNullSafe(F.col(field)), 0)
+            .otherwise(1)
         )
-        with_gid = self.df.withColumn("__gid__", F.sum(changed).over(w))
+        d = d.withColumn("__lid__", F.sum(changed).over(wloc))
+
+        # per-partition boundary digest: one row per partition
+        stats = d.groupBy("__pid__").agg(
+            F.max("__lid__").alias("__nruns__"),
+            F.min_by(F.col(field), ordc).alias("__first__"),
+            F.max_by(F.col(field), ordc).alias("__last__"),
+        )
+        ws = Window.orderBy("__pid__")
+        stats = stats.withColumn(
+            "__cont__",
+            F.when(F.row_number().over(ws) == 1, 0)
+            .when(F.lag("__last__").over(ws).eqNullSafe(F.col("__first__")), 1)
+            .otherwise(0),
+        )
+        bases = stats.withColumn(
+            "__G__", F.sum(F.col("__nruns__") - F.col("__cont__")).over(ws)
+        ).select("__pid__", (F.col("__G__") - F.col("__nruns__")).alias("__base__"))
+
+        with_gid = (
+            d.join(F.broadcast(bases), on="__pid__")
+            .withColumn("__gid__", F.col("__base__") + F.col("__lid__"))
+            .drop(*helper_cols)
+        )
         out_schema = schema or self.df.schema
 
         def _apply(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -109,6 +109,42 @@ def test_flatten_window(spark):
     assert runs == [("a", 1), ("a", 2), ("b", 1)]
 
 
+def test_flatten_window_runs_span_partitions(spark):
+    """The distributed run-id must stitch runs across range-partition
+    boundaries: with ~8 shuffle partitions over 200 rows, the long runs
+    below cross several partitions (including a 70-row run and a
+    null-valued run — eqNullSafe keeps consecutive nulls in ONE run)."""
+    vals: list[str | None] = (
+        ["a"] * 70 + ["b"] * 3 + [None] * 25 + ["b"] * 40 + ["a"] * 1
+        + [None] * 1 + ["c"] * 60
+    )
+    rows = [{"seq": i, "g": g} for i, g in enumerate(vals)]
+
+    expected = []
+    run_val, run_len = vals[0], 1
+    for g in vals[1:]:
+        if g == run_val:
+            run_len += 1
+        else:
+            expected.append((run_val, run_len))
+            run_val, run_len = g, 1
+    expected.append((run_val, run_len))
+
+    def summarize(pdf):
+        return pdf.groupby("g", as_index=False, dropna=False).agg(n=("seq", "count"))
+
+    p = sources.from_collection(spark, rows, "seq long, g string")
+    out = p.flatten_window("g", summarize, "g string, n long", order_by="seq")
+    got = sorted(
+        ((r["g"], r["n"]) for r in out.df.collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+    want = sorted(expected, key=lambda t: (t[0] is None, t[0], t[1]))
+    assert got == want
+    # and the run COUNT matches (no run split at a partition boundary)
+    assert out.df.count() == len(expected)
+
+
 # --------------------------------------------------------------- sources
 
 def test_csv_roundtrip_multiline(tmp_path, people, spark):

@@ -110,6 +110,70 @@ def _pandas_value_predicate(fn: Callable[[Any], Any]):
     return _pred
 
 
+def _distributed_run_ids(
+    df: DataFrame,
+    ordc: Column,
+    payload: Column,
+    starts_new_run: Callable[[Column, Column], Column],
+    continues_run: Callable[[Column, Column], Column],
+    extra_drop: Iterable[str] = (),
+) -> DataFrame:
+    """Global-order "consecutive run" ids WITHOUT a single-partition
+    stage (shared by flatten_window and fill_down_by's decider form).
+
+    "Consecutive in source order" only needs adjacent-row comparisons,
+    so run-ids stitch from per-partition pieces: range-shuffle on the
+    order key (partitions globally ordered), local run-ids via
+    partition-local windows, then a one-row-per-partition boundary
+    digest (first/last payload, run count) whose prefix arithmetic runs
+    in a window over #partitions rows — thousands, not data-sized — and
+    rejoins as a broadcast. The digest branch re-scans only (order,
+    payload) thanks to column pruning; the local-window stage adds one
+    pid-hash shuffle Catalyst can't elide (it cannot prove
+    spark_partition_id alignment). Both are data-parallel; the pre-r5
+    global ordered window serialized the entire input through one task.
+
+    ``starts_new_run(cur, prev)`` decides a run break between adjacent
+    rows (prev row exists); ``continues_run(first, prev_last)`` decides
+    whether a partition's first row continues its predecessor's last
+    run. Returns df + ``__gid__`` with helper columns dropped.
+    """
+    d = df.repartitionByRange(ordc).withColumn("__pid__", F.spark_partition_id())
+    wloc = Window.partitionBy("__pid__").orderBy(ordc)
+    new_run = F.when(F.row_number().over(wloc) == 1, F.lit(True)).otherwise(
+        starts_new_run(payload, F.lag(payload).over(wloc))
+    )
+    d = d.withColumn(
+        "__lid__",
+        F.sum(F.when(new_run, 1).otherwise(0)).over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stats = d.groupBy("__pid__").agg(
+        F.max("__lid__").alias("__nruns__"),
+        F.min_by(payload, ordc).alias("__first__"),
+        F.max_by(payload, ordc).alias("__last__"),
+    )
+    ws = Window.orderBy("__pid__")  # tiny: one row per partition
+    stats = stats.withColumn("__prevlast__", F.lag("__last__").over(ws)).withColumn(
+        "__srn__", F.row_number().over(ws)
+    )
+    stats = stats.withColumn(
+        "__cont__",
+        F.when(F.col("__srn__") == 1, 0)
+        .when(continues_run(F.col("__first__"), F.col("__prevlast__")), 1)
+        .otherwise(0),
+    )
+    bases = stats.withColumn(
+        "__G__", F.sum(F.col("__nruns__") - F.col("__cont__")).over(ws)
+    ).select("__pid__", (F.col("__G__") - F.col("__nruns__")).alias("__base__"))
+    return (
+        d.join(F.broadcast(bases), on="__pid__")
+        .withColumn("__gid__", F.col("__base__") + F.col("__lid__"))
+        .drop("__pid__", "__lid__", "__base__", *extra_drop)
+    )
+
+
 def _pandas_row_predicate(fn: Callable[[dict], Any]):
     """Arrow-batched boolean predicate over the whole row (Condition's
     "*" wildcard closure): struct input arrives as a pandas DataFrame."""
@@ -220,6 +284,20 @@ class Pipeline:
 
     def _order_col(self) -> Column:
         return F.col(ROW_ORDER) if ROW_ORDER in self.df.columns else F.monotonically_increasing_id()
+
+    def _ordered_base(self, order_by: str | None) -> tuple[DataFrame, Column, list[str]]:
+        """(df, order column, helper cols to drop) for operators that
+        range-shuffle on the source order. A synthetic order (no
+        ROW_ORDER stamp, no explicit order_by) is materialized as a
+        column BEFORE the shuffle so every later reference sees one
+        consistent value — monotonically_increasing_id re-evaluated
+        after a shuffle would differ."""
+        if order_by:
+            return self.df, F.col(order_by), []
+        if ROW_ORDER in self.df.columns:
+            return self.df, F.col(ROW_ORDER), []
+        d = self.df.withColumn("__ord0__", F.monotonically_increasing_id())
+        return d, F.col("__ord0__"), ["__ord0__"]
 
     # ---------------------------------------------------------------- filters
 
@@ -841,20 +919,21 @@ class Pipeline:
           order). One shuffle on the keys; fully distributed — the 100 TB
           path.
         * ``decider(row, previous_row)`` closure — the general form. Runs
-          are delimited by evaluating the decider on each adjacent pair
-          (global-order lag + cumulative sum: a single-partition stage,
-          inherent to "previous row in source order" semantics — same
-          documented cost as flatten_window; prefer key_columns at
-          scale), then the fill itself distributes per run. The decider
-          sees the RAW previous row; the reference hands the
-          already-filled clone — identical for key-style deciders, which
-          compare non-filled columns.
+          are delimited by evaluating the decider on each adjacent pair;
+          run-ids are fully distributed (per-partition pieces stitched
+          by a boundary digest, see :func:`_distributed_run_ids` — the
+          decider also evaluates on each partition-boundary pair), then
+          the fill itself distributes per run. The decider sees the RAW
+          previous row; the reference hands the already-filled clone —
+          identical for key-style deciders, which compare non-filled
+          columns. A decider that raises starts a new run (boundary on
+          error), matching the pre-distributed behavior.
         """
         if callable(key_columns) and decider is None:
             key_columns, decider = None, key_columns
-        order = F.col(order_by) if order_by else self._order_col()
 
         if decider is None:
+            order = F.col(order_by) if order_by else self._order_col()
             keys = list(key_columns or [])
             w = (
                 Window.partitionBy(*keys)
@@ -864,10 +943,6 @@ class Pipeline:
             return self._next(self.df.withColumns(self._fill_updates(w, keys)))
 
         cols = [c for c in self.df.columns if c != ROW_ORDER]
-        w_ord = Window.orderBy(order)
-        cur = F.struct(*[F.col(c) for c in cols])
-        prv = F.lag(cur).over(w_ord)
-        has_prev = F.lag(F.lit(1)).over(w_ord).isNotNull()
         callback = decider
 
         @F.pandas_udf(BooleanType())
@@ -882,22 +957,30 @@ class Pipeline:
                     out.append(False)
             return pd.Series(out)
 
-        marked = self.df.withColumn(
-            "__fd_join__",
-            F.when(has_prev, _joins_run(cur, prv)).otherwise(F.lit(False)),
-        ).withColumn(
-            "__fd_run__",
-            F.sum(F.when(F.col("__fd_join__"), 0).otherwise(1)).over(
-                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
+        def joins(cur_c: Column, prv_c: Column) -> Column:
+            # pandas UDFs evaluate on every row regardless of when()
+            # branches; null prev structs (first row of a run boundary)
+            # surface as all-NaN dicts and the try/except above maps a
+            # raising decider to False (new run) — same contract as the
+            # guarded pre-distributed form
+            return F.coalesce(_joins_run(cur_c, prv_c), F.lit(False))
+
+        d, ordc, extra = self._ordered_base(order_by)
+        cur = F.struct(*[F.col(c) for c in cols])
+        with_gid = _distributed_run_ids(
+            d,
+            ordc,
+            cur,
+            starts_new_run=lambda c, p: ~joins(c, p),
+            continues_run=joins,
         )
         w_fill = (
-            Window.partitionBy("__fd_run__")
-            .orderBy(order)
+            Window.partitionBy("__gid__")
+            .orderBy(ordc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = marked.withColumns(self._fill_updates(w_fill, ())).drop(
-            "__fd_join__", "__fd_run__"
+        filled = with_gid.withColumns(self._fill_updates(w_fill, ())).drop(
+            "__gid__", *extra
         )
         return self._next(filled)
 
@@ -911,80 +994,20 @@ class Pipeline:
         """Group *consecutive* rows sharing ``field``'s value; apply fn per
         run (Pipeline.groovy:1284-1313).
 
-        DISTRIBUTED run-id — no single-partition stage (the pre-r5 form
-        computed the running change count in one global ordered window,
-        which serialized the whole input through one task). The
-        "consecutive in source order" semantics only need ADJACENT-row
-        comparisons, so run-ids stitch from per-partition pieces:
-
-        1. range-shuffle on the order key → partitions are globally
-           ordered and each is locally sorted by its own window;
-        2. local run-ids per partition (lag + change flag + sum — all
-           partition-local windows);
-        3. one tiny row per partition (first/last value, #runs) fixes up
-           the boundaries: a partition whose first value equals its
-           predecessor's last value continues the predecessor's run
-           (eqNullSafe — consecutive nulls are one run, matching the
-           reference's Groovy == on null). The prefix arithmetic runs in
-           a window over #partitions rows (thousands, not data-sized)
-           and rejoins as a broadcast.
-
-        Cost shape: the boundary-digest branch re-scans only (order,
-        field) — column pruning keeps it narrow, the same
-        narrow-branch trade as the minhash signature re-join — and the
-        local-window stage adds one pid-hash shuffle Catalyst can't
-        elide (it cannot prove spark_partition_id alignment). Both are
-        data-parallel; what's gone is the pre-r5 single-task global
-        window, which serialized the entire input through one executor
-        thread — the actual 100 TB killer.
-
-        The per-run fn then executes distributed via applyInPandas.
+        Run-ids are fully distributed — per-partition pieces stitched by
+        a one-row-per-partition boundary digest (see
+        :func:`_distributed_run_ids`; consecutive nulls are ONE run via
+        eqNullSafe, matching the reference's Groovy == on null). The
+        per-run fn then executes distributed via applyInPandas.
         """
-        if order_by:
-            d = self.df
-            ordc = F.col(order_by)
-            helper_cols = ["__pid__", "__lid__", "__base__"]
-        elif ROW_ORDER in self.df.columns:
-            d = self.df
-            ordc = F.col(ROW_ORDER)
-            helper_cols = ["__pid__", "__lid__", "__base__"]
-        else:
-            # materialize the synthetic order BEFORE the range shuffle so
-            # every later reference sees one consistent value
-            d = self.df.withColumn("__ord0__", F.monotonically_increasing_id())
-            ordc = F.col("__ord0__")
-            helper_cols = ["__pid__", "__lid__", "__base__", "__ord0__"]
-
-        d = d.repartitionByRange(ordc).withColumn("__pid__", F.spark_partition_id())
-        wloc = Window.partitionBy("__pid__").orderBy(ordc)
-        changed = (
-            F.when(F.row_number().over(wloc) == 1, 1)
-            .when(F.lag(F.col(field)).over(wloc).eqNullSafe(F.col(field)), 0)
-            .otherwise(1)
-        )
-        d = d.withColumn("__lid__", F.sum(changed).over(wloc))
-
-        # per-partition boundary digest: one row per partition
-        stats = d.groupBy("__pid__").agg(
-            F.max("__lid__").alias("__nruns__"),
-            F.min_by(F.col(field), ordc).alias("__first__"),
-            F.max_by(F.col(field), ordc).alias("__last__"),
-        )
-        ws = Window.orderBy("__pid__")
-        stats = stats.withColumn(
-            "__cont__",
-            F.when(F.row_number().over(ws) == 1, 0)
-            .when(F.lag("__last__").over(ws).eqNullSafe(F.col("__first__")), 1)
-            .otherwise(0),
-        )
-        bases = stats.withColumn(
-            "__G__", F.sum(F.col("__nruns__") - F.col("__cont__")).over(ws)
-        ).select("__pid__", (F.col("__G__") - F.col("__nruns__")).alias("__base__"))
-
-        with_gid = (
-            d.join(F.broadcast(bases), on="__pid__")
-            .withColumn("__gid__", F.col("__base__") + F.col("__lid__"))
-            .drop(*helper_cols)
+        d, ordc, extra = self._ordered_base(order_by)
+        with_gid = _distributed_run_ids(
+            d,
+            ordc,
+            F.col(field),
+            starts_new_run=lambda cur, prv: ~prv.eqNullSafe(cur),
+            continues_run=lambda first, prev_last: prev_last.eqNullSafe(first),
+            extra_drop=extra,
         )
         out_schema = schema or self.df.schema
 

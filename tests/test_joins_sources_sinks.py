@@ -109,6 +109,24 @@ def test_flatten_window(spark):
     assert runs == [("a", 1), ("a", 2), ("b", 1)]
 
 
+def test_fill_down_decider_runs_span_partitions(spark):
+    """The closure-decider fill_down must stitch runs across range
+    partitions: values set only at run starts must propagate through
+    rows that land in later partitions."""
+    rows = []
+    for i in range(200):
+        k = i // 45  # 45-row runs: cross the ~25-row partition size
+        rows.append({"seq": i, "k": k, "v": f"val{k}" if i % 45 == 0 else None})
+    p = sources.from_collection(spark, rows, "seq long, k long, v string")
+    out = p.fill_down_by(
+        lambda row, prev: row["k"] == prev["k"], order_by="seq"
+    )
+    got = {r["seq"]: r["v"] for r in out.df.collect()}
+    assert len(got) == 200
+    for i in range(200):
+        assert got[i] == f"val{i // 45}", (i, got[i])
+
+
 def test_flatten_window_runs_span_partitions(spark):
     """The distributed run-id must stitch runs across range-partition
     boundaries: with ~8 shuffle partitions over 200 rows, the long runs

@@ -281,6 +281,35 @@ def test_filter_map_closure_predicates_are_arrow_batched(spark, sf):
     assert "ArrowEvalPython" in plan
 
 
+def test_flatten_window_has_no_data_sized_single_partition_stage(spark, sf):
+    """flatten_window's run-ids must be distributed: the plan range-
+    shuffles on the order key and runs partition-local windows; the only
+    single-partition stages allowed are in the per-partition boundary
+    digest (one row per partition, post-aggregation). A SinglePartition
+    exchange on the data path would serialize the full input through one
+    task."""
+    import re
+
+    p = table(spark, sf, "events").clip("event_id", "event_type")
+    out = p.flatten_window(
+        "event_type",
+        lambda pdf: pdf.head(1),
+        "event_id long, event_type string",
+        order_by="event_id",
+    )
+    plan = plan_of(out.df)
+    assert "rangepartitioning" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the only SinglePartition exchanges are the boundary-digest windows,
+    # each sitting directly above the pid-grouped HashAggregate — never
+    # above a data-sized scan or shuffle
+    paras = re.split(r"\n\s*\n", plan)
+    single = [q for q in paras if re.match(r"\(\d+\) Exchange", q) and "SinglePartition" in q]
+    assert len(single) <= 2
+    for q in single:
+        assert re.search(r"Input \[\d\]: \[__pid__", q), f"data-path SinglePartition:\n{q}"
+
+
 def test_add_step_rejects_dont_rescan_wider(spark, sf):
     """add_step's kept branch must project only the output schema
     (mapInPandas is inherent; the scan beneath should still prune)."""

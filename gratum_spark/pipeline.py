@@ -110,6 +110,31 @@ def _pandas_value_predicate(fn: Callable[[Any], Any]):
     return _pred
 
 
+def _local_run_id_frame(
+    df: DataFrame,
+    ordc: Column,
+    payload: Column,
+    starts_new_run: Callable[[Column, Column], Column],
+) -> DataFrame:
+    """Stage 1 of the distributed run-id: range-shuffle on the order key
+    (partitions globally ordered) + partition-local run-ids via local
+    windows. Split out so plan-quality tests can assert this stage's
+    shape (rangepartitioning, no SinglePartition) directly — the full
+    operator wraps it in a consistency checkpoint that hides the plan
+    behind an RDD scan."""
+    d = df.repartitionByRange(ordc).withColumn("__pid__", F.spark_partition_id())
+    wloc = Window.partitionBy("__pid__").orderBy(ordc)
+    new_run = F.when(F.row_number().over(wloc) == 1, F.lit(True)).otherwise(
+        starts_new_run(payload, F.lag(payload).over(wloc))
+    )
+    return d.withColumn(
+        "__lid__",
+        F.sum(F.when(new_run, 1).otherwise(0)).over(
+            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def _distributed_run_ids(
     df: DataFrame,
     ordc: Column,
@@ -138,17 +163,17 @@ def _distributed_run_ids(
     whether a partition's first row continues its predecessor's last
     run. Returns df + ``__gid__`` with helper columns dropped.
     """
-    d = df.repartitionByRange(ordc).withColumn("__pid__", F.spark_partition_id())
-    wloc = Window.partitionBy("__pid__").orderBy(ordc)
-    new_run = F.when(F.row_number().over(wloc) == 1, F.lit(True)).otherwise(
-        starts_new_run(payload, F.lag(payload).over(wloc))
-    )
-    d = d.withColumn(
-        "__lid__",
-        F.sum(F.when(new_run, 1).otherwise(0)).over(
-            wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    d = _local_run_id_frame(df, ordc, payload, starts_new_run)
+    # CONSISTENCY CHECKPOINT — load-bearing, not an optimization. The
+    # digest aggregate and the gid join both consume d; left as two plan
+    # branches they would each re-execute the range shuffle, and
+    # RangePartitioner SAMPLES its boundaries with an RDD-id-dependent
+    # seed — two physical instantiations can draw different boundaries,
+    # silently misaligning __pid__ between the digest and the data
+    # (boundary rows land in different partitions per branch). Lazy
+    # localCheckpoint materializes the frame once inside the consuming
+    # action; both branches then read identical partitions.
+    d = d.localCheckpoint(eager=False)
     stats = d.groupBy("__pid__").agg(
         F.max("__lid__").alias("__nruns__"),
         F.min_by(payload, ordc).alias("__first__"),

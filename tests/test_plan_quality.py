@@ -290,6 +290,27 @@ def test_flatten_window_has_no_data_sized_single_partition_stage(spark, sf):
     task."""
     import re
 
+    from pyspark.sql import functions as FF
+
+    from gratum_spark.pipeline import _local_run_id_frame
+
+    events = table(spark, sf, "events").clip("event_id", "event_type").df
+    # stage 1 (pre-checkpoint): range shuffle + partition-local windows,
+    # and NO single-partition stage anywhere
+    stage1 = _local_run_id_frame(
+        events,
+        FF.col("event_id"),
+        FF.col("event_type"),
+        lambda cur, prv: ~prv.eqNullSafe(cur),
+    )
+    s1 = plan_of(stage1)
+    assert "rangepartitioning" in s1
+    assert "SinglePartition" not in s1
+
+    # full operator: the run-id frame is materialized once (consistency
+    # checkpoint -> RDD scan) so the digest and the data branch can never
+    # disagree on range boundaries; the only SinglePartition exchanges
+    # are the tiny boundary-digest windows over the per-pid aggregate
     p = table(spark, sf, "events").clip("event_id", "event_type")
     out = p.flatten_window(
         "event_type",
@@ -298,11 +319,8 @@ def test_flatten_window_has_no_data_sized_single_partition_stage(spark, sf):
         order_by="event_id",
     )
     plan = plan_of(out.df)
-    assert "rangepartitioning" in plan
     assert "FlatMapGroupsInPandas" in plan
-    # the only SinglePartition exchanges are the boundary-digest windows,
-    # each sitting directly above the pid-grouped HashAggregate — never
-    # above a data-sized scan or shuffle
+    assert "Scan ExistingRDD" in plan  # the consistency checkpoint
     paras = re.split(r"\n\s*\n", plan)
     single = [q for q in paras if re.match(r"\(\d+\) Exchange", q) and "SinglePartition" in q]
     assert len(single) <= 2

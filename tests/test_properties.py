@@ -254,3 +254,38 @@ def test_fill_down_decider_matches_sequential_model(spark, rows):
     )
     got = [r["x"] for r in sorted(p.df.collect(), key=lambda r: r["i"])]
     assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b"])), min_size=1, max_size=30
+    )
+)
+@SLOW
+def test_flatten_window_runs_match_sequential_model(spark, vals):
+    """flatten_window's distributed run-stitching must reproduce the
+    sequential consecutive-runs model for ANY value sequence — a 2-letter
+    (+None) alphabet over ~4-row range partitions forces runs across
+    partition boundaries, including null-valued runs (None==None is one
+    run, Groovy == semantics)."""
+    rows = [{"i": i, "g": g} for i, g in enumerate(vals)]
+
+    expected = []
+    run_val, run_len = vals[0], 1
+    for g in vals[1:]:
+        if g == run_val:
+            run_len += 1
+        else:
+            expected.append((run_val, run_len))
+            run_val, run_len = g, 1
+    expected.append((run_val, run_len))
+
+    def summarize(pdf):
+        return pdf.groupby("g", as_index=False, dropna=False).agg(n=("i", "count"))
+
+    p = sources.from_collection(spark, rows, "i long, g string").flatten_window(
+        "g", summarize, "g string, n long", order_by="i"
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(((r["g"], r["n"]) for r in p.df.collect()), key=key)
+    assert got == sorted(expected, key=key)

@@ -152,9 +152,9 @@ def _distributed_run_ids(
     partition-local windows, then a one-row-per-partition boundary
     digest (first/last payload, run count) whose prefix arithmetic runs
     in a window over #partitions rows — thousands, not data-sized — and
-    rejoins as a broadcast. The digest branch re-scans only (order,
-    payload) thanks to column pruning; the local-window stage adds one
-    pid-hash shuffle Catalyst can't elide (it cannot prove
+    rejoins as a broadcast. The digest aggregates over the checkpointed
+    run-id frame (no second source scan); the local-window stage adds
+    one pid-hash shuffle Catalyst can't elide (it cannot prove
     spark_partition_id alignment). Both are data-parallel; the pre-r5
     global ordered window serialized the entire input through one task.
 

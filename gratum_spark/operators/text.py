@@ -215,6 +215,54 @@ def apply_text_analysis(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_words(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into word-window chunks of ``size`` words
+    advancing by ``stride`` (stride < size ⇒ overlapping context
+    windows — the shape LLM training / embedding pipelines feed their
+    tokenizers; stride == size ⇒ disjoint C4-style blocks, the unit
+    ``dedup.chunk_dedup_stats`` deduplicates).
+
+    Expression-only (split → sequence of chunk ids → posexplode →
+    slice → concat_ws): no Python boundary, stays inside whole-stage
+    codegen, and the explode is the only row-count change — no shuffle
+    at all until the caller aggregates. Every document yields ≥1 chunk;
+    chunk i covers words [i*stride, i*stride + size); the final chunk
+    may be shorter (tail). n_chunks = 1 + ceil((n_words - size) /
+    stride) when n_words > size.
+
+    Returns (id, chunk_id, chunk_text, n_words).
+    """
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    last_chunk = F.when(n <= size, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(size)).cast("double") / F.lit(float(stride))).cast("int")
+    )
+    chunk_ws = F.slice(F.col("__ws__"), F.col("chunk_id") * stride + 1, size)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            ws.alias("__ws__"),
+            F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", chunk_ws).alias("chunk_text"),
+            F.size(chunk_ws).cast("long").alias("n_words"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -2101,6 +2101,33 @@ def dedup_chunks(spark, sf) -> DataFrame:
     return dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_words=10).orderBy("id")
 
 
+def text_chunks(spark, sf) -> DataFrame:
+    """Context-window chunking (operators/text.py chunk_words): 16-word
+    chunks advancing by 12 — overlapping windows, the unit an LLM
+    training/embedding pipeline tokenizes. Expression-only; the explode
+    is the only row-count change."""
+    docs = T(spark, sf, "documents").df
+    return text.chunk_words(docs, "doc_id", "text", size=16, stride=12).orderBy(
+        "id", "chunk_id"
+    )
+
+
+ORACLE_TEXT_CHUNKS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0,
+            CASE WHEN len(ws) <= 16 THEN 0
+                 ELSE CAST(ceil((len(ws) - 16) / 12.0) AS INT) END)) AS cid
+  FROM w
+)
+SELECT doc_id AS id, CAST(cid AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, cid*12 + 1, cid*12 + 16), ' ') AS chunk_text,
+       CAST(len(list_slice(ws, cid*12 + 1, cid*12 + 16)) AS BIGINT) AS n_words
+FROM e ORDER BY id, chunk_id
+"""
+
+
 ORACLE_DEDUP_CHUNKS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ch AS (
@@ -2171,7 +2198,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
@@ -2222,6 +2248,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
+    # -- new in r5: overlapping context-window chunking (first driver
+    #    check; op_sort_limit rotated past the window after 4 green
+    #    rounds — sort+limit stays covered in-window by q3_top_orders'
+    #    TakeOrderedAndProject)
+    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
     # ---- 50-entry driver window boundary ----
     # -- rotated out in r3 (r1/r2 driver-green twice; family stays in-window:
     #    filter via op_filter_map, set-membership via op_set_ops, fold via
@@ -2248,8 +2279,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    # rotated out in r5 after 4 green rounds (family: cube/grouping-sets)
+    # rotated out in r5 after 4 green rounds (families stay in-window:
+    # cube/grouping-sets via the op_cube/op_grouping_sets lineage,
+    # sort+limit via q3_top_orders)
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
     "op_pivot": (op_pivot, ORACLE_PIVOT),

@@ -81,6 +81,15 @@ def test_text_stats_no_python_udf(spark, sf):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_chunking_is_expression_only_single_scan(spark, sf):
+    """chunk_words must stay JVM-side (split/sequence/explode/slice are
+    all codegen expressions) and read the corpus once — chunking 100 TB
+    must cost one scan plus the explode, nothing else."""
+    plan = plan_of(Q.text_chunks(spark, sf))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("(1) Scan parquet") == 1
+
+
 def test_sort_limit_uses_top_k(spark, sf):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject (streaming
     top-k per partition), never a full global sort."""

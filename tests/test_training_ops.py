@@ -492,3 +492,46 @@ def test_tfidf_top_terms(spark):
     assert top == {1: "apple", 2: "cherry", 3: "date"}
     ranks = {r["id"]: r["rank"] for r in out}
     assert set(ranks.values()) == {1}
+
+
+def test_chunk_words_overlap_and_tail(spark):
+    """chunk_words: overlapping windows advance by stride, cover every
+    word, and the tail chunk may be short; a doc shorter than one window
+    yields exactly one chunk."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+            (2, "a b c"),                               # shorter than size
+        ],
+        "doc_id long, text string",
+    )
+    out = text.chunk_words(docs, "doc_id", "text", size=4, stride=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: n_chunks = 1 + ceil((10-4)/2) = 4, starts 0,2,4,6
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"  # overlap of 2
+    assert rows[(1, 3)]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(rows[(1, i)]["n_words"] == 4 for i in range(4))
+    # doc 2: single short chunk
+    assert sorted(k[1] for k in rows if k[0] == 2) == [0]
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_words"] == 3
+    # tail shorter than size: 9 words, size 4, stride 2 -> last covers 6..8
+    docs9 = spark.createDataFrame(
+        [(3, " ".join(f"x{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    out9 = {r["chunk_id"]: r for r in text.chunk_words(docs9, "doc_id", "text", 4, 2).collect()}
+    assert out9[3]["chunk_text"] == "x6 x7 x8" and out9[3]["n_words"] == 3
+
+
+def test_chunk_words_disjoint_covers_all_words(spark):
+    """stride == size gives disjoint C4-style blocks whose word counts
+    sum to the document length."""
+    docs = spark.createDataFrame(
+        [(7, " ".join(str(i) for i in range(23)))], "doc_id long, text string"
+    )
+    out = text.chunk_words(docs, "doc_id", "text", size=5, stride=5)
+    rows = out.collect()
+    assert sum(r["n_words"] for r in rows) == 23
+    assert len(rows) == 5  # 4 full + 1 tail of 3

@@ -915,17 +915,34 @@ class Pipeline:
         return self._next(ordered)
 
     def _fill_updates(self, w: Any, skip: Iterable[str]) -> dict:
-        """last-non-falsy-over-window fill expressions for every payload
-        column (Groovy-falsy rule shared with default_values — the
-        reference fills on ``value == null || !value``)."""
-        skip = set(skip)
+        """Fill expressions for every payload column (Groovy-falsy rule
+        shared with default_values — the reference fills on
+        ``value == null || !value``, Pipeline.groovy:443-449).
+
+        Reference recurrence: final(i) = orig(i) if non-falsy else
+        final(i-1) — so a falsy cell takes the last non-falsy value
+        before-or-at it, and a falsy PREFIX (no non-falsy yet) takes the
+        window's FIRST original value, whatever falsy it is. The last
+        branch matters only for mixed falsy values (a "" after a None
+        becomes None, as the reference's unconditional
+        ``row[col] = previousRow[col]`` makes it); coalesce-with-own
+        would keep "" and silently diverge (caught by a 100-trial fuzz).
+        The reference also skips a column literally named valid_To
+        (Pipeline.groovy:446, marked todo there — kept for parity)."""
+        skip = set(skip) | {"valid_To"}
         updates = {}
         for f in self.df.schema.fields:
             if f.name in skip or f.name == ROW_ORDER or f.name.startswith("__"):
                 continue
             c = F.col(f.name)
-            keepable = F.when(~self._groovy_falsy(f.name), c)
-            updates[f.name] = F.coalesce(F.last(keepable, ignorenulls=True).over(w), c)
+            falsy = self._groovy_falsy(f.name)
+            keepable = F.when(~falsy, c)
+            seen_nonfalsy = F.max(F.when(~falsy, F.lit(1)).otherwise(0)).over(w) == 1
+            updates[f.name] = (
+                F.when(~falsy, c)
+                .when(seen_nonfalsy, F.last(keepable, ignorenulls=True).over(w))
+                .otherwise(F.first(c).over(w))
+            )
         return updates
 
     def fill_down_by(

@@ -109,6 +109,42 @@ def test_flatten_window(spark):
     assert runs == [("a", 1), ("a", 2), ("b", 1)]
 
 
+def test_fill_down_mixed_falsy_chain_matches_reference(spark):
+    """Reference recurrence (Pipeline.groovy:443-449): a falsy cell takes
+    the PREVIOUS cell's final value unconditionally — so "" after a None
+    run-start becomes None (and None after "" becomes ""). A
+    last-non-falsy + keep-own-on-miss formulation diverges exactly here
+    (found by fuzz, 63/100 random trials)."""
+    rows = [
+        {"i": 0, "k": "p", "v": None},   # run start: stays None
+        {"i": 1, "k": "p", "v": ""},     # falsy: takes prev final -> None
+        {"i": 2, "k": "p", "v": "x"},    # non-falsy: keeps x
+        {"i": 3, "k": "p", "v": ""},     # falsy: takes x
+        {"i": 4, "k": "q", "v": ""},     # new run start: stays ""
+        {"i": 5, "k": "q", "v": None},   # falsy: takes prev final -> ""
+    ]
+    p = sources.from_collection(spark, rows, "i long, k string, v string").fill_down_by(
+        lambda row, prev: row["k"] == prev["k"], order_by="i"
+    )
+    got = [r["v"] for r in sorted(p.df.collect(), key=lambda r: r["i"])]
+    assert got == [None, None, "x", "x", "", ""]
+
+
+def test_fill_down_skips_valid_to_column(spark):
+    """Reference parity: fillDownBy never fills a column literally named
+    valid_To (Pipeline.groovy:446, a documented wart)."""
+    rows = [
+        {"i": 0, "k": "p", "valid_To": "keepme", "v": "a"},
+        {"i": 1, "k": "p", "valid_To": None, "v": None},
+    ]
+    p = sources.from_collection(
+        spark, rows, "i long, k string, valid_To string, v string"
+    ).fill_down_by(["k"], order_by="i")
+    got = {r["i"]: r for r in p.df.collect()}
+    assert got[1]["v"] == "a"            # normal column fills
+    assert got[1]["valid_To"] is None    # valid_To does not
+
+
 def test_fill_down_decider_runs_span_partitions(spark):
     """The closure-decider fill_down must stitch runs across range
     partitions: values set only at run starts must propagate through

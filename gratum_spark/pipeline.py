@@ -1506,6 +1506,16 @@ class Pipeline:
             .option("header", header)
             .option("sep", separator)
             .option("quoteAll", quote_all)
+            # RFC-4180 doubled-quote escaping, like the reference's
+            # CSVFile.java:229-254 and this engine's own csv() reader
+            # (Spark's write default is backslash-escape, which the
+            # doubled-quote reader mis-parses: a quote INSIDE a field
+            # broke the save->csv roundtrip — caught by fuzz r5)
+            .option("escape", '"')
+            # Spark trims cell whitespace ON WRITE by default; the
+            # reference preserves field content byte-for-byte
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
             .csv(path)
         )
         return self._save_result(path, obs)

@@ -1,7 +1,11 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "calibration": {...}, "passes": [...]}.
+compact JSON line as the LAST line of stdout: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...,
+"calibration": {...}}. Full detail (raw per-pass timings + calibration)
+is written to $SPARK_GRAFT_BENCH_DETAIL (default ./bench_detail.json) —
+NOT stdout: the driver captures only the last ~2000 chars, and r5's
+headline with `passes` inlined overflowed it (BENCH_r05 "parsed": null).
 
 Each query is timed as plan-build + full execution (count-style action
 that materializes every row of the result).
@@ -156,22 +160,50 @@ def main() -> int:
     calibration_end = _calibrate(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "calibration": {
-                    "start": calibration_start,
-                    "end": calibration_end,
-                },
-                "passes": passes,
-            }
-        )
+    calibration = {"start": calibration_start, "end": calibration_end}
+
+    # Full detail (every raw pass + per-query mins + calibration) goes to
+    # a file: the driver records only the last ~2000 chars of stdout, and
+    # r5's headline line with `passes` embedded overflowed that capture,
+    # leaving BENCH_r05.json unparseable ("parsed": null). The LAST stdout
+    # line must stay compact — headline total, per-query mins (2-decimal),
+    # sf, calibration — comfortably under 2000 bytes for the 36-query set.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
     )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "calibration": calibration,
+        "passes": passes,
+    }
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write detail file {detail_path}: {exc}", file=sys.stderr)
+
+    headline = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+        "calibration": calibration,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        # Paranoia: never let the headline overflow the driver's tail
+        # capture again — drop per-query detail (it survives in the file).
+        headline["queries"] = {}
+        headline["detail_file"] = detail_path
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -170,12 +170,17 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def op_filter_regex(spark, sf) -> DataFrame:
-    """filter(Map) regex form (Pattern => rlike find semantics)."""
+    """filter(Map) regex form (Pattern => rlike find semantics).
+
+    r6: pattern changed from 'BRASS' (matched nothing in the synthetic
+    p_type domain {ECONOMY..PROMO} -> a 0-row result that hash-matches
+    any empty oracle) to '^(ST|ME)' which selects STANDARD+MEDIUM, so
+    the driver row actually exercises the regex path."""
     import re
 
     return (
         T(spark, sf, "part")
-        .filter({"p_type": re.compile("BRASS")})
+        .filter({"p_type": re.compile("^(ST|ME)")})
         .group_by("p_brand")
         .agg(n=F.count("*"))
         .sort("p_brand")
@@ -185,7 +190,7 @@ def op_filter_regex(spark, sf) -> DataFrame:
 
 ORACLE_FILTER_REGEX = """
 SELECT p_brand, COUNT(*) AS n FROM part
-WHERE regexp_matches(p_type, 'BRASS')
+WHERE regexp_matches(p_type, '^(ST|ME)')
 GROUP BY p_brand ORDER BY p_brand
 """
 
@@ -258,11 +263,16 @@ FROM customer GROUP BY 1 ORDER BY 1
 
 
 def op_anti_join(spark, sf) -> DataFrame:
-    """anti-join via intersect+filter: customers with no orders."""
+    """anti-join via intersect+filter: customers with no URGENT orders.
+
+    r6: the synthetic data gives every customer >=1 order, so the old
+    unfiltered form returned 0 rows (vacuous hash match). Filtering the
+    right side to 1-URGENT leaves ~2% of customers unmatched (203 at
+    sf0.01) so the anti path is actually exercised."""
     cust = T(spark, sf, "customer")
-    orders = T(spark, sf, "orders")
+    urgent = T(spark, sf, "orders").filter({"o_orderpriority": "1-URGENT"})
     return (
-        cust.intersect(orders, on={"c_custkey": "o_custkey"})
+        cust.intersect(urgent, on={"c_custkey": "o_custkey"})
         .filter({"included": False})
         .clip("c_custkey")
         .sort("c_custkey")
@@ -272,7 +282,9 @@ def op_anti_join(spark, sf) -> DataFrame:
 
 ORACLE_ANTI = """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS(SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey
+                   AND o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
 
@@ -2204,7 +2216,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
@@ -2219,57 +2230,35 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    past the window after 4 green rounds — cube/grouping-sets family
     #    stays covered by op_grouping_sets/op_cube below)
     "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
-    # -- LLM-data-pipeline queries (past the r1 window, never driver-checked)
+    # -- LLM-data-pipeline representatives (kept in-window: each family --
+    #    dedup, curation, ANN, text, multimodal -- keeps one current row)
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
-    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
-    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
-    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
-    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
-    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
-    "text_lang_id": (text_lang_id, _lang_oracle()),
-    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
-    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
-    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    # -- rotated into the window in r3 (oracle-backed, first driver check)
-    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
-    "text_repetition": (text_repetition, ORACLE_REPETITION),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
-    # -- new in r3 (oracle-backed, local gate green at 3 SFs)
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
-    # -- new in r5: overlapping context-window chunking (first driver
-    #    check; op_sort_limit rotated past the window after 4 green
-    #    rounds — sort+limit stays covered in-window by q3_top_orders'
-    #    TakeOrderedAndProject)
     "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
-    # ---- 50-entry driver window boundary ----
-    # -- rotated out in r3 (r1/r2 driver-green twice; family stays in-window:
-    #    filter via op_filter_map, set-membership via op_set_ops, fold via
-    #    op_udaf_pandas, windows via op_window_rank/op_tumbling_window,
-    #    distinct via op_approx_distinct, streaming via the 3 stream_* rows)
+    # -- rotated INTO the window in r6 (r5 verdict task 2): every query
+    #    below was driver-green in r1/r2 but has not been re-oracled since
+    #    the engine changed under it (Arrow-batched closures, distributed
+    #    run-ids, scoped timestamp confs). Re-checking them beats
+    #    re-confirming the 3x-green text/multimodal rows (rotated out
+    #    below, still bench/pytest-covered).
     "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     "op_unique": (op_unique, ORACLE_UNIQUE),
-    "op_inject": (op_inject, ORACLE_INJECT),
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    # -- r1-green queries whose family stays represented in-window
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
@@ -2277,6 +2266,32 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_replace": (op_replace, ORACLE_REPLACE),
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    # ---- 50-entry driver window boundary ----
+    # -- rotated OUT in r6 after 3-4 consecutive green rounds (families
+    #    stay represented in-window: text via text_contamination/text_tfidf/
+    #    text_chunks, multimodal via multimodal_audio, ANN via ann_topk,
+    #    dedup via dedup_exact/dedup_minhash_verified/dedup_chunks,
+    #    distinct via op_set_ops, json via pytest). Still bench-covered.
+    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
+    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
+    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
+    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
+    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_lang_id": (text_lang_id, _lang_oracle()),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
+    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
+    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    # -- past-window queries from earlier rotations (r1/r2-green; family
+    #    stays represented in-window)
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_inject": (op_inject, ORACLE_INJECT),
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
     # rotated out in r5 after 4 green rounds (families stay in-window:

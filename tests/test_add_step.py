@@ -90,7 +90,7 @@ def test_add_step_error_threshold_aborts(spark):
 
     rows = [{"i": i} for i in range(60)]
     p = sources.from_collection(spark, rows, name="boomsrc").add_step(
-        "always-boom", lambda row: 1 / 0
+        "always-boom", lambda row: 1 / 0, schema="i long"
     )
     with pytest.raises(PipelineAbortException):
         p.go()

@@ -41,9 +41,11 @@ def test_empty_pipeline_core_ops(empty):
 
 
 def test_empty_add_step_and_group(empty):
-    p = empty.add_step(lambda r: r).group_by("name").agg(n=F.count("*"))
+    with pytest.warns(UserWarning, match="schema inference fell back"):
+        p = empty.add_step(lambda r: r).group_by("name").agg(n=F.count("*"))
     assert p.df.collect() == []
-    assert empty.add_step(lambda r: {**r, "extra": 1}).columns == ["id", "name", "v"]
+    with pytest.warns(UserWarning, match="schema inference fell back"):
+        assert empty.add_step(lambda r: {**r, "extra": 1}).columns == ["id", "name", "v"]
     # empty source -> schema inference falls back to input schema; explicit schema still works
     p2 = empty.add_step(lambda r: {"id": r["id"], "extra": 1}, schema="id long, extra long")
     assert p2.columns == ["id", "extra"]

@@ -570,7 +570,8 @@ def test_sort_to_file_without_downstream(spark, tmp_path):
         sources.from_collection(spark, rows, name="hob", ordered=True)
         .sort("hobby", downstream=False, after_file=seen_files.append,
               file=str(tmp_path / "sorted.csv"))
-        .add_step("never", lambda r: hit_downstream.append(r) or r)
+        .add_step("never", lambda r: hit_downstream.append(r) or r,
+                  schema="hobby string")
     )
     stat = p.go()
     assert stat.loaded == 0 and not hit_downstream
@@ -625,6 +626,23 @@ def test_add_step_inference_skips_rejecting_probe_rows(spark):
     )
     got = p.df.collect()
     assert len(got) == 1 and got[0]["double"] == 14
+
+
+def test_add_step_inference_survives_reject_heavy_prefix(spark):
+    # r5 verdict #4: the reference's canonical add_step use is a
+    # reject-heavy step (PipelineTest.groovy:46-66 shape) — with a 5-row
+    # probe, 20 leading rejects defeated inference. Probe is now 50 rows.
+    from gratum_spark import rejections, sources
+
+    rows = [{"v": -i} for i in range(1, 21)] + [{"v": 7}, {"v": 9}]
+    p = (
+        sources.from_collection(spark, rows, name="probe50", ordered=True)
+        .add_step("derive", lambda r: rejections.reject("neg") if r["v"] < 0
+                  else {**r, "double": r["v"] * 2})
+    )
+    assert "double" in p.columns  # inferred despite 20 rejecting probe rows
+    got = sorted(r["double"] for r in p.df.collect())
+    assert got == [14, 18]
 
 
 def test_add_step_inference_fallback_warns(spark):

@@ -101,11 +101,19 @@ def _is_regex(v: Any) -> bool:
 def _pandas_value_predicate(fn: Callable[[Any], Any]):
     """Arrow-batched boolean predicate over a single column — the
     Condition-map closure form. One Arrow batch crosses the Python
-    boundary per ~10k rows instead of one pickled value per row."""
+    boundary per ~10k rows instead of one pickled value per row.
+
+    The series is normalized to Python-native values BEFORE the user
+    closure sees it: Arrow hands nulls to pandas as NaN/NaT/pd.NA, so a
+    closure like ``lambda x: x is None`` silently matched nothing after
+    the r5 switch from F.udf (r5 ADVICE, verified). astype(object) +
+    where(notna) restores None for every null, matching the row-at-a-time
+    boundary the reference's closures were written against."""
 
     @F.pandas_udf(BooleanType())
     def _pred(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: bool(fn(x)))
+        native = s.astype(object).where(s.notna(), None)
+        return native.map(lambda x: bool(fn(x)))
 
     return _pred
 
@@ -173,7 +181,19 @@ def _distributed_run_ids(
     # (boundary rows land in different partitions per branch). Lazy
     # localCheckpoint materializes the frame once inside the consuming
     # action; both branches then read identical partitions.
-    d = d.localCheckpoint(eager=False)
+    #
+    # RELIABILITY (r5 ADVICE): localCheckpoint blocks live on executors
+    # and are NOT replayable — on a real cluster, losing an executor
+    # after materialization fails the job instead of recomputing. Opt in
+    # to a reliable checkpoint by setting a checkpoint dir on the session
+    # (spark.sparkContext.setCheckpointDir("hdfs://...")): when one is
+    # configured the frame checkpoints there instead (replayable from
+    # shared storage, at the cost of a cluster-FS write). Local mode
+    # keeps the zero-copy localCheckpoint default.
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        d = d.checkpoint(eager=False)
+    else:
+        d = d.localCheckpoint(eager=False)
     stats = d.groupBy("__pid__").agg(
         F.max("__lid__").alias("__nruns__"),
         F.min_by(payload, ordc).alias("__first__"),
@@ -201,11 +221,14 @@ def _distributed_run_ids(
 
 def _pandas_row_predicate(fn: Callable[[dict], Any]):
     """Arrow-batched boolean predicate over the whole row (Condition's
-    "*" wildcard closure): struct input arrives as a pandas DataFrame."""
+    "*" wildcard closure): struct input arrives as a pandas DataFrame.
+    Nulls are normalized to Python None before the closure sees the row
+    dict (same boundary contract as _pandas_value_predicate)."""
 
     @F.pandas_udf(BooleanType())
     def _pred(batch: pd.DataFrame) -> pd.Series:
-        return batch.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+        native = batch.astype(object).where(batch.notna(), None)
+        return native.apply(lambda r: bool(fn(r.to_dict())), axis=1)
 
     return _pred
 
@@ -1093,7 +1116,11 @@ class Pipeline:
 
         return self._next(self.df.mapInPandas(_gen, schema))
 
-    def exchange(self, fn: Callable[[dict], "DataFrame | Pipeline"]) -> "Pipeline":
+    def exchange(
+        self,
+        fn: Callable[[dict], "DataFrame | Pipeline"],
+        max_rows: int = 100_000,
+    ) -> "Pipeline":
         """Per input row, expand into a whole new DataFrame/Pipeline and
         union all (gratum exchange, Pipeline.groovy:1039-1053).
 
@@ -1107,10 +1134,21 @@ class Pipeline:
         Driver-side by necessity (each row births a new Spark plan, e.g.
         row -> file path -> spark.read). Keys are collected to the driver:
         correct for the reference's use cases (small row counts fanning
-        out to files); for large fan-out prefer flat_map or a source that
-        lists files directly.
+        out to files). ``max_rows`` (default 100k) guards against feeding
+        it a data-sized input — past the cap it raises instead of OOMing
+        the driver; for large fan-out use ``flat_map`` (distributed UDTF)
+        or a source that lists files directly.
         """
-        rows = [r.asDict(recursive=True) for r in self.df.collect()]
+        capped = self.df.limit(max_rows + 1).collect()
+        if len(capped) > max_rows:
+            raise ValueError(
+                f"exchange() collects its input to the driver and got more "
+                f"than max_rows={max_rows} rows; this operator is for "
+                f"small fan-out seeds (row -> file/query). For data-sized "
+                f"fan-out use flat_map() (distributed) or a direct source; "
+                f"or raise max_rows= explicitly if the driver can hold it."
+            )
+        rows = [r.asDict(recursive=True) for r in capped]
         dfs: list[DataFrame] = []
         extra_rejects: list[DataFrame] = []
         for r in rows:
@@ -1611,10 +1649,21 @@ class GroupedPipeline:
         )
         return self.parent._next(df)
 
-    def as_tree(self) -> dict:
+    def as_tree(self, max_rows: int = 100_000) -> dict:
         """Gratum compat: the nested {v1: {v2: [row,...]}} single-row tree
         (Pipeline.groovy:537-566). Collects to the driver — small results
-        only; prefer .agg()/.rows() at scale."""
+        only. ``max_rows`` (default 100k) counts INPUT rows (every row
+        lands in some leaf list, so the tree holds them all); past the
+        cap this raises instead of OOMing the driver — use .agg() or
+        .rows() (both distributed) at scale."""
+        n = self.parent.df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"as_tree() materializes every input row in a driver-side "
+                f"nested dict and got more than max_rows={max_rows} rows; "
+                f"use .agg(...) or .rows() (distributed) for large groups, "
+                f"or raise max_rows= explicitly if the driver can hold it."
+            )
         rows = self.rows().df.collect()
         tree: dict = {}
         for r in rows:

@@ -70,6 +70,56 @@ def from_closure(
     return from_collection(spark, list(generator()), schema, name, ordered)
 
 
+def _sniff_embedded_newlines(path: str, sniff_bytes: int = 262_144) -> bool:
+    """True if a CSV file MAY contain newlines inside quoted fields (so it
+    must be read ``multiLine=True``, single-split); False only when the
+    sniffed prefix proves the common case — no quote ever spans a line.
+
+    Scans the first ``sniff_bytes`` of up to 4 local files (glob/dir
+    resolved like the parquet footer probe above) with an RFC-4180 quote
+    state machine (doubled ``\"\"`` = escaped quote, net state unchanged).
+    Conservative on every uncertainty: remote/unlistable paths, read
+    errors, a newline seen while in-quote, or a sniff window that ENDS
+    in-quote (the open field could contain a newline past the window) all
+    return True, falling back to the reference-parity multiLine path."""
+    try:
+        import glob as _glob
+        import os as _os
+
+        if "://" in path and not path.startswith("file:"):
+            return True  # remote storage: can't sniff cheaply, stay safe
+        p = path[len("file:"):] if path.startswith("file:") else path
+        if any(ch in p for ch in "*?["):
+            files = sorted(_glob.glob(p))[:4]
+        elif _os.path.isdir(p):
+            files = []
+            for root, dirs, names in _os.walk(p):
+                dirs.sort()
+                files += [_os.path.join(root, x) for x in sorted(names)
+                          if not x.startswith(("_", "."))]
+                if len(files) >= 4:
+                    break
+            files = files[:4]
+        else:
+            files = [p]
+        if not files:
+            return True
+        for f in files:
+            with open(f, "rb") as fh:
+                chunk = fh.read(sniff_bytes)
+            in_quote = False
+            for b in chunk:
+                if b == 0x22:  # '"'
+                    in_quote = not in_quote
+                elif in_quote and b in (0x0A, 0x0D):
+                    return True
+            if in_quote:  # window ended inside an open quoted field
+                return True
+        return False
+    except Exception:  # noqa: BLE001 - sniff is best-effort, stay safe
+        return True
+
+
 def csv(
     spark: SparkSession,
     path: str,
@@ -80,7 +130,7 @@ def csv(
     schema: StructType | str | None = None,
     ordered: bool = False,
     name: str | None = None,
-    multiline: bool = True,
+    multiline: bool | None = None,
     on_header: Callable[[list[str]], Any] | None = None,
 ) -> Pipeline:
     """Delimited text (reference: CsvSource.groovy:50-166 + csv/CSVFile.java).
@@ -93,13 +143,19 @@ def csv(
     the column list at plan-build time — CsvSource.groovy ``header{}``,
     PipelineTest.groovy:980-992).
 
-    SCALE: ``multiline=True`` (the parity default — the reference keeps
-    newlines inside quoted fields, CSVFile.java:129-169) makes each file
-    single-split: one task per file regardless of size. For 100 TB
-    inputs without embedded newlines pass ``multiline=False`` so files
-    split at ``spark.sql.files.maxPartitionBytes`` boundaries.
+    SCALE: ``multiLine=True`` (reference parity — newlines survive inside
+    quoted fields, CSVFile.java:129-169) makes each file single-split:
+    one task per file regardless of size. The default ``multiline=None``
+    AUTO-detects: a bounded sniff of the leading bytes checks whether any
+    quoted field spans a line; when provably not (the overwhelming
+    real-world case) the read uses ``multiLine=False`` so 100 TB inputs
+    split at ``spark.sql.files.maxPartitionBytes`` boundaries. Any
+    uncertainty (remote path, read error, open quote at window end) falls
+    back to the single-split parity path. Pass an explicit bool to force.
     """
     name = name or f"csv({path})"
+    if multiline is None:
+        multiline = _sniff_embedded_newlines(path)
     if not escaping:
         lines = spark.read.text(path)
         parts = F.split(F.col("value"), re_escape(separator))
@@ -323,7 +379,25 @@ def _nanos_ts_cols(path: str) -> list[str]:
     bigint; sources convert those to microsecond timestamps (the same
     floor-truncation DuckDB applies) so every encoding — micros-UTC,
     micros-NTZ, nanos — lands on one uniform TimestampType. Detection
-    reads ONE footer (pyarrow), not the data."""
+    reads ONE footer (pyarrow), not the data.
+
+    Footer inspection is local-filesystem only. On remote storage
+    (s3://, hdfs://, ...) or when inspection fails, detection returns []
+    — legacy-nanos columns would then surface as raw bigint — so a
+    WARNING is emitted instead of regressing silently (r5 ADVICE): at
+    100 TB the caller should either store micros or pass through a path
+    pyarrow can open (s3fs/fsspec mounts work)."""
+    import warnings as _warnings
+
+    if "://" in path and not path.startswith("file:"):
+        _warnings.warn(
+            f"parquet nanos-timestamp detection skipped for remote path "
+            f"{path!r}: footer inspection is local-only, so any legacy "
+            f"TIMESTAMP(NANOS) column will surface as bigint. Store "
+            f"microsecond timestamps, or read via a locally-mounted path.",
+            stacklevel=3,
+        )
+        return []
     try:
         import glob as _glob
         import os as _os
@@ -331,7 +405,7 @@ def _nanos_ts_cols(path: str) -> list[str]:
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        p = path
+        p = path[len("file:"):] if path.startswith("file:") else path
         if any(ch in p for ch in "*?["):  # glob path: first match decides
             matches = sorted(_glob.glob(p))
             if not matches:
@@ -355,7 +429,13 @@ def _nanos_ts_cols(path: str) -> list[str]:
             for f in sch
             if _pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         ]
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 - detection is best-effort
+        _warnings.warn(
+            f"parquet nanos-timestamp detection failed for {path!r} "
+            f"({type(exc).__name__}: {exc}); any legacy TIMESTAMP(NANOS) "
+            f"column will surface as bigint.",
+            stacklevel=3,
+        )
         return []
 
 

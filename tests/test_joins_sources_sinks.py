@@ -409,6 +409,61 @@ def test_csv_multiline_false_splittable(tmp_path, spark):
     assert p.go().loaded == 2
 
 
+def test_csv_sniff_embedded_newlines(tmp_path):
+    from gratum_spark.sources import _sniff_embedded_newlines
+
+    plain = tmp_path / "plain.csv"
+    plain.write_text("a,b\n1,x\n2,\"quoted, comma\"\n")
+    assert _sniff_embedded_newlines(str(plain)) is False
+
+    embedded = tmp_path / "embedded.csv"
+    embedded.write_text('a,b\n1,"line one\nline two"\n')
+    assert _sniff_embedded_newlines(str(embedded)) is True
+
+    # doubled "" escape must not flip the quote state machine
+    escaped = tmp_path / "escaped.csv"
+    escaped.write_text('a,b\n1,"say ""hi"""\n2,y\n')
+    assert _sniff_embedded_newlines(str(escaped)) is False
+
+    # sniff window ending inside an open quote -> conservative True
+    openq = tmp_path / "openq.csv"
+    openq.write_text('a,b\n1,"' + "z" * 100 + "\n")
+    assert _sniff_embedded_newlines(str(openq)) is True
+
+    # remote-looking path -> conservative True
+    assert _sniff_embedded_newlines("s3://bucket/data.csv") is True
+
+
+def test_csv_auto_multiline_splittable_and_correct(tmp_path, spark):
+    # r5 verdict #5: the multiLine=True parity default made every CSV
+    # single-split — the #1 remaining scale caveat. Default is now auto:
+    # a newline-free file must read multiLine=False and split into >1
+    # input partition; a file WITH quoted newlines must stay on the
+    # single-split multiLine path and parse identically.
+    big = tmp_path / "big.csv"
+    with open(big, "w") as fh:
+        fh.write("id,payload\n")
+        for i in range(40_000):
+            fh.write(f"{i},{'x' * 80}\n")  # ~3.3 MB total
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+    try:
+        auto = sources.csv(spark, str(big))
+        assert auto.df.rdd.getNumPartitions() > 1  # splittable fast path
+        assert auto.go().loaded == 40_000
+        forced = sources.csv(spark, str(big), multiline=True)
+        assert forced.df.rdd.getNumPartitions() == 1  # parity path: 1 task/file
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    emb = tmp_path / "emb.csv"
+    emb.write_text('id,note\n1,"first\nsecond"\n2,plain\n')
+    rows = {r["id"]: r["note"] for r in sources.csv(spark, str(emb)).df.collect()}
+    assert rows == {1: "first\nsecond", 2: "plain"} or \
+        rows == {"1": "first\nsecond", "2": "plain"}
+
+
 def test_csv_bom_and_crlf(spark, tmp_path):
     # reference detects and strips a UTF-8 BOM (csv/CSVFile.java:52-58)
     # and handles CRLF; Spark's reader does both natively — pin it.

@@ -27,6 +27,67 @@ def test_filter_expr_and_closure(people):
     assert stat.rejected == 3
 
 
+def test_filter_closure_sees_python_none_for_nulls(spark):
+    # r5 ADVICE (medium): the Arrow-batched closure path handed nulls to
+    # user closures as NaN/pd.NA, so `x is None` matched nothing. The
+    # series is now normalized to Python-native values first — pin the
+    # row-at-a-time boundary the reference's Condition closures assume.
+    rows = [{"n": 1}, {"n": None}, {"n": 3}]
+    p = sources.from_collection(spark, rows, "n long", name="nulls", ordered=False)
+    assert p.filter({"n": lambda x: x is None}).go().loaded == 1
+    assert p.filter({"n": lambda x: x is not None and x > 1}).go().loaded == 1
+    # string + timestamp columns too (NaT is the datetime NaN)
+    rows2 = [{"s": "a", "t": None}, {"s": None, "t": None}]
+    p2 = sources.from_collection(
+        spark, rows2, "s string, t timestamp", name="nulls2", ordered=False
+    )
+    assert p2.filter({"s": lambda x: x is None}).go().loaded == 1
+    assert p2.filter({"t": lambda x: x is None}).go().loaded == 2
+
+
+def test_filter_wildcard_closure_sees_python_none(spark):
+    # the "*" whole-row closure gets the same None-for-null boundary
+    rows = [{"a": 1, "b": None}, {"a": None, "b": "x"}]
+    p = sources.from_collection(
+        spark, rows, "a long, b string", name="wnulls", ordered=False
+    )
+    assert p.filter({"*": lambda r: r["b"] is None}).go().loaded == 1
+    assert p.filter({"*": lambda r: r["a"] is None and r["b"] == "x"}).go().loaded == 1
+
+
+def test_run_ids_reliable_checkpoint_opt_in(spark, tmp_path):
+    # r5 ADVICE (low): with a checkpoint dir configured on the session,
+    # the run-id consistency checkpoint becomes a reliable (replayable)
+    # checkpoint instead of executor-local blocks. Same answers, and the
+    # checkpoint data lands in the configured dir.
+    import os as _os
+
+    rows = [{"k": i // 3, "v": i} for i in range(30)]
+    expected = (
+        sources.from_collection(spark, rows, "k long, v long", ordered=True)
+        .fill_down_by(lambda cur, prev: cur["k"] == prev["k"])
+        .df.count()
+    )
+    ckdir = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = (
+            sources.from_collection(spark, rows, "k long, v long", ordered=True)
+            .fill_down_by(lambda cur, prev: cur["k"] == prev["k"])
+            .df.count()
+        )
+        assert got == expected
+        assert any(_os.scandir(ckdir))  # reliable checkpoint actually wrote
+    finally:
+        # reset to the localCheckpoint default for the rest of the suite
+        # (no public unset API; reach the scala var through py4j)
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+        except Exception:
+            pass
+
+
 def test_filter_map_forms(people):
     # collection => IN
     assert people.filter({"gender": ["male", "female"]}).go().loaded == 5
@@ -222,6 +283,32 @@ def test_exchange(spark, hobbies):
         return hobbies_df.filter(F.col("id") == row["id"])
 
     assert ids.exchange(expand).go().loaded == 4
+
+
+def test_exchange_max_rows_cap(spark, hobbies):
+    # r5 verdict #6: exchange is driver-side by reference semantics; a
+    # data-sized input must raise (naming the distributed alternative)
+    # instead of collecting 100 TB to the driver.
+    import pytest as _pytest
+
+    big = sources.from_collection(
+        spark, [{"id": i} for i in range(30)], ordered=False
+    )
+    hobbies_df = hobbies.df
+    with _pytest.raises(ValueError, match="flat_map"):
+        big.exchange(lambda row: hobbies_df, max_rows=10)
+    # explicit raise of the cap restores the old behavior
+    assert big.exchange(lambda row: hobbies_df.limit(1), max_rows=30).go().loaded == 30
+
+
+def test_as_tree_max_rows_cap(people):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rows\\(\\)"):
+        people.group_by("gender").as_tree(max_rows=2)
+    # under the cap the tree is unchanged
+    tree = people.group_by("gender").as_tree(max_rows=100)
+    assert len(tree["male"]) == 2 and len(tree["female"]) == 3
 
 
 def test_script_error_rejects(people):

@@ -70,18 +70,25 @@ def from_closure(
     return from_collection(spark, list(generator()), schema, name, ordered)
 
 
-def _sniff_embedded_newlines(path: str, sniff_bytes: int = 262_144) -> bool:
+def _sniff_embedded_newlines(
+    path: str, sniff_bytes: int = 1_048_576, max_files: int = 256
+) -> bool:
     """True if a CSV file MAY contain newlines inside quoted fields (so it
     must be read ``multiLine=True``, single-split); False only when the
-    sniffed prefix proves the common case — no quote ever spans a line.
+    sniffed prefix of EVERY file proves the common case — no quote ever
+    spans a line.
 
-    Scans the first ``sniff_bytes`` of up to 4 local files (glob/dir
+    Scans the first ``sniff_bytes`` of every local file (glob/dir
     resolved like the parquet footer probe above) with an RFC-4180 quote
     state machine (doubled ``\"\"`` = escaped quote, net state unchanged).
-    Conservative on every uncertainty: remote/unlistable paths, read
-    errors, a newline seen while in-quote, or a sniff window that ENDS
-    in-quote (the open field could contain a newline past the window) all
-    return True, falling back to the reference-parity multiLine path."""
+    Every file must be sniffed, not a sample: a multi-part directory
+    where only a LATER part carries quoted newlines mis-parsed under a
+    4-file sample (caught by tools/fuzz_semantics.py csv_roundtrip).
+    Conservative on every uncertainty: remote/unlistable paths, more
+    than ``max_files`` files, read errors, a newline seen while
+    in-quote, or a sniff window that ENDS in-quote (the open field could
+    contain a newline past the window) all return True, falling back to
+    the reference-parity multiLine path."""
     try:
         import glob as _glob
         import os as _os
@@ -90,19 +97,19 @@ def _sniff_embedded_newlines(path: str, sniff_bytes: int = 262_144) -> bool:
             return True  # remote storage: can't sniff cheaply, stay safe
         p = path[len("file:"):] if path.startswith("file:") else path
         if any(ch in p for ch in "*?["):
-            files = sorted(_glob.glob(p))[:4]
+            files = sorted(_glob.glob(p))
         elif _os.path.isdir(p):
             files = []
             for root, dirs, names in _os.walk(p):
                 dirs.sort()
                 files += [_os.path.join(root, x) for x in sorted(names)
                           if not x.startswith(("_", "."))]
-                if len(files) >= 4:
-                    break
-            files = files[:4]
+                if len(files) > max_files:
+                    return True  # too many to prove: stay safe
+            files = [f for f in files if not _os.path.isdir(f)]
         else:
             files = [p]
-        if not files:
+        if not files or len(files) > max_files:
             return True
         for f in files:
             with open(f, "rb") as fh:

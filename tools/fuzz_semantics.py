@@ -1,0 +1,334 @@
+"""Randomized-semantics fuzz campaigns: engine vs sequential reference
+models (committed form of the r5 one-off campaigns that caught the
+fill-down mixed-falsy bug and the CSV save/read quote roundtrip bug).
+
+Each campaign generates random inputs, runs the engine operator, and
+compares against an independent sequential Python model of the
+reference's semantics (Pipeline.groovy). Seedable and sized from the
+command line so any round can re-run the full campaign in one command:
+
+    python tools/fuzz_semantics.py                  # all campaigns, default N
+    python tools/fuzz_semantics.py --campaign fill_down --n 100 --seed 7
+    python tools/fuzz_semantics.py --campaign csv_roundtrip
+
+Campaigns
+---------
+fill_down       fill_down_by (decider AND key_columns forms) vs the
+                sequential fill recurrence (Pipeline.groovy:437-455):
+                final(i) = orig(i) if non-falsy else final(i-1); Groovy
+                falsy = null/""/0. Mixed falsy values and falsy prefixes
+                are the historical bug surface.
+flatten_window  consecutive-run grouping (Pipeline.groovy:1284-1313) vs
+                a sequential runs model; small alphabet + None forces
+                runs across range-partition boundaries (None==None is
+                one run, Groovy ==).
+csv_roundtrip   save() -> csv() byte-preservation for quotes, commas,
+                embedded newlines, field whitespace, unicode. None and
+                "" both write as an empty cell and read back null —
+                normalized on both sides (documented collapse).
+jsonl_roundtrip jsonl() -> json_source round-trip for the same alphabet
+                (JSON distinguishes null from "" — no normalization).
+
+On failure the campaign prints the trial seed and the minimal
+input/expected/got triple, and the process exits non-zero.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FALSY = (None, "", 0)
+
+# deliberately nasty string alphabet: quotes, separators, CR/LF,
+# whitespace edges, unicode, RFC-4180 corner shapes
+NASTY = [
+    "plain", "  lead", "trail  ", " both ", 'qu"ote', '""', 'a,b', "a\nb",
+    "a\r\nb", "\n", ",", '"', 'end"', '"start', "héllo wörld", "日本語",
+    "tab\there", "semi;colon", "a'b", '=formula', "0", "-1.5", "null",
+]
+
+
+def _spark():
+    from gratum_spark.session import get_spark
+
+    return get_spark("fuzz-semantics")
+
+
+# --------------------------------------------------------------- fill_down
+
+
+def _seq_fill(rows: list[dict], cols: list[str], run_of: list[int]) -> list[dict]:
+    """Reference recurrence per run: falsy cell takes the previous row's
+    FILLED value (unconditional row[col] = previousRow[col],
+    Pipeline.groovy:443-449); a falsy prefix keeps its original value."""
+    out: list[dict] = []
+    prev: dict | None = None
+    prev_run = None
+    for r, run in zip(rows, run_of):
+        cur = dict(r)
+        if prev is not None and run == prev_run:
+            for c in cols:
+                if cur[c] in FALSY:
+                    cur[c] = prev[c]
+        out.append(cur)
+        prev, prev_run = cur, run
+    return out
+
+
+def fuzz_fill_down(spark, n: int, seed: int) -> list[str]:
+    from gratum_spark import sources
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 100_003 + t)
+        size = rng.randint(1, 40)
+        rows = [
+            {
+                "i": i,
+                "g": rng.choice(["p", "q", "r"]),
+                "x": rng.choice([None, "", "a", "b", "c"]),
+                "y": rng.choice([None, 0, 1, 2, 3]),
+            }
+            for i in range(size)
+        ]
+        schema = "i long, g string, x string, y long"
+
+        # decider form: runs break where adjacent g differs
+        run_of, run = [0], 0
+        for a, b in zip(rows, rows[1:]):
+            if b["g"] != a["g"]:
+                run += 1
+            run_of.append(run)
+        expected = _seq_fill(rows, ["x", "y"], run_of)
+
+        p = sources.from_collection(spark, rows, schema, name="fz", ordered=True)
+        got = sorted(
+            (r.asDict() for r in p.fill_down_by(
+                lambda cur, prev: cur["g"] == prev["g"]).df.collect()),
+            key=lambda r: r["i"],
+        )
+        for e, g in zip(expected, got):
+            if (e["x"], e["y"]) != (g["x"], g["y"]):
+                failures.append(
+                    f"fill_down decider trial={t} seed={seed} row i={e['i']}: "
+                    f"expected (x={e['x']!r}, y={e['y']!r}) got "
+                    f"(x={g['x']!r}, y={g['y']!r}) rows={rows}"
+                )
+                break
+
+        # key_columns form: one "run" per key value over source order
+        key_ids = {k: j for j, k in enumerate(dict.fromkeys(r["g"] for r in rows))}
+        by_key: dict[str, list[int]] = {}
+        krun_of = []
+        for r in rows:
+            by_key.setdefault(r["g"], []).append(r["i"])
+            krun_of.append(key_ids[r["g"]])
+        k_sorted = sorted(rows, key=lambda r: (krun_of[r["i"]], r["i"]))
+        k_expected = _seq_fill(
+            k_sorted, ["x", "y"], [krun_of[r["i"]] for r in k_sorted]
+        )
+        k_expected.sort(key=lambda r: r["i"])
+        got_k = sorted(
+            (r.asDict() for r in p.fill_down_by(["g"]).df.collect()),
+            key=lambda r: r["i"],
+        )
+        for e, g in zip(k_expected, got_k):
+            if (e["x"], e["y"]) != (g["x"], g["y"]):
+                failures.append(
+                    f"fill_down keys trial={t} seed={seed} row i={e['i']}: "
+                    f"expected (x={e['x']!r}, y={e['y']!r}) got "
+                    f"(x={g['x']!r}, y={g['y']!r}) rows={rows}"
+                )
+                break
+        if failures:
+            break
+    return failures
+
+
+# ----------------------------------------------------------- flatten_window
+
+
+def fuzz_flatten_window(spark, n: int, seed: int) -> list[str]:
+    from gratum_spark import sources
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 200_003 + t)
+        size = rng.randint(1, 60)
+        vals = [rng.choice([None, "a", "b"]) for _ in range(size)]
+        rows = [{"i": i, "g": g} for i, g in enumerate(vals)]
+
+        expected = []
+        run_val, run_len = vals[0], 1
+        for g in vals[1:]:
+            if g == run_val:
+                run_len += 1
+            else:
+                expected.append((run_val, run_len))
+                run_val, run_len = g, 1
+        expected.append((run_val, run_len))
+
+        def summarize(pdf):
+            return pdf.groupby("g", as_index=False, dropna=False).agg(
+                n=("i", "count")
+            )
+
+        p = sources.from_collection(
+            spark, rows, "i long, g string", name="fzw", ordered=True
+        ).flatten_window("g", summarize, "g string, n long", order_by="i")
+        key = lambda p_: (p_[0] is None, p_[0] or "", p_[1])  # noqa: E731
+        got = sorted(((r["g"], r["n"]) for r in p.df.collect()), key=key)
+        want = sorted(expected, key=key)
+        if got != want:
+            failures.append(
+                f"flatten_window trial={t} seed={seed}: expected {want} "
+                f"got {got} vals={vals}"
+            )
+            break
+    return failures
+
+
+# -------------------------------------------------------------- roundtrips
+
+
+def _rand_rows(rng: random.Random, size: int) -> list[dict]:
+    return [
+        {
+            "id": i,
+            "a": rng.choice(NASTY + [None]),
+            "b": rng.choice(NASTY),
+            "num": rng.choice([None, 0, -7, 123456789, rng.randint(-10**6, 10**6)]),
+        }
+        for i in range(size)
+    ]
+
+
+def fuzz_csv_roundtrip(spark, n: int, seed: int) -> list[str]:
+    from gratum_spark import sources
+
+    # CSV cannot distinguish null from "" (both are an empty cell);
+    # everything else must survive byte-for-byte
+    norm = lambda v: None if v in (None, "") else str(v)  # noqa: E731
+    failures = []
+    tmp = tempfile.mkdtemp(prefix="fuzz_csv_")
+    try:
+        for t in range(n):
+            rng = random.Random(seed * 300_007 + t)
+            rows = _rand_rows(rng, rng.randint(1, 25))
+            path = os.path.join(tmp, f"trial{t}")
+            p = sources.from_collection(
+                spark, rows, "id long, a string, b string, num long", name="fzc"
+            )
+            p.save(path)
+            back = {
+                int(r["id"]): r
+                for r in sources.csv(spark, path).df.collect()
+            }
+            if len(back) != len(rows):
+                failures.append(
+                    f"csv trial={t} seed={seed}: {len(rows)} rows in, "
+                    f"{len(back)} out"
+                )
+                break
+            for r in rows:
+                g = back[r["id"]]
+                for c in ("a", "b", "num"):
+                    if norm(r[c]) != norm(g[c]):
+                        failures.append(
+                            f"csv trial={t} seed={seed} id={r['id']} col={c}: "
+                            f"wrote {r[c]!r} read {g[c]!r}"
+                        )
+                        break
+                if failures:
+                    break
+            if failures:
+                break
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
+def fuzz_jsonl_roundtrip(spark, n: int, seed: int) -> list[str]:
+    from gratum_spark import sources
+
+    failures = []
+    tmp = tempfile.mkdtemp(prefix="fuzz_jsonl_")
+    try:
+        for t in range(n):
+            rng = random.Random(seed * 400_009 + t)
+            rows = _rand_rows(rng, rng.randint(1, 25))
+            path = os.path.join(tmp, f"trial{t}")
+            p = sources.from_collection(
+                spark, rows, "id long, a string, b string, num long", name="fzj"
+            )
+            p.jsonl(path)
+            back = {r["id"]: r for r in sources.json(spark, path).df.collect()}
+            if len(back) != len(rows):
+                failures.append(
+                    f"jsonl trial={t} seed={seed}: {len(rows)} rows in, "
+                    f"{len(back)} out"
+                )
+                break
+            for r in rows:
+                g = back[r["id"]]
+                for c in ("a", "b", "num"):
+                    if r[c] != g[c]:
+                        failures.append(
+                            f"jsonl trial={t} seed={seed} id={r['id']} col={c}: "
+                            f"wrote {r[c]!r} read {g[c]!r}"
+                        )
+                        break
+                if failures:
+                    break
+            if failures:
+                break
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
+CAMPAIGNS = {
+    "fill_down": (fuzz_fill_down, 25),
+    "flatten_window": (fuzz_flatten_window, 25),
+    "csv_roundtrip": (fuzz_csv_roundtrip, 15),
+    "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--campaign", choices=[*CAMPAIGNS, "all"], default="all")
+    ap.add_argument("--n", type=int, default=None,
+                    help="trials per campaign (default: per-campaign size)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    spark = _spark()
+    names = list(CAMPAIGNS) if args.campaign == "all" else [args.campaign]
+    any_failed = False
+    for name in names:
+        fn, default_n = CAMPAIGNS[name]
+        n = args.n if args.n is not None else default_n
+        t0 = time.perf_counter()
+        failures = fn(spark, n, args.seed)
+        dt = time.perf_counter() - t0
+        if failures:
+            any_failed = True
+            print(f"FAIL {name}: {len(failures)} ({dt:.1f}s)")
+            for f in failures:
+                print(f"  {f}")
+        else:
+            print(f"PASS {name}: {n} trials ({dt:.1f}s)")
+    return 1 if any_failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,13 +26,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gratum_spark.plans.queries import QUERIES
 from gratum_spark.session import get_spark
 
-OPS = ["dedup_minhash", "dedup_minhash_verified", "dedup_ngram", "dedup_embedding"]
+OPS = [
+    "dedup_minhash",
+    "dedup_minhash_verified",
+    "dedup_ngram",
+    "dedup_embedding",
+    # r6 (r5 verdict task 7): the remaining families with shuffle
+    # behavior worth pinning — broadcast-gram contamination join,
+    # one-action TF-IDF, expression-only chunk explode, micro-batch
+    # streaming aggregation
+    "text_contamination",
+    "text_tfidf",
+    "text_chunks",
+    "stream_tumbling_counts",
+]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 INPUT_TABLE = {
     "dedup_minhash": "documents",
     "dedup_minhash_verified": "documents",
     "dedup_ngram": "documents",
     "dedup_embedding": "embeddings",
+    "text_contamination": "documents",
+    "text_tfidf": "documents",
+    "text_chunks": "documents",
+    "stream_tumbling_counts": "events",
 }
 
 

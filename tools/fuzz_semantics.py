@@ -28,6 +28,13 @@ csv_roundtrip   save() -> csv() byte-preservation for quotes, commas,
                 normalized on both sides (documented collapse).
 jsonl_roundtrip jsonl() -> json_source round-trip for the same alphabet
                 (JSON distinguishes null from "" — no normalization).
+unique_filter   unique() first-wins in play order + every filter(Map)
+                Condition form (literal/IN/regex/closure/conjunction/"*")
+                vs sequential models, including LoadStatistic reject
+                counts; null keys and SQL null-fails-literal semantics.
+join            inner (unmatched-left rejects counted) and left-outer
+                (null-filled, 1-N multiply, left-wins column collision)
+                vs a sequential model; None keys match nothing.
 
 On failure the campaign prints the trial seed and the minimal
 input/expected/got triple, and the process exits non-zero.
@@ -295,11 +302,160 @@ def fuzz_jsonl_roundtrip(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+# ----------------------------------------------------- unique + filter map
+
+
+def fuzz_unique_filter(spark, n: int, seed: int) -> list[str]:
+    """unique() first-wins in play order + filter(Map) Condition forms vs
+    sequential models, including reject accounting (LoadStatistic)."""
+    import re as _re
+
+    from gratum_spark import sources
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 500_009 + t)
+        size = rng.randint(1, 40)
+        rows = [
+            {
+                "i": i,
+                "k": rng.choice([None, "a", "b", "c"]),
+                "v": rng.randint(0, 5),
+            }
+            for i in range(size)
+        ]
+        p = sources.from_collection(
+            spark, rows, "i long, k string, v long", name="fzu", ordered=True
+        )
+
+        # unique("k"): first occurrence per key in source order
+        seen, keep = set(), []
+        for r in rows:
+            if r["k"] not in seen:
+                seen.add(r["k"])
+                keep.append(r["i"])
+        stat = p.unique("k").go()
+        got = sorted(r["i"] for r in p.unique("k").df.collect())
+        if got != sorted(keep) or stat.loaded != len(keep) or \
+                stat.rejected != size - len(keep):
+            failures.append(
+                f"unique trial={t} seed={seed}: expected keep={sorted(keep)} "
+                f"got {got} (loaded={stat.loaded} rejected={stat.rejected}) "
+                f"rows={rows}"
+            )
+            break
+
+        # filter(Map) forms: engine vs sequential row filter. SQL null
+        # semantics: a null cell fails literal/IN/regex forms.
+        forms = [
+            ({"k": "a"}, lambda r: r["k"] == "a"),
+            ({"k": ["a", "b"]}, lambda r: r["k"] in ("a", "b")),
+            ({"k": _re.compile("[ab]")}, lambda r: r["k"] is not None
+             and _re.search("[ab]", r["k"]) is not None),
+            ({"v": lambda x: x is not None and x > 2}, lambda r: r["v"] > 2),
+            ({"k": "b", "v": lambda x: x < 3}, lambda r: r["k"] == "b"
+             and r["v"] < 3),
+            ({"*": lambda row: row["k"] is None and row["v"] % 2 == 0},
+             lambda r: r["k"] is None and r["v"] % 2 == 0),
+        ]
+        cond, model = forms[rng.randrange(len(forms))]
+        expected_ids = sorted(r["i"] for r in rows if model(r))
+        fstat = p.filter(cond).go()
+        fgot = sorted(r["i"] for r in p.filter(cond).df.collect())
+        if fgot != expected_ids or fstat.loaded != len(expected_ids) or \
+                fstat.rejected != size - len(expected_ids):
+            failures.append(
+                f"filter trial={t} seed={seed} cond={cond}: expected "
+                f"{expected_ids} got {fgot} (loaded={fstat.loaded} "
+                f"rejected={fstat.rejected}) rows={rows}"
+            )
+            break
+    return failures
+
+
+# --------------------------------------------------------------------- join
+
+
+def fuzz_join(spark, n: int, seed: int) -> list[str]:
+    """join inner (unmatched-left rejects) and left-outer (null-filled,
+    1-N multiply, left-wins collisions) vs a sequential model."""
+    from gratum_spark import sources
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 600_011 + t)
+        lsize, rsize = rng.randint(1, 20), rng.randint(0, 12)
+        lrows = [
+            {"i": i, "k": rng.choice([None, 1, 2, 3, 4]),
+             "shared": f"L{i}"}
+            for i in range(lsize)
+        ]
+        rrows = [
+            {"rk": rng.choice([1, 2, 3, 4]), "extra": f"R{j}",
+             "shared": f"RS{j}"}
+            for j in range(rsize)
+        ]
+        lp = sources.from_collection(
+            spark, lrows, "i long, k long, shared string", name="fzl",
+            ordered=True,
+        )
+        rp = sources.from_collection(
+            spark, rrows, "rk long, extra string, shared string", name="fzr",
+            ordered=True,
+        )
+
+        # model: None key matches nothing (SQL equality); left wins on
+        # the colliding "shared" column
+        def matches(lr):
+            return [rr for rr in rrows
+                    if lr["k"] is not None and rr["rk"] == lr["k"]]
+
+        inner_expected = sorted(
+            (lr["i"], lr["shared"], rr["extra"])
+            for lr in lrows for rr in matches(lr)
+        )
+        reject_expected = sum(1 for lr in lrows if not matches(lr))
+
+        joined = lp.join(rp, on={"k": "rk"})
+        stat = joined.go()
+        got = sorted(
+            (r["i"], r["shared"], r["extra"]) for r in joined.df.collect()
+        )
+        if got != inner_expected or stat.rejected != reject_expected:
+            failures.append(
+                f"join inner trial={t} seed={seed}: expected "
+                f"{inner_expected} rejects={reject_expected} got {got} "
+                f"rejects={stat.rejected} l={lrows} r={rrows}"
+            )
+            break
+
+        louter_expected = sorted(
+            [(lr["i"], lr["shared"], rr["extra"])
+             for lr in lrows for rr in matches(lr)]
+            + [(lr["i"], lr["shared"], None)
+               for lr in lrows if not matches(lr)]
+        )
+        lgot = sorted(
+            (r["i"], r["shared"], r["extra"])
+            for r in lp.join(rp, on={"k": "rk"}, left=True).df.collect()
+        )
+        key = lambda p_: (p_[0], p_[1], p_[2] is None, p_[2] or "")  # noqa: E731
+        if sorted(lgot, key=key) != sorted(louter_expected, key=key):
+            failures.append(
+                f"join left trial={t} seed={seed}: expected "
+                f"{louter_expected} got {lgot} l={lrows} r={rrows}"
+            )
+            break
+    return failures
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),
+    "unique_filter": (fuzz_unique_filter, 20),
+    "join": (fuzz_join, 20),
 }
 
 

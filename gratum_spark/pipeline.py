@@ -143,6 +143,27 @@ def _local_run_id_frame(
     )
 
 
+def consistency_checkpoint(d: DataFrame) -> DataFrame:
+    """Pin a frame so every downstream plan branch reads IDENTICAL
+    partitions. Needed whenever two consumers depend on the same
+    nondeterministic partitioning (RangePartitioner samples boundaries
+    with an RDD-id-dependent seed; spark_partition_id then differs
+    between physical instantiations). Shared by _distributed_run_ids and
+    operators.packing.global_prefix_sum.
+
+    RELIABILITY (r5 ADVICE): localCheckpoint blocks live on executors
+    and are NOT replayable — on a real cluster, losing an executor
+    after materialization fails the job instead of recomputing. Opt in
+    to a reliable checkpoint by setting a checkpoint dir on the session
+    (spark.sparkContext.setCheckpointDir("hdfs://...")): when one is
+    configured the frame checkpoints there instead (replayable from
+    shared storage, at the cost of a cluster-FS write). Local mode
+    keeps the zero-copy localCheckpoint default."""
+    if d.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return d.checkpoint(eager=False)
+    return d.localCheckpoint(eager=False)
+
+
 def _distributed_run_ids(
     df: DataFrame,
     ordc: Column,
@@ -182,18 +203,7 @@ def _distributed_run_ids(
     # localCheckpoint materializes the frame once inside the consuming
     # action; both branches then read identical partitions.
     #
-    # RELIABILITY (r5 ADVICE): localCheckpoint blocks live on executors
-    # and are NOT replayable — on a real cluster, losing an executor
-    # after materialization fails the job instead of recomputing. Opt in
-    # to a reliable checkpoint by setting a checkpoint dir on the session
-    # (spark.sparkContext.setCheckpointDir("hdfs://...")): when one is
-    # configured the frame checkpoints there instead (replayable from
-    # shared storage, at the cost of a cluster-FS write). Local mode
-    # keeps the zero-copy localCheckpoint default.
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        d = d.checkpoint(eager=False)
-    else:
-        d = d.localCheckpoint(eager=False)
+    d = consistency_checkpoint(d)
     stats = d.groupBy("__pid__").agg(
         F.max("__lid__").alias("__nruns__"),
         F.min_by(payload, ordc).alias("__first__"),

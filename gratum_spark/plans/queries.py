@@ -2124,6 +2124,53 @@ def text_chunks(spark, sf) -> DataFrame:
     )
 
 
+def text_pack(spark, sf) -> DataFrame:
+    """Sequence packing (operators/packing.py pack_sequences): lay the
+    corpus out as one token stream in doc_id order and cut 2048-token
+    context windows; each doc belongs to the window its first token
+    lands in. Distributed prefix sum — range shuffle + per-partition
+    totals broadcast, no single-partition stage. Per-pack summary."""
+    from gratum_spark.operators.packing import pack_sequences
+
+    docs = T(spark, sf, "documents").df.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=2048)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+ORACLE_TEXT_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS off
+  FROM t
+)
+SELECT CAST(off // 2048 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_TEXT_CHUNKS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 e AS (
@@ -2238,12 +2285,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
     "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
+    # -- new in r6: sequence packing over a distributed prefix sum
+    #    (first driver check; op_set_ops rotated past the window after 3
+    #    green rounds — intersect/set-membership stays covered in-window
+    #    by op_intersect_flag)
+    "text_pack": (text_pack, ORACLE_TEXT_PACK),
     # -- rotated INTO the window in r6 (r5 verdict task 2): every query
     #    below was driver-green in r1/r2 but has not been re-oracled since
     #    the engine changed under it (Arrow-batched closures, distributed
@@ -2288,6 +2339,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_repetition": (text_repetition, ORACLE_REPETITION),
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     # -- past-window queries from earlier rotations (r1/r2-green; family
     #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

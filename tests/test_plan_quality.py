@@ -337,6 +337,57 @@ def test_flatten_window_has_no_data_sized_single_partition_stage(spark, sf):
         assert re.search(r"Input \[\d\]: \[__pid__", q), f"data-path SinglePartition:\n{q}"
 
 
+def test_prefix_sum_packing_has_no_data_sized_single_partition_stage(spark, sf):
+    """global_prefix_sum / pack_sequences (operators/packing.py) must be
+    distributed like the run-id machinery they mirror: range shuffle +
+    partition-local running sums + a per-partition totals broadcast. The
+    naive formulation — SUM() OVER (ORDER BY ...) with no partitioning —
+    plans as a SinglePartition exchange of the whole data."""
+    import re
+
+    from pyspark.sql import functions as FF
+
+    from gratum_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf, "documents").df.select(
+        "doc_id", FF.size(FF.split(FF.col("text"), " ")).cast("long").alias("n")
+    )
+    out = pack_sequences(docs, "doc_id", "n", capacity=2048)
+    plan = plan_of(out)
+    assert "Scan ExistingRDD" in plan  # the consistency checkpoint
+    paras = re.split(r"\n\s*\n", plan)
+    single = [q for q in paras if re.match(r"\(\d+\) Exchange", q) and "SinglePartition" in q]
+    # only the tiny per-pid totals window may single-partition
+    assert len(single) <= 1
+    for q in single:
+        assert re.search(r"Input \[\d\]: \[__pid__", q), f"data-path SinglePartition:\n{q}"
+    # pre-checkpoint stage: range shuffle, no SinglePartition at all
+    from gratum_spark.operators.packing import global_prefix_sum as _gps
+    import gratum_spark.pipeline as _pl
+
+    orig = _pl.consistency_checkpoint
+    _pl.consistency_checkpoint = lambda d: d  # peek under the checkpoint
+    try:
+        import gratum_spark.operators.packing as _pk
+
+        pk_orig = _pk.consistency_checkpoint
+        _pk.consistency_checkpoint = lambda d: d
+        try:
+            raw = _gps(docs, "doc_id", "n")
+            s1 = plan_of(raw)
+        finally:
+            _pk.consistency_checkpoint = pk_orig
+    finally:
+        _pl.consistency_checkpoint = orig
+    assert "rangepartitioning" in s1
+    data_singles = [
+        q for q in re.split(r"\n\s*\n", s1)
+        if re.match(r"\(\d+\) Exchange", q) and "SinglePartition" in q
+        and not re.search(r"Input \[\d\]: \[__pid__", q)
+    ]
+    assert not data_singles
+
+
 def test_add_step_rejects_dont_rescan_wider(spark, sf):
     """add_step's kept branch must project only the output schema
     (mapInPandas is inherent; the scan beneath should still prune)."""

@@ -535,3 +535,38 @@ def test_chunk_words_disjoint_covers_all_words(spark):
     rows = out.collect()
     assert sum(r["n_words"] for r in rows) == 23
     assert len(rows) == 5  # 4 full + 1 tail of 3
+
+
+def test_global_prefix_sum_matches_sequential(spark):
+    # distributed prefix sum (range shuffle + totals broadcast) must
+    # equal the sequential running sum for any weights, across many
+    # partitions (small rows over default partitioning forces multiple
+    # range partitions)
+    from gratum_spark.operators.packing import global_prefix_sum
+
+    import random as _random
+
+    rng = _random.Random(42)
+    weights = [rng.randint(0, 9) for _ in range(500)]
+    rows = [{"i": i, "w": w} for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "i long, w long")
+    out = {r["i"]: r["offset"] for r in global_prefix_sum(df, "i", "w").collect()}
+    acc = 0
+    for i, w in enumerate(weights):
+        assert out[i] == acc, f"row {i}: got {out[i]} want {acc}"
+        acc += w
+
+
+def test_pack_sequences_offset_assignment(spark):
+    from gratum_spark.operators.packing import pack_sequences
+
+    # docs of 3 tokens each, capacity 5: offsets 0,3,6,9,12 ->
+    # packs 0,0,1,1,2; pack_offset = offset % 5
+    rows = [{"i": i, "n": 3} for i in range(5)]
+    df = spark.createDataFrame(rows, "i long, n long")
+    got = {r["i"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(df, "i", "n", capacity=5).collect()}
+    assert got == {0: (0, 0), 1: (0, 3), 2: (1, 1), 3: (1, 4), 4: (2, 2)}
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "i", "n", capacity=0)

@@ -84,7 +84,7 @@ def derive_banding(n_hashes: int, threshold: float, max_miss: float = 1e-3) -> t
     return n_hashes, 1
 
 
-def _lsh_candidates(
+def _banded_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -93,8 +93,9 @@ def _lsh_candidates(
     bands: int,
     n_partitions: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared LSH candidate stage: (checkpointed signatures, distinct
-    candidate (a, b) pairs). See minhash_lsh_pairs for the plan shape."""
+    """One side's LSH stage: (checkpointed signatures, exploded narrow
+    (id, band, h) band-bucket rows). Shared by the self-join
+    (_lsh_candidates) and the cross-corpus incremental variant."""
     rows_per_band = n_hashes // bands
     if n_partitions:
         # signature computation is the CPU-heavy stage; when the input
@@ -122,8 +123,8 @@ def _lsh_candidates(
         )
         .filter(F.col("sig").isNotNull())
     )
-    # the banding self-join references the signature subtree twice (left +
-    # right); materialize it once. Eager localCheckpoint (MEMORY_AND_DISK
+    # the banding join references the signature subtree more than once;
+    # materialize it once. Eager localCheckpoint (MEMORY_AND_DISK
     # blocks) instead of persist(): a bare persist with no unpersist
     # accumulates in a long-lived session, while checkpoint blocks are
     # released by the ContextCleaner when the plan is dropped. sig is
@@ -136,13 +137,30 @@ def _lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice.cast("string")).alias("h"))
         )
-    # the banding self-join stays NARROW — (band, h, id) only. Carrying
-    # the n_hashes-long signature array through the exploded band rows
+    # the banding join stays NARROW — (band, h, id) only. Carrying the
+    # n_hashes-long signature array through the exploded band rows
     # shuffles ``bands`` copies of every signature per side (measured
     # ~2.5x on the whole operator); instead the (far smaller) distinct
     # pair set re-joins the checkpointed signature table on id.
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+    return sig, banded
+
+
+def _lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_hashes: int,
+    bands: int,
+    n_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH candidate stage: (checkpointed signatures, distinct
+    candidate (a, b) pairs). See minhash_lsh_pairs for the plan shape."""
+    sig, banded = _banded_signatures(
+        df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
     )
     pairs = (
         banded.select("band", "h", F.col("id").alias("a"))
@@ -249,6 +267,76 @@ def minhash_verified_pairs(
         cands.join(sh_a, on="a")
         .join(sh_b, on="b")
         .select("a", "b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_verified_pairs_cross(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL dedup: verified near-duplicate pairs BETWEEN a new
+    batch and an existing corpus — the shape a daily-crawl pipeline
+    runs (dedup today's documents against everything already kept)
+    without re-self-joining the whole corpus.
+
+    Same machinery as :func:`minhash_verified_pairs` but the band-bucket
+    join is new×corpus instead of a self-join: the corpus side's
+    signatures/banding are computed once per run and could be
+    precomputed/stored by the caller (the band rows are pure functions
+    of the text). At 100 TB the dominant exchange is still the narrow
+    (band, h, id) bucket join, now sized new_batch×bands on one side —
+    a daily batch is orders of magnitude smaller than the corpus, so
+    candidate generation scales with the batch, not the corpus².
+    Banding is derived from the threshold (see derive_banding), so with
+    recall pinned the verified output equals the full exact cross
+    enumeration — oracle-checkable like the self-join variant.
+
+    Returns (new_id, corpus_id, jaccard) with exact n-gram Jaccard >=
+    threshold; ids are reported per side (no a<b ordering — the tables
+    are distinct; a doc appearing in both sides pairs with itself at
+    jaccard 1.0, which is exactly what an incremental pipeline wants to
+    catch).
+    """
+    if bands is None:
+        bands, _ = derive_banding(n_hashes, threshold)
+    _, banded_new = _banded_signatures(
+        new_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+    )
+    _, banded_corpus = _banded_signatures(
+        corpus_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+    )
+    cands = (
+        banded_new.select("band", "h", F.col("id").alias("new_id"))
+        .join(
+            banded_corpus.select("band", "h", F.col("id").alias("corpus_id")),
+            on=["band", "h"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"),
+        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh_a"),
+    )
+    sh_corpus = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return (
+        cands.join(sh_new, on="new_id")
+        .join(sh_corpus, on="corpus_id")
+        .select("new_id", "corpus_id", jac)
         .filter(F.col("jaccard") >= threshold)
     )
 

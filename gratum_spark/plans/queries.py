@@ -1575,6 +1575,45 @@ def dedup_minhash_verified(spark, sf) -> DataFrame:
     return pairs.orderBy("a", "b")
 
 
+def dedup_incremental(spark, sf) -> DataFrame:
+    """Incremental (new-batch vs corpus) verified near-dup pairs
+    (operators/dedup.py minhash_verified_pairs_cross): every 10th doc
+    plays today's crawl batch, the rest the existing corpus. Banding is
+    threshold-derived so the verified output equals the exact cross
+    enumeration the oracle computes."""
+    docs = T(spark, sf, "documents").df
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_verified_pairs_cross(
+        new_batch, corpus, "doc_id", "text", threshold=0.5
+    ).orderBy("new_id", "corpus_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS new_id, s2.doc_id AS corpus_id, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+  WHERE s1.doc_id % 10 = 0 AND s2.doc_id % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = new_id
+JOIN sizes nb ON nb.doc_id = corpus_id
+WHERE CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) >= 0.5
+ORDER BY new_id, corpus_id
+"""
+
+
 ORACLE_MINHASH_VERIFIED = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -2287,7 +2326,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
-    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    # -- new in r6: incremental new-batch-vs-corpus dedup (first driver
+    #    check; dedup_chunks rotated past the window after 3 green
+    #    rounds — chunk-dedup family stays pytest/bench-covered, dedup
+    #    stays in-window via dedup_exact + dedup_minhash_verified)
+    "dedup_incremental": (dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
     "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
     # -- new in r6: sequence packing over a distributed prefix sum
@@ -2340,6 +2383,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
+    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     # -- past-window queries from earlier rotations (r1/r2-green; family
     #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -570,3 +570,25 @@ def test_pack_sequences_offset_assignment(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, "i", "n", capacity=0)
+
+
+def test_minhash_verified_pairs_cross_incremental(spark):
+    # new batch vs corpus: the new doc that duplicates a corpus doc pairs
+    # at jaccard 1.0; the near-dup pairs high; unrelated docs don't pair;
+    # corpus-internal duplicates (10/11) must NOT appear (that's the
+    # self-join operator's job, not the incremental one)
+    new_rows = [(100, BASE), (101, FAR)]
+    corpus_rows = [(10, BASE), (11, BASE), (12, NEAR),
+                   (13, "totally unrelated words about cooking pasta "
+                        "with garlic and olive oil in a big red pot")]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    corpus_df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    out = dedup.minhash_verified_pairs_cross(
+        new_df, corpus_df, "doc_id", "text", threshold=0.5
+    )
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in out.collect()}
+    assert got[(100, 10)] == 1.0 and got[(100, 11)] == 1.0
+    assert got[(100, 12)] > 0.7  # one-word-different near-dup (20/26 shingles)
+    assert all(nid != 101 for nid, _ in got)  # FAR matches nothing
+    assert all(cid != 13 for _, cid in got)
+    assert all(nid in (100, 101) for nid, _ in got)  # no corpus-internal pairs

@@ -227,6 +227,45 @@ def test_minhash_band_join_carries_only_band_h_id(spark, sf):
         assert m and int(m.group(1)) <= 3, f"wide shuffle in band join:\n{ex}"
 
 
+def test_incremental_dedup_band_join_is_narrow_equi(spark, sf):
+    """The cross-corpus (new batch x corpus) band join must have the same
+    narrow shape as the self-join: an equality join on (band, h) moving
+    at most (band, h, id) per side — no signature arrays through the
+    shuffle and no cross product anywhere."""
+    import re
+
+    from pyspark.sql import functions as FF
+
+    from gratum_spark.operators.dedup import minhash_verified_pairs_cross
+
+    docs = table(spark, sf, "documents").df
+    out = minhash_verified_pairs_cross(
+        docs.filter(FF.col("doc_id") % 10 == 0),
+        docs.filter(FF.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    plan = plan_of(out)
+    # every join is an equi-join (the band-bucket join may plan as
+    # broadcast at small SF or shuffle at scale — both are fine shapes;
+    # BNLJ/cartesian would be the quadratic failure)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # nothing wide crosses an exchange of either kind before the verify
+    # stage: the banded rows are (band, h, id) and the candidate set is
+    # (new_id, corpus_id) — the n_hashes signature array must stay out
+    exchanges = [
+        p for p in re.split(r"\n\s*\n", plan)
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", p)
+    ]
+    assert exchanges
+    for ex in exchanges:
+        assert "sig#" not in ex, f"signature array crossed an exchange:\n{ex}"
+        m = re.search(r"Input \[(\d+)\]", ex)
+        if m:
+            assert int(m.group(1)) <= 3, f"wide exchange in cross band join:\n{ex}"
+
+
 def test_asof_join_no_cartesian(spark, sf):
     """The as-of join is a union + per-key window (last-non-null carry),
     NOT a range cross-product: any CartesianProduct/BNLJ here would be

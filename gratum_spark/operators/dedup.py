@@ -341,6 +341,38 @@ def minhash_verified_pairs_cross(
     )
 
 
+def corpus_novel(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Doc-level incremental curation filter: the rows of ``new_df`` that
+    do NOT near-duplicate the existing corpus (exact-verified Jaccard <
+    threshold against every corpus doc). The daily-crawl keep-set in one
+    plan: :func:`minhash_verified_pairs_cross` candidates -> matched new
+    ids -> left anti join back to the full new rows. Docs too short to
+    shingle have no candidates and are kept (novel by definition).
+
+    At 100 TB the anti join is an equi-join on the id against the (far
+    smaller) matched-id set; everything else is the cross-pair plan."""
+    matched = (
+        minhash_verified_pairs_cross(
+            new_df, corpus_df, id_col, text_col,
+            shingle_k=shingle_k, threshold=threshold,
+            n_hashes=n_hashes, bands=bands, n_partitions=n_partitions,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(matched, on=id_col, how="left_anti")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

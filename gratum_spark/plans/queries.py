@@ -1614,6 +1614,45 @@ ORDER BY new_id, corpus_id
 """
 
 
+def corpus_novel_docs(spark, sf) -> DataFrame:
+    """Doc-level incremental curation keep-set (operators/dedup.py
+    corpus_novel): the new-batch docs (every 10th) that do NOT
+    near-duplicate the existing corpus at verified Jaccard >= 0.5."""
+    docs = T(spark, sf, "documents").df
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        dedup.corpus_novel(new_batch, corpus, "doc_id", "text", threshold=0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_NOVEL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+matched AS (
+  SELECT DISTINCT s1.doc_id AS new_id
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+  JOIN sizes na ON na.doc_id = s1.doc_id
+  JOIN sizes nb ON nb.doc_id = s2.doc_id
+  WHERE s1.doc_id % 10 = 0 AND s2.doc_id % 10 <> 0
+  GROUP BY s1.doc_id, s2.doc_id, na.n, nb.n
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / CAST(na.n + nb.n - COUNT(*) AS DOUBLE) >= 0.5
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT new_id FROM matched)
+ORDER BY doc_id
+"""
+
+
 ORACLE_MINHASH_VERIFIED = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -2325,7 +2364,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
-    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    # -- new in r6: doc-level incremental keep-set (first driver check;
+    #    corpus_quota_sample rotated past the window after 3 green
+    #    rounds — sampling family stays pytest/bench-covered)
+    "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
     # -- new in r6: incremental new-batch-vs-corpus dedup (first driver
     #    check; dedup_chunks rotated past the window after 3 green
     #    rounds — chunk-dedup family stays pytest/bench-covered, dedup
@@ -2384,6 +2426,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     # -- past-window queries from earlier rotations (r1/r2-green; family
     #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -37,6 +37,7 @@ __all__ = [
     "session_agg",
     "stateful_counter",
     "stream_dedup",
+    "stream_corpus_novel",
     "write_stream_parquet",
     "run_available_now",
 ]
@@ -256,6 +257,53 @@ def write_stream_parquet(
     )
     if partition_by:
         w = w.partitionBy(*list(partition_by))
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+    return q
+
+
+def stream_corpus_novel(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **dedup_kw,
+):
+    """Streaming incremental curation: drop arriving documents that
+    near-duplicate a STATIC corpus, append the novel ones to parquet —
+    the continuous form of ``operators.dedup.corpus_novel``.
+
+    Per-doc near-dup filtering needs candidate pairs grouped back to the
+    doc (a per-batch distinct), which Structured Streaming can't express
+    statelessly in one plan — so this uses the standard foreachBatch
+    pattern: each micro-batch runs the BATCH corpus_novel plan against
+    the static corpus and writes its keep-set. Idempotent output: every
+    batch writes to its own ``_batch=<id>`` subdirectory with
+    mode=overwrite, so a replayed micro-batch (foreachBatch is
+    at-least-once on retry) overwrites its own files instead of
+    duplicating rows; the checkpoint pins source offsets per batch id,
+    making the pair effectively exactly-once.
+
+    The static corpus side re-evaluates per micro-batch — cache it (or
+    point at a stored banded-signature table) for a long-running query.
+    Returns the StreamingQuery; availableNow waits for termination.
+    """
+    from ..operators.dedup import corpus_novel
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = corpus_novel(batch_df, corpus_df, id_col, text_col, **dedup_kw)
+        out.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
+
+    w = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
     if available_now:
         q = w.trigger(availableNow=True).start()
         q.awaitTermination()

@@ -154,3 +154,39 @@ def test_write_stream_parquet_partitioned(spark, sf_dir, tmp_path):
     # partition pruning works on the streamed output
     one_type = back.select("event_type").first()["event_type"]
     assert back.filter(back.event_type == one_type).count() > 0
+
+
+def test_stream_corpus_novel_matches_batch(spark, sf_dir, tmp_path):
+    # stream-vs-corpus incremental curation (foreachBatch): draining the
+    # new-batch docs as a stream must keep exactly the docs the batch
+    # corpus_novel plan keeps, and a re-run with the same checkpoint must
+    # not duplicate output (idempotent per-batch overwrite).
+    from gratum_spark import streaming
+    from gratum_spark.operators.dedup import corpus_novel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # materialize the "new batch" as its own parquet dir to stream from
+    new_path = str(tmp_path / "new_docs")
+    docs.filter(F.col("doc_id") % 10 == 0).write.parquet(new_path)
+
+    expected = sorted(
+        r["doc_id"]
+        for r in corpus_novel(
+            spark.read.parquet(new_path), corpus, "doc_id", "text"
+        ).collect()
+    )
+
+    out = str(tmp_path / "novel_out")
+    ckpt = str(tmp_path / "novel_ckpt")
+    stream = spark.readStream.schema(docs.schema).parquet(new_path)
+    streaming.stream_corpus_novel(stream, corpus, "doc_id", "text", out, ckpt)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/_batch=*").collect())
+    assert got == expected
+
+    # re-run with the same checkpoint: offsets committed -> no new batches
+    stream2 = spark.readStream.schema(docs.schema).parquet(new_path)
+    streaming.stream_corpus_novel(stream2, corpus, "doc_id", "text", out, ckpt)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/_batch=*").collect())
+    assert got2 == expected

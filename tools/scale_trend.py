@@ -39,6 +39,11 @@ OPS = [
     "text_tfidf",
     "text_chunks",
     "stream_tumbling_counts",
+    # r6 new operators: distributed prefix-sum packing and the
+    # cross-corpus incremental dedup family
+    "text_pack",
+    "dedup_incremental",
+    "corpus_novel_docs",
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 INPUT_TABLE = {
@@ -50,6 +55,9 @@ INPUT_TABLE = {
     "text_tfidf": "documents",
     "text_chunks": "documents",
     "stream_tumbling_counts": "events",
+    "text_pack": "documents",
+    "dedup_incremental": "documents",
+    "corpus_novel_docs": "documents",
 }
 
 

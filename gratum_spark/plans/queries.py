@@ -1614,6 +1614,36 @@ ORDER BY new_id, corpus_id
 """
 
 
+def text_model_score(spark, sf) -> DataFrame:
+    """Model-scored quality filtering (operators/inference.py
+    score_documents): fake-model scores through the real batch-inference
+    plumbing (worker-cached loader, Arrow batches), keep score >= 0.5.
+    The fake's arithmetic is SQL-replicable, so the oracle checks the
+    entire mapInPandas path."""
+    from gratum_spark.operators.inference import score_documents
+
+    docs = T(spark, sf, "documents").df
+    scored = score_documents(docs, "doc_id", "text")
+    return (
+        scored.filter(F.col("score") >= 0.5)
+        .select("doc_id", F.round("score", 6).alias("score"), "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MODEL_SCORE = """
+WITH s AS (
+  SELECT doc_id,
+         ((length(text) % 97) + (len(string_split(text, ' ')) % 13))
+           / 110.0 AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, round(score, 6) AS score, n_tokens
+FROM s WHERE score >= 0.5 ORDER BY doc_id
+"""
+
+
 def corpus_novel_docs(spark, sf) -> DataFrame:
     """Doc-level incremental curation keep-set (operators/dedup.py
     corpus_novel): the new-batch docs (every 10th) that do NOT
@@ -2363,7 +2393,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    # -- new in r6: model-scored quality filter (first driver check;
+    #    op_salted_join rotated past the window after 3 green rounds —
+    #    the join family keeps 4 in-window reps: op_join_left,
+    #    op_join_inner_reject, op_anti_join, op_semi_join)
+    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
     # -- new in r6: doc-level incremental keep-set (first driver check;
     #    corpus_quota_sample rotated past the window after 3 green
     #    rounds — sampling family stays pytest/bench-covered)
@@ -2427,6 +2461,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     # -- past-window queries from earlier rotations (r1/r2-green; family
     #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -592,3 +592,41 @@ def test_minhash_verified_pairs_cross_incremental(spark):
     assert all(nid != 101 for nid, _ in got)  # FAR matches nothing
     assert all(cid != 13 for _, cid in got)
     assert all(nid in (100, 101) for nid, _ in got)  # no corpus-internal pairs
+
+
+def test_score_documents_fake_model_and_worker_cache(spark):
+    # batch-inference harness: fake-model scores must match the python
+    # model, and the accumulator must show the model loaded once per
+    # WORKER PROCESS, not once per partition/batch (16 partitions on a
+    # 4-core test session -> loads well under partitions).
+    from gratum_spark.operators.inference import score_documents
+
+    rows = [(i, f"doc {i} " + "word " * (i % 29)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = score_documents(df, "doc_id", "text")
+    got = {r["doc_id"]: (r["score"], r["n_tokens"]) for r in out.collect()}
+    assert len(got) == 400
+    for i, text in rows[:50]:
+        n_chars, n_words = len(text), len(text.split(" "))
+        expect = ((n_chars % 97) + (n_words % 13)) / 110.0
+        assert abs(got[i][0] - expect) < 1e-12
+        assert got[i][1] == n_words
+    loads = out._model_loads.value
+    assert 1 <= loads < 16, f"model loaded {loads} times for 16 partitions"
+
+
+def test_score_documents_real_model_gated(spark):
+    try:
+        import fasttext  # noqa: F401
+
+        pytest.skip("fasttext present — gate not exercised")
+    except ImportError:
+        pass
+    from gratum_spark.operators.inference import score_documents
+
+    df = spark.createDataFrame([(0, "hello")], "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        score_documents(df, "doc_id", "text", model="/no/such/model.bin").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -82,10 +82,12 @@ HEADLINE = [
     "corpus_quota_sample",
     "dedup_chunks",
     "text_tfidf",
-    # added r6 (set grew 36 -> 38: totals are not directly comparable to
+    # added r6 (set grew 36 -> 40: totals are not directly comparable to
     # r5 and earlier; tools/bench_compare.py normalizes per-query)
     "text_pack",
     "dedup_incremental",
+    "corpus_novel_docs",
+    "text_model_score",
 ]
 
 N_PASSES = 3

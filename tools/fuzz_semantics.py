@@ -35,6 +35,9 @@ unique_filter   unique() first-wins in play order + every filter(Map)
 join            inner (unmatched-left rejects counted) and left-outer
                 (null-filled, 1-N multiply, left-wins column collision)
                 vs a sequential model; None keys match nothing.
+prefix_sum      global_prefix_sum / pack_sequences (distributed range
+                shuffle + totals broadcast) vs the sequential running
+                sum; random capacities and zero-heavy weights.
 
 On failure the campaign prints the trial seed and the minimal
 input/expected/got triple, and the process exits non-zero.
@@ -302,6 +305,41 @@ def fuzz_jsonl_roundtrip(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+# ------------------------------------------------------------- prefix sum
+
+
+def fuzz_prefix_sum(spark, n: int, seed: int) -> list[str]:
+    """global_prefix_sum / pack_sequences vs the sequential running sum
+    (random sizes and weights incl. zeros; many range partitions)."""
+    from gratum_spark.operators.packing import pack_sequences
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 700_001 + t)
+        size = rng.randint(1, 300)
+        cap = rng.choice([1, 3, 7, 64])
+        weights = [rng.choice([0, 0, 1, 2, 5, 50]) for _ in range(size)]
+        rows = [{"i": i, "w": w} for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "i long, w long")
+        got = {
+            r["i"]: (r["offset"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(df, "i", "w", capacity=cap).collect()
+        }
+        acc = 0
+        for i, w in enumerate(weights):
+            want = (acc, acc // cap, acc % cap)
+            if got[i] != want:
+                failures.append(
+                    f"prefix_sum trial={t} seed={seed} cap={cap} row i={i}: "
+                    f"expected {want} got {got[i]} weights={weights}"
+                )
+                break
+            acc += w
+        if failures:
+            break
+    return failures
+
+
 # ----------------------------------------------------- unique + filter map
 
 
@@ -456,6 +494,7 @@ CAMPAIGNS = {
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),
     "unique_filter": (fuzz_unique_filter, 20),
     "join": (fuzz_join, 20),
+    "prefix_sum": (fuzz_prefix_sum, 15),
 }
 
 

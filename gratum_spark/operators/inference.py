@@ -99,7 +99,9 @@ def score_documents(
                 _inf._MODEL_CACHE[model] = _inf._load_model(model)
                 loads.add(1)
             scorer = _inf._MODEL_CACHE[model]
-            texts = pdf[text_col].astype(str)
+            # fillna BEFORE astype: astype(str) would turn a null text
+            # into the literal string 'None'
+            texts = pdf[text_col].fillna("").astype(str)
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -42,7 +42,12 @@ def global_prefix_sum(
     ``order_by`` order (the first row gets 0). Equivalent to SQL
     ``SUM(weight) OVER (ORDER BY order_by ROWS BETWEEN UNBOUNDED
     PRECEDING AND 1 PRECEDING)`` without the single-partition global
-    window that plan would execute as."""
+    window that plan would execute as.
+
+    ``order_by`` must be a UNIQUE key: ties leave the within-tie offset
+    assignment nondeterministic (standard ROWS-frame window semantics —
+    the tie-group's total is still correct, but which tied row gets
+    which offset can vary between runs)."""
     ordc = F.col(order_by) if isinstance(order_by, str) else order_by
     wc = F.col(weight) if isinstance(weight, str) else weight
 

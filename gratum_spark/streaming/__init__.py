@@ -284,11 +284,13 @@ def stream_corpus_novel(
     statelessly in one plan — so this uses the standard foreachBatch
     pattern: each micro-batch runs the BATCH corpus_novel plan against
     the static corpus and writes its keep-set. Idempotent output: every
-    batch writes to its own ``_batch=<id>`` subdirectory with
+    batch writes to its own ``batch=<id>`` subdirectory with
     mode=overwrite, so a replayed micro-batch (foreachBatch is
     at-least-once on retry) overwrites its own files instead of
     duplicating rows; the checkpoint pins source offsets per batch id,
-    making the pair effectively exactly-once.
+    making the pair effectively exactly-once. Reading ``path`` back
+    with spark.read.parquet discovers ``batch`` as a partition column
+    (no underscore prefix — Hadoop readers hide ``_``-prefixed paths).
 
     The static corpus side re-evaluates per micro-batch — cache it (or
     point at a stored banded-signature table) for a long-running query.
@@ -298,7 +300,7 @@ def stream_corpus_novel(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = corpus_novel(batch_df, corpus_df, id_col, text_col, **dedup_kw)
-        out.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
+        out.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     w = (
         stream_df.writeStream.foreachBatch(_process)

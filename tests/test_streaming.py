@@ -182,11 +182,14 @@ def test_stream_corpus_novel_matches_batch(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "novel_ckpt")
     stream = spark.readStream.schema(docs.schema).parquet(new_path)
     streaming.stream_corpus_novel(stream, corpus, "doc_id", "text", out, ckpt)
-    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/_batch=*").collect())
+    # plain read of the output dir: batch=<id> discovers as a partition col
+    back = spark.read.parquet(out)
+    assert "batch" in back.columns
+    got = sorted(r["doc_id"] for r in back.collect())
     assert got == expected
 
     # re-run with the same checkpoint: offsets committed -> no new batches
     stream2 = spark.readStream.schema(docs.schema).parquet(new_path)
     streaming.stream_corpus_novel(stream2, corpus, "doc_id", "text", out, ckpt)
-    got2 = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/_batch=*").collect())
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got2 == expected

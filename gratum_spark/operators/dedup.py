@@ -92,10 +92,15 @@ def _banded_signatures(
     n_hashes: int,
     bands: int,
     n_partitions: int | None,
+    checkpoint_sig: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """One side's LSH stage: (checkpointed signatures, exploded narrow
-    (id, band, h) band-bucket rows). Shared by the self-join
-    (_lsh_candidates) and the cross-corpus incremental variant."""
+    """One side's LSH stage: (signatures, exploded narrow (id, band, h)
+    band-bucket rows). Shared by the self-join (_lsh_candidates) and the
+    cross-corpus incremental variant. ``checkpoint_sig=False`` skips the
+    eager signature checkpoint for callers that reference sig only once
+    (the cross variant — checkpointing a corpus-sized signature table
+    nobody re-reads pinned it in executor memory for nothing, r6
+    review)."""
     rows_per_band = n_hashes // bands
     if n_partitions:
         # signature computation is the CPU-heavy stage; when the input
@@ -123,13 +128,14 @@ def _banded_signatures(
         )
         .filter(F.col("sig").isNotNull())
     )
-    # the banding join references the signature subtree more than once;
-    # materialize it once. Eager localCheckpoint (MEMORY_AND_DISK
+    # when the banding join references the signature subtree more than
+    # once, materialize it once. Eager localCheckpoint (MEMORY_AND_DISK
     # blocks) instead of persist(): a bare persist with no unpersist
     # accumulates in a long-lived session, while checkpoint blocks are
     # released by the ContextCleaner when the plan is dropped. sig is
     # narrow — id + n_hashes longs.
-    sig = sig.localCheckpoint(eager=True)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
 
     band_cols = []
     for b in range(bands):
@@ -308,10 +314,12 @@ def minhash_verified_pairs_cross(
     if bands is None:
         bands, _ = derive_banding(n_hashes, threshold)
     _, banded_new = _banded_signatures(
-        new_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+        new_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions,
+        checkpoint_sig=False,
     )
     _, banded_corpus = _banded_signatures(
-        corpus_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
+        corpus_df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions,
+        checkpoint_sig=False,
     )
     cands = (
         banded_new.select("band", "h", F.col("id").alias("new_id"))

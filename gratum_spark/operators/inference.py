@@ -83,7 +83,12 @@ def score_documents(
     across the job — bounded by the number of Python worker processes,
     NOT the number of batches/partitions, when the cache works."""
     loads = df.sparkSession.sparkContext.accumulator(0)
-    schema = f"{id_col} long, {score_col} double, n_tokens long"
+    # id column keeps its incoming type (string URLs/UUIDs are common
+    # document ids — hardcoding long crashed Arrow conversion, r6 review)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    schema = f"{id_col} {id_type}, {score_col} double, n_tokens long"
 
     def _score(batches: Iterable[pd.DataFrame]):
         # resolve the cache through the module AS IMPORTED IN THE WORKER

@@ -51,6 +51,13 @@ def global_prefix_sum(
     ordc = F.col(order_by) if isinstance(order_by, str) else order_by
     wc = F.col(weight) if isinstance(weight, str) else weight
 
+    clash = set(df.columns) & {out_col, "__pid__", "__lsum__", "__base__", "__w__"}
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum would overwrite existing column(s) {sorted(clash)}; "
+            f"rename them first (double-underscore names are reserved temporaries)"
+        )
+
     d = df.repartitionByRange(ordc).withColumn(
         "__pid__", F.spark_partition_id()
     )
@@ -93,6 +100,11 @@ def pack_sequences(
     capacity)."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
+    clash = set(df.columns) & {"pack_id", "pack_offset"}
+    if clash:
+        raise ValueError(
+            f"pack_sequences would overwrite existing column(s) {sorted(clash)}"
+        )
     d = global_prefix_sum(df, order_by, weight, out_col="offset")
     # `div` is long integer division — float division would lose exactness
     # past 2^53 total tokens, which 100 TB of text exceeds

@@ -158,9 +158,17 @@ def consistency_checkpoint(d: DataFrame) -> DataFrame:
     (spark.sparkContext.setCheckpointDir("hdfs://...")): when one is
     configured the frame checkpoints there instead (replayable from
     shared storage, at the cost of a cluster-FS write). Local mode
-    keeps the zero-copy localCheckpoint default."""
+    keeps the zero-copy localCheckpoint default.
+
+    The reliable path PERSISTS before checkpointing (the canonical
+    pairing): an unpersisted reliable checkpoint runs a SECOND job that
+    recomputes the lineage to write the files — doubling upstream work
+    and, worse, letting a nondeterministically-partitioned lineage
+    (RangePartitioner again) write partitions that differ from what the
+    first consumer already read, re-opening exactly the branch
+    divergence this function exists to close (r6 review finding)."""
     if d.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return d.checkpoint(eager=False)
+        return d.persist().checkpoint(eager=False)
     return d.localCheckpoint(eager=False)
 
 
@@ -1665,7 +1673,10 @@ class GroupedPipeline:
         only. ``max_rows`` (default 100k) counts INPUT rows (every row
         lands in some leaf list, so the tree holds them all); past the
         cap this raises instead of OOMing the driver — use .agg() or
-        .rows() (both distributed) at scale."""
+        .rows() (both distributed) at scale. The guard is a separate
+        count action, so the input plan runs twice — a deliberate trade
+        on this small-results compat path (counting after collect would
+        discover the overload only after the driver already held it)."""
         n = self.parent.df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(

@@ -71,58 +71,83 @@ def from_closure(
 
 
 def _sniff_embedded_newlines(
-    path: str, sniff_bytes: int = 1_048_576, max_files: int = 256
+    path: str,
+    spark: "SparkSession | None" = None,
+    sniff_bytes: int = 1_048_576,
+    max_files: int = 256,
 ) -> bool:
-    """True if a CSV file MAY contain newlines inside quoted fields (so it
-    must be read ``multiLine=True``, single-split); False only when the
-    sniffed prefix of EVERY file proves the common case — no quote ever
-    spans a line.
+    """True if a CSV input MAY contain newlines inside quoted fields (so
+    it must be read ``multiLine=True``, single-split); False only when
+    that is PROVEN impossible — this detector is exact, not a sample.
 
-    Scans the first ``sniff_bytes`` of every local file (glob/dir
-    resolved like the parquet footer probe above) with an RFC-4180 quote
-    state machine (doubled ``\"\"`` = escaped quote, net state unchanged).
-    Every file must be sniffed, not a sample: a multi-part directory
-    where only a LATER part carries quoted newlines mis-parsed under a
-    4-file sample (caught by tools/fuzz_semantics.py csv_roundtrip).
-    Conservative on every uncertainty: remote/unlistable paths, more
-    than ``max_files`` files, read errors, a newline seen while
-    in-quote, or a sniff window that ENDS in-quote (the open field could
-    contain a newline past the window) all return True, falling back to
-    the reference-parity multiLine path."""
+    Two exact paths:
+
+    * **Local small files** (every file fits in ``sniff_bytes``, at most
+      ``max_files`` of them): driver-side RFC-4180 quote state machine
+      over each ENTIRE file (doubled ``\"\"`` = escaped quote, net state
+      unchanged). Every file is scanned, not a sample — a multi-part dir
+      where only a LATER part had quoted newlines mis-parsed under a
+      sampled sniff (caught by tools/fuzz_semantics.py csv_roundtrip).
+    * **Everything else** (big files, many files, remote storage): a
+      distributed check — split the input as raw lines and look for any
+      line with an ODD number of quote chars. A record confined to one
+      physical line always balances its quotes (doubled-quote escaping);
+      a quoted field spanning lines leaves an unbalanced line on each
+      side of the break. One early-terminating distributed scan
+      (``limit(1)``), against the alternative of silently corrupting
+      rows; the page cache usually absorbs the re-read. A prefix-only
+      sniff here would MISS a first embedded newline past the window and
+      corrupt silently (r6 review finding) — exactness is the point.
+
+    Read errors / no session for the distributed path fall back to True
+    (reference-parity multiLine)."""
     try:
         import glob as _glob
         import os as _os
 
-        if "://" in path and not path.startswith("file:"):
-            return True  # remote storage: can't sniff cheaply, stay safe
-        p = path[len("file:"):] if path.startswith("file:") else path
-        if any(ch in p for ch in "*?["):
-            files = sorted(_glob.glob(p))
-        elif _os.path.isdir(p):
-            files = []
-            for root, dirs, names in _os.walk(p):
-                dirs.sort()
-                files += [_os.path.join(root, x) for x in sorted(names)
-                          if not x.startswith(("_", "."))]
-                if len(files) > max_files:
-                    return True  # too many to prove: stay safe
-            files = [f for f in files if not _os.path.isdir(f)]
-        else:
-            files = [p]
-        if not files or len(files) > max_files:
-            return True
-        for f in files:
-            with open(f, "rb") as fh:
-                chunk = fh.read(sniff_bytes)
-            in_quote = False
-            for b in chunk:
-                if b == 0x22:  # '"'
-                    in_quote = not in_quote
-                elif in_quote and b in (0x0A, 0x0D):
-                    return True
-            if in_quote:  # window ended inside an open quoted field
+        local_files: list[str] | None = None
+        if "://" not in path or path.startswith("file:"):
+            p = path[len("file:"):] if path.startswith("file:") else path
+            if any(ch in p for ch in "*?["):
+                local_files = sorted(_glob.glob(p))
+            elif _os.path.isdir(p):
+                local_files = []
+                for root, dirs, names in _os.walk(p):
+                    dirs.sort()
+                    local_files += [
+                        _os.path.join(root, x)
+                        for x in sorted(names)
+                        if not x.startswith(("_", "."))
+                    ]
+                local_files = [f for f in local_files if not _os.path.isdir(f)]
+            else:
+                local_files = [p]
+            if not local_files:
                 return True
-        return False
+
+        if (
+            local_files is not None
+            and len(local_files) <= max_files
+            and all(_os.path.getsize(f) <= sniff_bytes for f in local_files)
+        ):
+            for f in local_files:
+                with open(f, "rb") as fh:
+                    chunk = fh.read()
+                in_quote = False
+                for b in chunk:
+                    if b == 0x22:  # '"'
+                        in_quote = not in_quote
+                    elif in_quote and b in (0x0A, 0x0D):
+                        return True
+                if in_quote:  # file ends inside an open quote: malformed
+                    return True
+            return False
+
+        if spark is None:
+            return True
+        lines = spark.read.text(path)
+        n_quotes = F.size(F.split(F.col("value"), '"')) - 1
+        return bool(lines.filter(n_quotes % 2 == 1).limit(1).count() > 0)
     except Exception:  # noqa: BLE001 - sniff is best-effort, stay safe
         return True
 
@@ -153,16 +178,16 @@ def csv(
     SCALE: ``multiLine=True`` (reference parity — newlines survive inside
     quoted fields, CSVFile.java:129-169) makes each file single-split:
     one task per file regardless of size. The default ``multiline=None``
-    AUTO-detects: a bounded sniff of the leading bytes checks whether any
-    quoted field spans a line; when provably not (the overwhelming
-    real-world case) the read uses ``multiLine=False`` so 100 TB inputs
-    split at ``spark.sql.files.maxPartitionBytes`` boundaries. Any
-    uncertainty (remote path, read error, open quote at window end) falls
-    back to the single-split parity path. Pass an explicit bool to force.
+    AUTO-detects exactly (see ``_sniff_embedded_newlines``): small local
+    inputs are proven by a full driver-side scan, anything bigger by one
+    early-terminating distributed odd-quote-line check; when no quoted
+    field spans a line (the overwhelming real-world case) the read uses
+    ``multiLine=False`` so 100 TB inputs split at
+    ``spark.sql.files.maxPartitionBytes`` boundaries. Detection errors
+    fall back to the single-split parity path. Pass an explicit bool to
+    skip detection entirely.
     """
     name = name or f"csv({path})"
-    if multiline is None:
-        multiline = _sniff_embedded_newlines(path)
     if not escaping:
         lines = spark.read.text(path)
         parts = F.split(F.col("value"), re_escape(separator))
@@ -206,6 +231,11 @@ def csv(
         if on_header:
             on_header(list(columns))
         return Pipeline(_maybe_order(df, ordered), name)
+
+    # after the escaping=False early path — that branch reads raw lines
+    # and never consults multiline, so sniffing there would be wasted I/O
+    if multiline is None:
+        multiline = _sniff_embedded_newlines(path, spark)
 
     reader = (
         spark.read.option("header", header)

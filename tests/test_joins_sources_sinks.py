@@ -425,13 +425,43 @@ def test_csv_sniff_embedded_newlines(tmp_path):
     escaped.write_text('a,b\n1,"say ""hi"""\n2,y\n')
     assert _sniff_embedded_newlines(str(escaped)) is False
 
-    # sniff window ending inside an open quote -> conservative True
+    # file ending inside an open quote (malformed) -> conservative True
     openq = tmp_path / "openq.csv"
     openq.write_text('a,b\n1,"' + "z" * 100 + "\n")
     assert _sniff_embedded_newlines(str(openq)) is True
 
-    # remote-looking path -> conservative True
+    # remote-looking path without a session -> conservative True
     assert _sniff_embedded_newlines("s3://bucket/data.csv") is True
+
+
+def test_csv_sniff_large_files_checked_distributed(tmp_path, spark):
+    # r6 review finding: a prefix-only sniff misses a first embedded
+    # newline PAST the window and corrupts silently. Files bigger than
+    # the local window now get an exact distributed odd-quote-line
+    # check — the late embedded newline must be found.
+    from gratum_spark.sources import _sniff_embedded_newlines
+
+    late = tmp_path / "late.csv"
+    with open(late, "w") as fh:
+        fh.write("a,b\n")
+        for i in range(200):
+            fh.write(f"{i},plain\n")
+        fh.write('999,"line one\nline two"\n')  # past a tiny sniff window
+    assert _sniff_embedded_newlines(
+        str(late), spark, sniff_bytes=64
+    ) is True
+
+    clean = tmp_path / "clean_big.csv"
+    with open(clean, "w") as fh:
+        fh.write("a,b\n")
+        for i in range(200):
+            fh.write(f'{i},"quoted {i}"\n')
+    assert _sniff_embedded_newlines(
+        str(clean), spark, sniff_bytes=64
+    ) is False
+
+    # no session available for a too-big file -> conservative True
+    assert _sniff_embedded_newlines(str(clean), None, sniff_bytes=64) is True
 
 
 def test_csv_auto_multiline_splittable_and_correct(tmp_path, spark):

@@ -630,3 +630,28 @@ def test_score_documents_real_model_gated(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_score_documents_string_ids(spark):
+    # r6 review finding: the output schema hardcoded the id as long;
+    # crawl corpora use URL/UUID string ids
+    from gratum_spark.operators.inference import score_documents
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "some text"), ("urn:uuid:1", "more words here")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["score"] for r in
+           score_documents(df, "url", "text").collect()}
+    assert set(got) == {"https://a.example/x", "urn:uuid:1"}
+
+
+def test_pack_sequences_column_collision_raises(spark):
+    from gratum_spark.operators.packing import global_prefix_sum, pack_sequences
+
+    df = spark.createDataFrame([(1, 2, 3)], "i long, w long, offset long")
+    with pytest.raises(ValueError, match="offset"):
+        global_prefix_sum(df, "i", "w")
+    df2 = spark.createDataFrame([(1, 2, 3)], "i long, w long, pack_id long")
+    with pytest.raises(ValueError, match="pack_id"):
+        pack_sequences(df2, "i", "w", capacity=4)

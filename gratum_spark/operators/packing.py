@@ -111,3 +111,37 @@ def pack_sequences(
     return d.withColumn("pack_id", F.expr(f"offset div {int(capacity)}")).withColumn(
         "pack_offset", F.col("offset") % capacity
     )
+
+
+def build_packs(
+    df: DataFrame,
+    order_by: str,
+    weight: Column | str,
+    capacity: int,
+    payload_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Materialize the packs: one row per ``pack_id`` carrying the
+    members IN STREAM ORDER — the shard a training dataloader consumes.
+    One groupBy shuffle on pack_id over the pack_sequences assignment;
+    in-pack order comes from sort_array over (order_key, payload)
+    structs, so no per-group window is needed.
+
+    Output: (pack_id, members array<struct<ord, pack_offset, ...payload>>,
+    n_members, pack_tokens)."""
+    payload_cols = payload_cols or []
+    d = pack_sequences(df, order_by, weight, capacity)
+    member = F.struct(
+        F.col(order_by).alias("ord"),
+        F.col("pack_offset").alias("pack_offset"),
+        *[F.col(c) for c in payload_cols],
+    )
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    return (
+        d.groupBy("pack_id")
+        .agg(
+            F.sort_array(F.collect_list(member)).alias("members"),
+            F.count("*").alias("n_members"),
+            F.sum(wc).alias("pack_tokens"),
+        )
+        .orderBy("pack_id")
+    )

@@ -1593,6 +1593,34 @@ class Pipeline:
         """JSONL sink (Pipeline.groovy:864-877) — native Spark json writer."""
         return self.json(path, columns)
 
+    def jdbc(
+        self,
+        url: str,
+        table: str,
+        properties: "Mapping[str, str] | None" = None,
+        mode: str = "overwrite",
+        batch_size: int = 10_000,
+    ) -> "Pipeline":
+        """JDBC sink (beyond reference — gratum only READS JDBC,
+        JdbcSource.groovy). Parallel by construction: Spark's JDBC
+        writer opens one connection per partition and issues batched
+        inserts; ``repartition`` first to bound the connection count
+        against the database (32 executor partitions = 32 concurrent
+        writers). Returns the 1-row result pipeline like the other
+        sinks."""
+        df, obs = self._observed_for_save()
+        w = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", batch_size)
+            .mode(mode)
+        )
+        for k, v in (properties or {}).items():
+            w = w.option(k, v)
+        w.save()
+        return self._save_result(table, obs)
+
     def parquet(self, path: str, partition_by: Iterable[str] | None = None) -> "Pipeline":
         """Parquet sink — the 100 TB-native output format (columnar,
         predicate-pushdown-able, splittable)."""

@@ -61,3 +61,15 @@ def test_jdbc_pushdown_filter(spark, derby_url):
         spark, derby_url, "SELECT * FROM people", properties={"driver": DRIVER}
     ).filter("id < 10")
     assert p.df.count() == 10
+
+
+def test_jdbc_sink_write_and_readback(spark, derby_url, tmp_path):
+    # beyond-reference JDBC SINK: write a pipeline to Derby, read it
+    # back through the JDBC source, counts and values round-trip
+    rows = [{"id": i, "label": f"r{i}"} for i in range(40)]
+    p = sources.from_collection(spark, rows, "id int, label string", ordered=False)
+    result = p.jdbc(derby_url, "sink_out", properties={"driver": DRIVER})
+    assert result.go().loaded == 40
+    back = sources.jdbc(spark, derby_url, "sink_out", properties={"driver": DRIVER})
+    got = {r["id"]: r["label"] for r in back.df.collect()}
+    assert got == {i: f"r{i}" for i in range(40)}

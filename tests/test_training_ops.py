@@ -655,3 +655,18 @@ def test_pack_sequences_column_collision_raises(spark):
     df2 = spark.createDataFrame([(1, 2, 3)], "i long, w long, pack_id long")
     with pytest.raises(ValueError, match="pack_id"):
         pack_sequences(df2, "i", "w", capacity=4)
+
+
+def test_build_packs_members_in_stream_order(spark):
+    from gratum_spark.operators.packing import build_packs
+
+    rows = [{"i": i, "n": 3, "txt": f"d{i}"} for i in range(5)]
+    df = spark.createDataFrame(rows, "i long, n long, txt string")
+    packs = build_packs(df, "i", "n", capacity=5, payload_cols=["txt"])
+    got = {r["pack_id"]: ([m["txt"] for m in r["members"]],
+                          r["n_members"], r["pack_tokens"])
+           for r in packs.collect()}
+    # offsets 0,3,6,9,12 / cap 5 -> packs {0:[d0,d1]}, {1:[d2,d3]}, {2:[d4]}
+    assert got == {0: (["d0", "d1"], 2, 6),
+                   1: (["d2", "d3"], 2, 6),
+                   2: (["d4"], 1, 3)}

@@ -1621,11 +1621,29 @@ class Pipeline:
         w.save()
         return self._save_result(table, obs)
 
-    def parquet(self, path: str, partition_by: Iterable[str] | None = None) -> "Pipeline":
+    def parquet(
+        self,
+        path: str,
+        partition_by: Iterable[str] | None = None,
+        max_records_per_file: int | None = None,
+        sort_by: Iterable[str] | None = None,
+    ) -> "Pipeline":
         """Parquet sink — the 100 TB-native output format (columnar,
-        predicate-pushdown-able, splittable)."""
+        predicate-pushdown-able, splittable).
+
+        Scale knobs: ``max_records_per_file`` caps file size (the
+        small-files / giant-files control — downstream listing and task
+        planning degrade on both extremes); ``sort_by`` sorts WITHIN
+        each output partition before writing, tightening parquet
+        row-group min/max statistics so point/range predicates on those
+        columns prune row groups at read time (no extra shuffle — it's
+        a partition-local sort)."""
         df, obs = self._observed_for_save()
+        if sort_by:
+            df = df.sortWithinPartitions(*list(sort_by))
         w = df.write.mode("overwrite")
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

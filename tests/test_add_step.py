@@ -107,7 +107,7 @@ def test_every_public_operator_is_replayed_or_excluded():
 
     eager_or_machinery = {
         # eager actions: a write/print that already happened can't be replayed
-        "go", "start", "save", "json", "jsonl", "parquet", "print_row",
+        "go", "start", "save", "json", "jsonl", "parquet", "jdbc", "print_row",
         "explain", "rejections_df",
         # replay machinery / re-rooting (group_by records via GroupedPipeline)
         "prepend_step", "group_by", "with_row_order",

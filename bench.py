@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_novel_docs",
     "text_model_score",
+    "pipeline_pretraining",
 ]
 
 N_PASSES = 3

@@ -1795,6 +1795,99 @@ FROM kept GROUP BY lang, split ORDER BY lang, split
 """
 
 
+def pipeline_pretraining(spark, sf) -> DataFrame:
+    """Flagship r6 composite: the modern pretraining-curation loop in ONE
+    lazy plan — model-scored quality filter (batch-inference harness) →
+    incremental near-dup filter of the new batch against the kept corpus
+    (cross LSH + exact verify) → disjoint 64-word chunking (expression-
+    only explode) → 512-token sequence packing (distributed prefix sum)
+    → per-pack summary. Every stage is the oracle-checked operator from
+    its own query; this pins their composition."""
+    from gratum_spark.operators.inference import score_documents
+    from gratum_spark.operators.packing import pack_sequences
+
+    docs = T(spark, sf, "documents").df
+    good = (
+        score_documents(docs, "doc_id", "text")
+        .filter(F.col("score") >= 0.25)
+        .select("doc_id")
+    )
+    kept = docs.join(good, on="doc_id")
+    new_batch = kept.filter(F.col("doc_id") % 10 == 0)
+    corpus = kept.filter(F.col("doc_id") % 10 != 0)
+    novel = dedup.corpus_novel(new_batch, corpus, "doc_id", "text", threshold=0.5)
+    chunks = text.chunk_words(novel, "doc_id", "text", size=64, stride=64)
+    ordered = chunks.withColumn(
+        "ord", F.col("id") * F.lit(100_000) + F.col("chunk_id")
+    )
+    packed = pack_sequences(ordered, "ord", "n_words", capacity=512)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_words").alias("pack_tokens"),
+            F.min("ord").alias("first_ord"),
+            F.max("ord").alias("last_ord"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+ORACLE_PRETRAINING = """
+WITH s AS (
+  SELECT doc_id,
+         ((length(text) % 97) + (len(string_split(text, ' ')) % 13))
+           / 110.0 AS score
+  FROM documents
+),
+kept AS (
+  SELECT d.* FROM documents d JOIN s USING (doc_id) WHERE s.score >= 0.25
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+matched AS (
+  SELECT DISTINCT s1.doc_id AS new_id
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+  JOIN sizes na ON na.doc_id = s1.doc_id
+  JOIN sizes nb ON nb.doc_id = s2.doc_id
+  WHERE s1.doc_id % 10 = 0 AND s2.doc_id % 10 <> 0
+  GROUP BY s1.doc_id, s2.doc_id, na.n, nb.n
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / CAST(na.n + nb.n - COUNT(*) AS DOUBLE) >= 0.5
+),
+novel AS (
+  SELECT * FROM kept
+  WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT new_id FROM matched)
+),
+nw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM novel),
+ch AS (
+  SELECT doc_id, cid,
+         CAST(len(list_slice(ws, cid*64 + 1, cid*64 + 64)) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(0,
+                  CASE WHEN len(ws) <= 64 THEN 0
+                       ELSE CAST(ceil((len(ws) - 64) / 64.0) AS INT) END)) AS cid
+        FROM nw)
+),
+o AS (
+  SELECT doc_id*100000 + cid AS ord, n_words,
+         COALESCE(SUM(n_words) OVER (ORDER BY doc_id*100000 + cid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM ch
+)
+SELECT CAST(off // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_words) AS BIGINT) AS pack_tokens,
+       MIN(ord) AS first_ord,
+       MAX(ord) AS last_ord
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_cluster_cc(spark, sf) -> DataFrame:
     """Duplicate-group clustering: chain edges between successive doc_ids
     sharing a text, resolved to components by iterative min-label
@@ -2390,7 +2483,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
-    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
+    # -- new in r6: the composed pretraining-curation loop (first driver
+    #    check; text_contamination rotated past the window after 3 green
+    #    rounds — its n-gram overlap machinery is exercised inside this
+    #    composite's incremental-dedup stage, and the text family keeps
+    #    text_chunks/text_tfidf/text_pack/text_model_score in-window)
+    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
     # -- new in r6: model-scored quality filter (first driver check;
@@ -2462,6 +2560,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     # -- past-window queries from earlier rotations (r1/r2-green; family
     #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),

@@ -1812,7 +1812,13 @@ def pipeline_pretraining(spark, sf) -> DataFrame:
         .filter(F.col("score") >= 0.25)
         .select("doc_id")
     )
-    kept = docs.join(good, on="doc_id")
+    # materialize the scored keep-set once: downstream the corpus_novel
+    # stage consumes `kept` from FIVE plan branches (two signature sides,
+    # two shingle-verify sides, the novel output) and Catalyst does not
+    # dedupe the mapInPandas scoring subtree across them — re-running
+    # the model per branch is exactly what a 100 TB pipeline avoids by
+    # checkpointing its filter stage (measured ~2x on this query)
+    kept = docs.join(good, on="doc_id").localCheckpoint(eager=False)
     new_batch = kept.filter(F.col("doc_id") % 10 == 0)
     corpus = kept.filter(F.col("doc_id") % 10 != 0)
     novel = dedup.corpus_novel(new_batch, corpus, "doc_id", "text", threshold=0.5)

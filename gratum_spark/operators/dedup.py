@@ -349,6 +349,99 @@ def minhash_verified_pairs_cross(
     )
 
 
+def write_corpus_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int | None = None,
+) -> None:
+    """Precompute and store the corpus near-dup index — the production
+    form of incremental dedup: the banded LSH rows and the exact-verify
+    shingle sets are pure functions of the corpus text, so a daily
+    pipeline builds them ONCE per corpus version and every incremental
+    run reads the (much smaller) index instead of re-scanning and
+    re-hashing 100 TB of text.
+
+    Layout: ``{path}/banded`` (band, h, id — the narrow bucket-join side),
+    ``{path}/shingles`` (id, sh — the verify side), ``{path}/meta``
+    (the hash parameters; enforced at read time, because candidates from
+    mismatched banding silently lose recall instead of erroring)."""
+    if bands is None:
+        bands, _ = derive_banding(n_hashes, threshold)
+    _, banded = _banded_signatures(
+        corpus_df, id_col, text_col, shingle_k, n_hashes, bands, None,
+        checkpoint_sig=False,
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/banded")
+    sh = corpus_df.select(
+        F.col(id_col).alias("id"),
+        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    spark = corpus_df.sparkSession
+    meta = spark.createDataFrame(
+        [(shingle_k, n_hashes, bands, float(threshold))],
+        "shingle_k int, n_hashes int, bands int, threshold double",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def corpus_novel_stored(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Doc-level incremental keep-set against a STORED corpus index
+    (see :func:`write_corpus_index`): same answer as
+    :func:`corpus_novel`, but the corpus side is two parquet scans (the
+    narrow banded table + the shingle table) instead of a full
+    re-signature of the corpus text. Hash parameters come from the
+    index's meta record so the new side's banding always matches the
+    stored banding."""
+    spark = new_df.sparkSession
+    meta = spark.read.json(f"{index_path}/meta").collect()[0]
+    shingle_k, n_hashes, bands = int(meta["shingle_k"]), int(meta["n_hashes"]), int(meta["bands"])
+    threshold = float(meta["threshold"])
+
+    _, banded_new = _banded_signatures(
+        new_df, id_col, text_col, shingle_k, n_hashes, bands, None,
+        checkpoint_sig=False,
+    )
+    banded_corpus = spark.read.parquet(f"{index_path}/banded")
+    cands = (
+        banded_new.select("band", "h", F.col("id").alias("new_id"))
+        .join(
+            banded_corpus.select("band", "h", F.col("id").alias("corpus_id")),
+            on=["band", "h"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"),
+        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh_a"),
+    )
+    sh_corpus = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    matched = (
+        cands.join(sh_new, on="new_id")
+        .join(sh_corpus, on="corpus_id")
+        .filter(jac >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(matched, on=id_col, how="left_anti")
+
+
 def corpus_novel(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -670,3 +670,30 @@ def test_build_packs_members_in_stream_order(spark):
     assert got == {0: (["d0", "d1"], 2, 6),
                    1: (["d2", "d3"], 2, 6),
                    2: (["d4"], 1, 3)}
+
+
+def test_corpus_index_stored_matches_direct(spark, tmp_path):
+    # production incremental shape: write the corpus near-dup index once,
+    # then the stored-index keep-set must equal the direct corpus_novel
+    # answer (same banding from the persisted meta record)
+    from gratum_spark.operators.dedup import (
+        corpus_novel,
+        corpus_novel_stored,
+        write_corpus_index,
+    )
+
+    corpus_rows = [(10, BASE), (11, NEAR), (12, FAR)]
+    new_rows = [(100, BASE), (101, "nothing like anything in the corpus "
+                                   "at all just some fresh writing here"),
+                (102, FAR)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "corpus_idx")
+    write_corpus_index(corpus, "doc_id", "text", idx, threshold=0.5)
+
+    direct = sorted(r["doc_id"] for r in
+                    corpus_novel(new, corpus, "doc_id", "text").collect())
+    stored = sorted(r["doc_id"] for r in
+                    corpus_novel_stored(new, idx, "doc_id", "text").collect())
+    assert stored == direct == [101]  # BASE and FAR duplicate the corpus

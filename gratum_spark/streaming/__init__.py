@@ -267,7 +267,7 @@ def write_stream_parquet(
 
 def stream_corpus_novel(
     stream_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: "DataFrame | str",
     id_col: str,
     text_col: str,
     path: str,
@@ -292,14 +292,20 @@ def stream_corpus_novel(
     with spark.read.parquet discovers ``batch`` as a partition column
     (no underscore prefix — Hadoop readers hide ``_``-prefixed paths).
 
-    The static corpus side re-evaluates per micro-batch — cache it (or
-    point at a stored banded-signature table) for a long-running query.
+    ``corpus_df`` may be a DataFrame (each micro-batch re-evaluates the
+    corpus signatures — fine for small/cached corpora) or a STRING path
+    to a persisted index from ``dedup.write_corpus_index`` — the
+    long-running production form: every micro-batch answers from two
+    parquet scans of the index instead of re-hashing corpus text.
     Returns the StreamingQuery; availableNow waits for termination.
     """
-    from ..operators.dedup import corpus_novel
+    from ..operators.dedup import corpus_novel, corpus_novel_stored
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = corpus_novel(batch_df, corpus_df, id_col, text_col, **dedup_kw)
+        if isinstance(corpus_df, str):
+            out = corpus_novel_stored(batch_df, corpus_df, id_col, text_col)
+        else:
+            out = corpus_novel(batch_df, corpus_df, id_col, text_col, **dedup_kw)
         out.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     w = (

@@ -193,3 +193,15 @@ def test_stream_corpus_novel_matches_batch(spark, sf_dir, tmp_path):
     streaming.stream_corpus_novel(stream2, corpus, "doc_id", "text", out, ckpt)
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got2 == expected
+
+    # stored-index corpus form (production long-running shape): same keep-set
+    from gratum_spark.operators.dedup import write_corpus_index
+
+    idx = str(tmp_path / "corpus_idx")
+    write_corpus_index(corpus, "doc_id", "text", idx)
+    out2 = str(tmp_path / "novel_out_idx")
+    stream3 = spark.readStream.schema(docs.schema).parquet(new_path)
+    streaming.stream_corpus_novel(stream3, idx, "doc_id", "text", out2,
+                                  str(tmp_path / "novel_ckpt_idx"))
+    got3 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert got3 == expected

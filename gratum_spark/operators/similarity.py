@@ -203,6 +203,51 @@ def _assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> D
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iters: int = 3,
+) -> None:
+    """Build and PERSIST the IVF index — the production ANN shape: the
+    k-means build (n_iters full scans) runs once per corpus version;
+    every query session reads back (assignments, centroids) from
+    parquet instead of rebuilding. Layout: ``{path}/assignments``
+    (id, list_id — partitioned BY list_id so a probe scans only its
+    lists' files), ``{path}/centroids`` (n_lists rows)."""
+    assignments, centroids = ivf_build(df, id_col, vec_col, n_lists, n_iters)
+    (
+        assignments.write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/assignments")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_stored(
+    df: DataFrame,
+    index_path: str,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a stored index (see :func:`write_ivf_index`):
+    identical answers to :func:`ivf_topk` on the same build, with the
+    assignment scan pruned to the probed lists' partition directories
+    (list_id is a partition column — partition pruning, no full-index
+    scan)."""
+    spark = df.sparkSession
+    assignments = spark.read.parquet(f"{index_path}/assignments")
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    return ivf_topk(
+        df, assignments, centroids, query, id_col, vec_col, k, n_probe
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     assignments: DataFrame,

@@ -697,3 +697,29 @@ def test_corpus_index_stored_matches_direct(spark, tmp_path):
     stored = sorted(r["doc_id"] for r in
                     corpus_novel_stored(new, idx, "doc_id", "text").collect())
     assert stored == direct == [101]  # BASE and FAR duplicate the corpus
+
+
+def test_ivf_stored_index_matches_direct(spark, tmp_path):
+    # persisted ANN index: stored probe must equal the direct build's
+    # probe (deterministic k-means), and list_id must be a partition
+    # column so probes prune to their lists' directories
+    import os as _os
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = [float(x) for x in vecs[42]]
+
+    assignments, centroids = similarity.ivf_build(df, n_lists=4, n_iters=2)
+    direct = [r["vec_id"] for r in
+              similarity.ivf_topk(df, assignments, centroids, q, k=5, n_probe=2).collect()]
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(df, idx, n_lists=4, n_iters=2)
+    stored = [r["vec_id"] for r in
+              similarity.ivf_topk_stored(df, idx, q, k=5, n_probe=2).collect()]
+    assert stored == direct and 42 in stored
+    assert any(d.startswith("list_id=") for d in _os.listdir(f"{idx}/assignments"))

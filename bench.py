@@ -89,6 +89,12 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
+    # added late-r6: the five new curation operators (set 41 -> 46)
+    "dedup_rewrite",
+    "dedup_semantic",
+    "dedup_keep_best",
+    "corpus_mixture",
+    "text_bm25",
 ]
 
 N_PASSES = 3

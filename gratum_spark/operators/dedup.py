@@ -33,6 +33,10 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "chunk_dedup_stats",
+    "chunk_dedup_rewrite",
+    "semantic_dedup",
+    "semantic_dedup_assigned",
+    "canonical_keep_best",
     "embedding_cosine_pairs",
     "connected_components",
 ]
@@ -797,4 +801,176 @@ def chunk_dedup_stats(
                 "kept_frac"
             ),
         )
+    )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Chunk-level corpus dedup with document REASSEMBLY (the C4 /
+    RefinedWeb cleaning step proper, where `chunk_dedup_stats` is only
+    the accounting): every text unit repeated anywhere in the corpus is
+    deleted except in its first-seen (doc, position), and each document
+    is rewritten from its surviving chunks in original order.
+
+    Plan: explode -> groupBy chunk text (map-side combinable min owner)
+    -> re-join owners on chunk text -> per-doc `collect_list` of kept
+    (pos, chunk) structs -> `array_sort` + `concat_ws`. Two shuffles,
+    nothing pairwise; per-doc state is bounded by the doc's own chunk
+    count, so the rebuild aggregation is safe at any corpus size. A doc
+    whose every chunk is owned elsewhere still yields a row (empty
+    ``clean_text``): `collect_list` skips the NULLs the keep-condition
+    produces, leaving an empty array rather than dropping the group.
+
+    Returns (id, n_chunks, n_kept, clean_text) per document.
+    """
+    warr = words(F.col(text_col))
+    n_chunks_expr = (F.size(warr) + F.lit(chunk_words - 1)) / F.lit(chunk_words)
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(warr, i * chunk_words + 1, chunk_words)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    owner_key = F.col("id") * F.lit(1_000_000) + F.col("pos")
+    owners = chunks.groupBy("chunk").agg(F.min(owner_key).alias("__owner__"))
+    kept = chunks.join(owners, on="chunk").withColumn(
+        "__keep__", owner_key == F.col("__owner__")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("__keep__").cast("int")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep__"), F.struct("pos", "chunk"))
+                )
+            ).alias("__kept__"),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_kept",
+            F.concat_ws(
+                " ", F.transform("__kept__", lambda s: s["chunk"])
+            ).alias("clean_text"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    partition the embedding space into clusters, then inside each
+    cluster drop every vector whose cosine to ANY lower-id cluster
+    member reaches ``threshold`` — first-wins, like `exact_dedup`.
+
+    Clustering here is one deterministic assignment step against seed
+    centroids (the ``n_clusters`` lowest-id vectors), which keeps the
+    whole operator reproducible on any engine; the production path is
+    the same code with `ivf_build`'s Lloyd-iterated centroids swapped
+    in (both are (id, cluster) assignments — `semantic_dedup_assigned`
+    consumes either).
+
+    Scale shape: assignment is one Arrow-batched (batch × dim) @
+    (dim × k) matmul per vector batch — no join, no shuffle; the dedup
+    is ONE shuffle on cluster id, then a per-cluster BLAS gram matrix.
+    In-cluster work is O(|c|²·dim) — the SemDeDup trade — so cluster
+    count is the scale knob: hold |c| ≈ constant by growing
+    ``n_clusters`` with N (the paper runs 50k clusters at web scale).
+
+    Returns (id, cluster, keep) for every input row.
+    """
+    rows = (
+        df.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf("long")
+    def best_cluster(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # argmax takes the first (= lowest cluster id) on ties, matching
+        # the oracle's ORDER BY cosine DESC, cluster ASC
+        return pd.Series(np.argmax(mat @ cmat.T, axis=1).astype(np.int64))
+
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        best_cluster(F.col(vec_col)).alias("cluster"),
+    )
+    return semantic_dedup_assigned(assigned, threshold)
+
+
+def semantic_dedup_assigned(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """In-cluster first-wins cosine dedup over an (id, v, cluster)
+    assignment (see `semantic_dedup`). One shuffle (groupBy cluster);
+    each cluster scores its pairs in a single gram matrix and emits
+    only (id, cluster, keep)."""
+
+    def dedupe(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        # drop j if any i<j has cos(i,j) >= threshold (earlier row wins,
+        # whether or not that row itself survived — the EXISTS form, so
+        # the rule is engine-replicable without iteration)
+        dup = (np.tril(sims, k=-1) >= threshold).any(axis=1)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "keep": ~dup}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedupe, "id long, cluster long, keep boolean"
+    )
+
+
+def canonical_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-aware canonical-form dedup: documents whose NORMALIZED
+    text (lower-cased, punctuation stripped, whitespace collapsed)
+    collides keep only the best-quality member — argmax(quality), ties
+    to the lowest id — where `exact_dedup` keeps the first-seen.
+    This is the keep-best policy real curation uses when near-identical
+    mirrors differ in truncation/mojibake and "first" is arbitrary.
+
+    Single window over the canonical key — one shuffle, no pairwise
+    work; the canonical key is md5-portable so any engine reproduces
+    the exact keep set.
+
+    Returns (id, canon_key, keep).
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    key = F.md5(norm)
+    w = Window.partitionBy("canon_key").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), F.col(quality_col), key.alias("canon_key"))
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(F.col(id_col), F.col("canon_key"), F.col("keep"))
     )

@@ -1,0 +1,123 @@
+"""Distributed keyword retrieval (BM25) over a document corpus.
+
+Beyond-reference capability: the retrieval leg of a training-data /
+RAG pipeline — score every document against a (small) query set with
+Okapi BM25 and keep the top-k per query. The reference has no search
+of any kind; the published BM25 formula (Robertson & Spärck Jones,
+probabilistic relevance framework; the ln(1 + (N-df+0.5)/(df+0.5))
+idf is Lucene's non-negative variant) is public knowledge.
+
+Scale shape — everything is expression-only JVM work:
+
+- postings (doc, term, tf) and doc lengths come from ONE explode +
+  two map-side-combinable aggregates over the corpus scan;
+- corpus constants (N, avgdl) are a 1-row aggregate folded back in as
+  a broadcast cross join — no driver-side collect, one Spark action
+  end to end (same pattern as text.tfidf_top_terms);
+- the query set is tiny by construction, so query terms broadcast and
+  the only data-sized shuffles are the two corpus aggregates — per
+  added query the marginal cost is a broadcast-hash probe, not a scan;
+- top-k per query is a window over (query, score) — k rows per query
+  survive per partial sort.
+
+At 100 TB the postings aggregate is the cost, and it's the irreducible
+one (every retrieval engine builds it); serving many query batches
+amortizes it by persisting `build_postings`' two tables as parquet and
+scoring against the stored index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import words
+
+__all__ = ["build_postings", "bm25_topk"]
+
+
+def build_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a corpus: postings = (id, term, tf),
+    doclens = (id, dl). Terms are lower-cased alpha runs."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    postings = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    doclens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    return postings, doclens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 documents per query. Repeated query terms count once
+    (standard short-query BM25). Ties break to the lowest doc id, so
+    the ranking is fully deterministic.
+
+    Returns (query_id, rank, doc_id, score).
+    """
+    postings, doclens = build_postings(docs, id_col, text_col)
+    stats = doclens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dft = postings.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(query_text_col)), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    contrib = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")))
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(dft), on="term")
+        .join(doclens, on="id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias("doc_id"),
+            "score",
+        )
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample", "quota_sample"]
+__all__ = ["hash_split", "stratified_sample", "quota_sample", "mixture_sample"]
 
 
 def _frac_pred(h: F.Column, frac: float) -> F.Column:
@@ -115,4 +115,74 @@ def quota_sample(
         df.withColumn("__qrn__", F.row_number().over(w))
         .filter(F.col("__qrn__") <= quota)
         .drop("__qrn__")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted domain mixture resampling (the Pile /
+    multilingual-LM recipe): re-draw a corpus of ~``target_total`` rows
+    where group g contributes proportionally to count(g)^alpha.
+    ``alpha`` = 1 keeps natural proportions, 0 makes groups uniform —
+    between, it up-weights small domains without drowning large ones.
+
+    Each group's target implies epochs(g) = target(g)/count(g) passes
+    over the group: every row is emitted floor(epochs) times (epochs
+    1..E) plus one fractional epoch E+1 drawn by the same md5-threshold
+    rule as `hash_split` — deterministic per-row, so re-runs, retries,
+    and other engines reproduce the exact multiset. (Epoch-counted
+    repetition is how LM data loaders consume mixtures; downstream
+    packing sees (key, epoch) as the sequence identity.)
+
+    Plan shape: one tiny aggregate (distinct groups) broadcast back
+    onto the stream — counts never leave the cluster and there is no
+    shuffle of the data itself; the explode multiplies rows map-side.
+    The fractional threshold is compared in hex-string space
+    (lpad(hex(floor(frac·16^8)))) so the predicate is bit-identical on
+    any engine with md5/hex, same as the rest of this module.
+
+    Returns the input columns plus ``epoch`` (1-based).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n__"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n__").cast("double"), F.lit(alpha))).alias("__tw__")
+    )
+    weights = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__epochs__",
+            F.lit(float(target_total))
+            * F.pow(F.col("__n__").cast("double"), F.lit(alpha))
+            / F.col("__tw__")
+            / F.col("__n__").cast("double"),
+        )
+        .select(group_col, "__epochs__")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    full = F.floor(F.col("__epochs__")).cast("int")
+    frac = F.col("__epochs__") - full.cast("double")
+    # hex threshold for the fractional epoch: frac is a COLUMN here, so
+    # the python-literal _frac_pred doesn't apply — build the 8-hex-char
+    # bound as an expression (floor() explicitly: DuckDB's double->int
+    # cast rounds where Spark's truncates)
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(frac * F.lit(float(16**8))).cast("bigint")), 8, "0")
+    )
+    joined = df.join(F.broadcast(weights), on=group_col)
+    epochs_arr = F.when(
+        full >= 1, F.sequence(F.lit(1), full)
+    ).otherwise(F.array().cast("array<int>"))
+    with_extra = F.when(h < thr, F.concat(epochs_arr, F.array(full + 1))).otherwise(
+        epochs_arr
+    )
+    return (
+        joined.select(*df.columns, F.explode(with_extra).alias("epoch"))
     )

@@ -2444,6 +2444,198 @@ SELECT id, CAST(rank AS BIGINT) AS rank, term, score FROM (
 """
 
 
+def dedup_rewrite(spark, sf) -> DataFrame:
+    """Chunk-level dedup with document reassembly (operators/dedup.py
+    chunk_dedup_rewrite): the C4/RefinedWeb cleaning step proper —
+    repeated 10-word chunks survive only first-seen and each doc is
+    rewritten from its survivors in order."""
+    docs = T(spark, sf, "documents").df
+    return dedup.chunk_dedup_rewrite(docs, "doc_id", "text", chunk_words=10).orderBy(
+        "id"
+    )
+
+
+ORACLE_DEDUP_REWRITE = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, CAST(i-1 AS INT) AS pos,
+         array_to_string(list_slice(ws,(i-1)*10+1,(i-1)*10+10),' ') AS chunk
+  FROM w, LATERAL unnest(generate_series(1, CAST(ceil(len(ws)/10.0) AS INT))) AS t(i)),
+own AS (SELECT chunk, MIN(doc_id*1000000+pos) AS o FROM ch GROUP BY 1)
+SELECT ch.doc_id AS id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN ch.doc_id*1000000+ch.pos = own.o THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN ch.doc_id*1000000+ch.pos = own.o THEN ch.chunk END,
+                           ' ' ORDER BY ch.pos),'') AS clean_text
+FROM ch JOIN own USING (chunk)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def dedup_semantic(spark, sf) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    semantic_dedup): one deterministic centroid-assignment step over the
+    8 lowest-id seed vectors, then first-wins cosine dedup inside each
+    cluster. The oracle replicates assignment AND the in-cluster EXISTS
+    rule in plain SQL, so the whole keep-set is engine-checkable."""
+    emb = T(spark, sf, "embeddings").df
+    return dedup.semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=8, threshold=0.3
+    ).orderBy("id")
+
+
+ORACLE_DEDUP_SEMANTIC = """
+WITH seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS sv
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding,1) AS i FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nv FROM ex GROUP BY 1),
+sx AS (SELECT cluster, CAST(unnest(sv) AS DOUBLE) AS cx,
+              generate_subscripts(sv,1) AS i FROM seed),
+snrm AS (SELECT cluster, sqrt(SUM(cx*cx)) AS nc FROM sx GROUP BY 1),
+cosc AS (
+  SELECT ex.vec_id, sx.cluster, SUM(ex.x*sx.cx) AS dot
+  FROM ex JOIN sx USING (i) GROUP BY 1,2),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT c.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY c.dot/(n.nv*s.nc) DESC, c.cluster ASC) AS rn
+    FROM cosc c JOIN nrm n USING (vec_id) JOIN snrm s USING (cluster)
+  ) WHERE rn = 1),
+pc AS (
+  SELECT aa.vec_id AS ida, bb.vec_id AS idb, SUM(ea.x*eb.x) AS dot
+  FROM asg aa JOIN asg bb ON aa.cluster=bb.cluster AND aa.vec_id < bb.vec_id
+  JOIN ex ea ON ea.vec_id=aa.vec_id
+  JOIN ex eb ON eb.vec_id=bb.vec_id AND eb.i=ea.i
+  GROUP BY 1,2),
+dup AS (
+  SELECT DISTINCT p.idb AS vec_id
+  FROM pc p JOIN nrm na ON na.vec_id=p.ida JOIN nrm nb ON nb.vec_id=p.idb
+  WHERE p.dot/(na.nv*nb.nv) >= 0.3)
+SELECT a.vec_id AS id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN dup d USING (vec_id) ORDER BY 1
+"""
+
+
+def dedup_keep_best(spark, sf) -> DataFrame:
+    """Quality-aware canonical dedup (operators/dedup.py
+    canonical_keep_best): md5 of the normalized text as cluster key,
+    keep argmax(n_chars, ties -> lowest doc_id) per cluster."""
+    docs = T(spark, sf, "documents").df
+    return dedup.canonical_keep_best(docs, "doc_id", "text", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))) AS canon_key
+  FROM documents)
+SELECT doc_id, canon_key,
+       ROW_NUMBER() OVER (PARTITION BY canon_key
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM c ORDER BY doc_id
+"""
+
+
+def corpus_mixture(spark, sf) -> DataFrame:
+    """Temperature-weighted domain mixture (operators/sampling.py
+    mixture_sample): re-draw ~1000 rows with source g weighted
+    count(g)^0.5 — whole epochs exploded per row, the fractional epoch
+    md5-thresholded, so the multiset is engine-exact."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df
+    return (
+        sampling.mixture_sample(docs, "source", "doc_id", alpha=0.5, target_total=1000)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+ORACLE_CORPUS_MIXTURE = """
+WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+t AS (SELECT SUM(pow(CAST(cnt AS DOUBLE),0.5)) AS tw FROM n),
+w AS (SELECT source,
+             1000.0 * pow(CAST(cnt AS DOUBLE),0.5) / t.tw / CAST(cnt AS DOUBLE) AS epochs
+      FROM n, t),
+d AS (
+  SELECT doc_id, d.source, CAST(floor(w.epochs) AS INT) AS nfull,
+         w.epochs - floor(w.epochs) AS frc
+  FROM documents d JOIN w USING (source)),
+fullcopies AS (
+  SELECT doc_id, source, CAST(e AS INT) AS epoch
+  FROM d, LATERAL unnest(generate_series(1, d.nfull)) AS t(e)
+  WHERE d.nfull >= 1),
+extra AS (
+  SELECT doc_id, source, nfull + 1 AS epoch FROM d
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8)
+        < lpad(lower(hex(CAST(floor(frc*4294967296.0) AS BIGINT))),8,'0'))
+SELECT doc_id, source, epoch FROM fullcopies
+UNION ALL SELECT doc_id, source, epoch FROM extra
+ORDER BY doc_id, epoch
+"""
+
+
+def text_bm25(spark, sf) -> DataFrame:
+    """BM25 top-5 retrieval (operators/retrieval.py bm25_topk) for
+    three queries derived from the corpus itself (first 8 words of
+    doc_ids 0-2) — postings/doclens/idf all expression-only, corpus
+    constants folded in as a 1-row broadcast, one action."""
+    from ..operators import retrieval
+
+    docs = T(spark, sf, "documents").df
+    qdf = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+            "query_text"
+        ),
+    )
+    return (
+        retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=5)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_TEXT_BM25 = """
+WITH toks AS (
+  SELECT doc_id AS id, t.term FROM documents,
+  LATERAL unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+postings AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+doclens AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclens),
+dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM postings GROUP BY 1),
+q AS (SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text,' '),1,8),' ') AS query_text
+      FROM documents WHERE doc_id < 3),
+qterms AS (
+  SELECT DISTINCT query_id, t.term FROM q,
+  LATERAL unnest(list_filter(string_split_regex(lower(query_text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+scored AS (
+  SELECT qt.query_id, p.id,
+    SUM( ln(1.0 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+         * (CAST(p.tf AS DOUBLE)*2.2
+            / (CAST(p.tf AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl.dl AS DOUBLE)/s.avgdl)))
+       ) AS score
+  FROM postings p JOIN qterms qt USING (term)
+  JOIN dft f USING (term) JOIN doclens dl ON dl.id = p.id
+  CROSS JOIN stats s
+  GROUP BY 1,2)
+SELECT query_id, rank, doc_id, ROUND(score,6) AS score FROM (
+  SELECT query_id, id AS doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2461,19 +2653,25 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     # -- core operator representatives (green in r1, kept in-window)
-    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
-    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
+    # -- NEW in this round: five curation operators on their first driver
+    #    check (slots freed by rotating op_filter_map, op_column_ops,
+    #    op_udaf_pandas, op_exchange, op_flatten_window past the window
+    #    after 4-5 consecutive green rounds; their families stay
+    #    in-window via op_filter_closure/op_filter_regex, op_coerce/
+    #    op_replace/op_defaults, op_reduce, op_flat_map, op_fill_down)
+    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
+    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
+    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
+    "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
@@ -2541,6 +2739,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     # ---- 50-entry driver window boundary ----
+    # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
+    #    room for the five new curation queries above (families stay
+    #    in-window; all five remain bench/pytest-covered)
+    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
+    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
     # -- rotated OUT in r6 after 3-4 consecutive green rounds (families
     #    stay represented in-window: text via text_contamination/text_tfidf/
     #    text_chunks, multimodal via multimodal_audio, ANN via ann_topk,

@@ -437,3 +437,55 @@ def test_add_step_rejects_dont_rescan_wider(spark, sf):
     )
     plan = plan_of(p.df)
     assert "c_acctbal" not in plan  # unused columns never reach the step
+
+
+def test_bm25_broadcasts_queries_and_stats(spark, sf):
+    """BM25's query-term / doc-frequency / corpus-stats joins must all
+    broadcast — the only data-sized shuffles allowed are the postings /
+    doclens aggregates and their id-join. A shuffled query join would
+    re-partition the whole postings table per query batch."""
+    plan = plan_of(Q.text_bm25(spark, sf))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    # corpus constants fold in as a broadcast nested-loop (1-row side)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mixture_sample_no_data_shuffle(spark, sf):
+    """Mixture resampling must not shuffle the corpus: group weights
+    reduce to a handful of rows and broadcast back; the explode
+    multiplies rows map-side. Any non-broadcast Exchange on the
+    document stream is a scale regression."""
+    from gratum_spark.operators import sampling
+
+    docs = table(spark, sf, "documents").df
+    out = sampling.mixture_sample(docs, "source", "doc_id", 0.5, 1000)
+    plan = plan_of(out)
+    lines = plan.split("== Physical Plan ==")[1].splitlines()
+    # formatted explain puts each Exchange's partitioning on the
+    # following "Arguments:" line — pair them up
+    for i, line in enumerate(lines):
+        if line.strip().endswith(" Exchange"):
+            args = next(l for l in lines[i + 1 :] if "Arguments:" in l)
+            # the only hash exchanges allowed are the tiny per-group
+            # aggregates (keyed on source / single-row total)
+            assert "hashpartitioning(source" in args or "SinglePartition" in args, args
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark, sf):
+    """semantic_dedup is one shuffle on cluster id: assignment is an
+    Arrow-batched matmul (no join), dedup groups by cluster. More than
+    one data-sized exchange means the assignment fell into a join."""
+    from gratum_spark.operators import dedup as D
+
+    emb = table(spark, sf, "embeddings").df
+    out = D.semantic_dedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.3)
+    plan = plan_of(out)
+    lines = plan.split("== Physical Plan ==")[1].splitlines()
+    args = [
+        next(l for l in lines[i + 1 :] if "Arguments:" in l)
+        for i, line in enumerate(lines)
+        if line.strip().endswith(" Exchange")
+    ]
+    assert len(args) == 1, args
+    assert "hashpartitioning(cluster" in args[0]

@@ -723,3 +723,132 @@ def test_ivf_stored_index_matches_direct(spark, tmp_path):
               similarity.ivf_topk_stored(df, idx, q, k=5, n_probe=2).collect()]
     assert stored == direct and 42 in stored
     assert any(d.startswith("list_id=") for d in _os.listdir(f"{idx}/assignments"))
+
+
+def test_chunk_dedup_rewrite_removes_repeats_keeps_first(spark):
+    # doc 0 owns both chunks; doc 1 repeats doc 0's first chunk then has
+    # its own; doc 2 is doc 0 verbatim (every chunk owned elsewhere)
+    a = "w1 w2 w3"
+    b = "x1 x2 x3"
+    rows = [
+        (0, f"{a} {b}"),
+        (1, f"{a} y1 y2 y3"),
+        (2, f"{a} {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dedup.chunk_dedup_rewrite(df, "doc_id", "text", chunk_words=3).collect()
+    }
+    assert out[0]["clean_text"] == f"{a} {b}" and out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == "y1 y2 y3" and out[1]["n_kept"] == 1
+    # fully-duplicated doc still yields a row, with empty rebuilt text
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 2
+
+
+def test_semantic_dedup_first_wins_within_cluster(spark):
+    # two tight groups along different axes + one isolated vector;
+    # seeds = ids 0,1 => two clusters. Within each, the lowest id wins.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+        (3, [0.01, 0.999, 0.0, 0.0]),   # dup of 1
+        (4, [0.98, 0.2, 0.0, 0.0]),     # dup of 0 (cos ~0.98), cluster 0
+        (5, [-1.0, 0.5, 0.0, 0.0]),     # cosine to both seeds below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: r
+        for r in dedup.semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.9
+        ).collect()
+    }
+    assert out[0]["keep"] and out[1]["keep"]
+    assert not out[2]["keep"] and not out[3]["keep"] and not out[4]["keep"]
+    assert out[5]["keep"]
+    assert len(out) == 6
+
+
+def test_canonical_keep_best_prefers_quality_then_id(spark):
+    rows = [
+        (0, "Hello, World!", 10),
+        (1, "hello world", 25),     # same canonical form, higher quality
+        (2, "hello   WORLD?", 25),  # same quality as 1 -> id tie-break
+        (3, "something else", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    out = {r["doc_id"]: r for r in dedup.canonical_keep_best(df, "doc_id", "text", "q").collect()}
+    assert not out[0]["keep"]
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"]
+    assert out[0]["canon_key"] == out[1]["canon_key"] == out[2]["canon_key"]
+
+
+def test_mixture_sample_epochs_and_determinism(spark):
+    from gratum_spark.operators import sampling
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.mixture_sample(
+        df, "source", "doc_id", alpha=0.0, target_total=300
+    )
+    pdf = out.toPandas()
+    # alpha=0: equal group targets (150 each). big: 150/80 = 1.875 epochs,
+    # small: 150/20 = 7.5 epochs -> every small row appears >= 7 times
+    per_doc = pdf.groupby("doc_id").size()
+    assert all(per_doc[d] >= 7 for d in range(80, 100))
+    assert all(1 <= per_doc.get(d, 0) <= 2 for d in range(80))
+    big_total = (pdf.source == "big").sum()
+    small_total = (pdf.source == "small").sum()
+    assert abs(big_total - 150) <= 25 and abs(small_total - 150) <= 25
+    # exact determinism across runs
+    again = sampling.mixture_sample(
+        df, "source", "doc_id", alpha=0.0, target_total=300
+    ).toPandas()
+    a = pdf.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bm25_matches_reference_formula(spark):
+    from gratum_spark.operators import retrieval
+
+    corpus = [
+        (0, "apple banana cherry"),
+        (1, "apple apple durian"),
+        (2, "banana banana banana cherry"),
+        (3, "elderberry fig"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "apple banana")], "query_id long, query_text string"
+    )
+    out = retrieval.bm25_topk(docs, "doc_id", "text", queries, k=4)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    ranks = {r["doc_id"]: r["rank"] for r in out.collect()}
+
+    # reference computation in plain python
+    toks = {i: t.split() for i, t in corpus}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    def df_t(t):
+        return sum(1 for v in toks.values() if t in v)
+    def bm25(q, d):
+        s = 0.0
+        for t in set(q.split()):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - df_t(t) + 0.5) / (df_t(t) + 0.5))
+            dl = len(toks[d])
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return s
+    expected = {d: bm25("apple banana", d) for d in toks if bm25("apple banana", d) > 0}
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert abs(got[d] - s) < 1e-9
+    # rank order: score desc, id asc
+    ordered = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in ordered] == [d for d, _ in sorted(ranks.items(), key=lambda kv: kv[1])]

@@ -89,12 +89,16 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the five new curation operators (set 41 -> 46)
+    # added late-r6: the nine new curation operators (set 41 -> 50)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
     "corpus_mixture",
     "text_bm25",
+    "text_collapse_repeats",
+    "text_pmi",
+    "text_canary",
+    "emb_decontaminate",
 ]
 
 N_PASSES = 3

@@ -21,6 +21,7 @@ __all__ = [
     "ivf_topk",
     "normalize_embeddings",
     "quantize_embeddings",
+    "decontaminate_embeddings",
 ]
 
 
@@ -277,3 +278,43 @@ def ivf_topk(
     candidates = assignments.filter(F.col("list_id").isin(probe_ids)).select(id_col)
     subset = df.join(F.broadcast(candidates), on=id_col, how="leftsemi")
     return cosine_topk(subset, query, id_col, vec_col, k)
+
+
+def decontaminate_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_df: DataFrame,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic decontamination: drop every corpus vector whose cosine
+    to ANY held-out eval vector reaches ``threshold`` — the embedding
+    counterpart of `text.ngram_overlap` (paraphrased eval leakage that
+    token n-grams can't see).
+
+    Eval sets are small by nature (benchmarks, not corpora), so the
+    eval matrix collects to the driver and closes over an
+    Arrow-batched (batch × dim) @ (dim × n_eval) matmul — ONE corpus
+    pass, no join, no shuffle; cost per row is n_eval·dim flops. For
+    an eval set too big for one broadcast matrix, pre-cluster it
+    (`ivf_build`) and probe per-batch against the nearest centroids'
+    members instead.
+
+    Returns (id, keep).
+    """
+    evc = eval_vec_col or vec_col
+    rows = eval_df.select(evc).collect()
+    emat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    emat /= np.linalg.norm(emat, axis=1, keepdims=True)
+
+    @F.pandas_udf("boolean")
+    def contaminated(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ emat.T).max(axis=1) >= threshold)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        (~contaminated(F.col(vec_col))).alias("keep"),
+    )

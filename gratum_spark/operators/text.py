@@ -22,6 +22,9 @@ __all__ = [
     "ngram_overlap",
     "repetition_signals",
     "tfidf_top_terms",
+    "collapse_repeats",
+    "pmi_bigrams",
+    "canary_scan",
     "DEFAULT_LANG_WORDS",
     "PII_PATTERNS",
 ]
@@ -317,4 +320,152 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "score")
+    )
+
+
+def collapse_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit_words: int = 1,
+) -> DataFrame:
+    """Collapse CONSECUTIVE repeated units inside each document — the
+    intra-doc half of repetition cleanup (stuttered words, copy-pasted
+    paragraph runs), where `chunk_dedup_*` handles cross-doc repeats.
+    A unit is ``unit_words`` words; a unit equal to its immediate
+    predecessor is dropped, so "buy now buy now buy now" at
+    unit_words=2 collapses to one "buy now".
+
+    Expression-only and embarrassingly parallel: the whole operator is
+    an array pipeline (split -> unit transform -> index-lambda filter
+    -> rejoin) inside one Project — no shuffle, no UDF, no state
+    beyond the row. Per-row cost is linear in doc length.
+
+    Returns (id, n_units, n_kept, clean_text).
+    """
+    n = unit_words
+    warr = words(F.col(text_col))
+    n_units_expr = ((F.size(warr) + F.lit(n - 1)) / F.lit(n)).cast("int")
+    units = F.transform(
+        F.sequence(F.lit(0), n_units_expr - 1),
+        lambda i: F.concat_ws(" ", F.slice(warr, i * n + 1, n)),
+    )
+    with_units = df.select(F.col(id_col).alias("id"), units.alias("__units__"))
+    # filter's lambda index is 0-based; element_at is 1-based, so
+    # element_at(units, i) IS the predecessor of element i
+    kept = F.filter(
+        F.col("__units__"),
+        lambda u, i: (i == F.lit(0))
+        | (u != F.element_at(F.col("__units__"), i)),
+    )
+    return with_units.select(
+        "id",
+        F.size("__units__").cast("long").alias("n_units"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 15,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus bigram/unigram
+    frequencies, thresholded at ``min_count`` occurrences (PMI is
+    noise-dominated on rare pairs). The vocabulary-mining shape LM
+    tokenizer/phrase pipelines run before merging multiwords.
+
+    Plan: one explode per granularity feeding two map-side-combinable
+    aggregates; corpus totals fold in as 1-row broadcasts and the
+    unigram table broadcasts onto the bigram counts (vocabulary ≪
+    corpus) — the only data-sized shuffles are the two count
+    aggregates. Top-k is a single TakeOrdered.
+
+    Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
+    """
+    warr = words(F.lower(F.col(text_col)))
+    toks = df.select(F.explode(warr).alias("w"))
+    bigrams = df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(warr) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(warr, i + 1),
+                    F.element_at(warr, i + 2),
+                ),
+            )
+        ).alias("bg")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
+    bi = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+    n1 = uni.agg(F.sum("cw").cast("double").alias("n1"))
+    n2 = bi.agg(F.sum("cb").cast("double").alias("n2"))
+    a = F.split(F.col("bg"), " ").getItem(0)
+    b = F.split(F.col("bg"), " ").getItem(1)
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb2"))
+    pmi = F.log(
+        (F.col("cb").cast("double") / F.col("n2"))
+        / (
+            (F.col("ca").cast("double") / F.col("n1"))
+            * (F.col("cb2").cast("double") / F.col("n1"))
+        )
+    )
+    return (
+        bi.filter(F.col("cb") >= min_count)
+        .withColumn("wa", a)
+        .withColumn("wb", b)
+        .join(F.broadcast(ua), on="wa")
+        .join(F.broadcast(ub), on="wb")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cb").alias("n"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def canary_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    canaries: DataFrame,
+    canary_id_col: str,
+    canary_text_col: str,
+) -> DataFrame:
+    """Exact-substring canary detection: which documents contain any of
+    a (small) set of marker strings — the benchmark-canary /
+    copyright-string sweep run before training. Complements
+    `ngram_overlap` (token-level) with byte-level exact matching.
+
+    The canary set broadcasts; the scan is a broadcast nested-loop
+    `contains` join — one corpus pass, no shuffle of the corpus, cost
+    O(rows × canaries × |text|). For canary sets beyond a few
+    thousand, compile them into one combined regex (RE2-style
+    alternation) or an Aho-Corasick pass in a pandas UDF instead.
+
+    Returns (id, n_hits, first_canary) — first_canary is the lowest
+    matching canary id, NULL when clean.
+    """
+    hit = canaries.select(
+        F.col(canary_id_col).alias("__cid__"),
+        F.col(canary_text_col).alias("__ctext__"),
+    )
+    joined = df.join(
+        F.broadcast(hit),
+        F.col(text_col).contains(F.col("__ctext__")),
+        "left",
+    )
+    return joined.groupBy(F.col(id_col).alias("id")).agg(
+        F.count("__cid__").alias("n_hits"),
+        F.min("__cid__").alias("first_canary"),
     )

@@ -2636,6 +2636,116 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def text_collapse_repeats(spark, sf) -> DataFrame:
+    """Intra-doc consecutive-repeat collapse (operators/text.py
+    collapse_repeats): stuttered words drop, cross-doc repeats stay —
+    complements dedup_rewrite. Pure array pipeline, no shuffle."""
+    docs = T(spark, sf, "documents").df
+    return text.collapse_repeats(docs, "doc_id", "text", unit_words=1).orderBy("id")
+
+
+ORACLE_COLLAPSE_REPEATS = """
+WITH u AS (SELECT doc_id, string_split(text,' ') AS units FROM documents),
+k AS (SELECT doc_id, units,
+             list_filter(units, (x,i) -> i = 1 OR x <> units[i-1]) AS kept
+      FROM u)
+SELECT doc_id AS id,
+       CAST(len(units) AS BIGINT) AS n_units,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept,' ') AS clean_text
+FROM k ORDER BY id
+"""
+
+
+def text_pmi(spark, sf) -> DataFrame:
+    """Top-15 collocations by PMI (operators/text.py pmi_bigrams) at
+    min_count 5 — corpus totals and the unigram vocabulary broadcast
+    onto the bigram counts."""
+    docs = T(spark, sf, "documents").df
+    return text.pmi_bigrams(docs, "doc_id", "text", min_count=5, k=15).orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    )
+
+
+ORACLE_TEXT_PMI = """
+WITH w AS (SELECT string_split(lower(text),' ') AS ws FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM w),
+bgs AS (
+  SELECT ws[j] || ' ' || ws[j+1] AS bg
+  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(j)),
+uni AS (SELECT tok, COUNT(*) AS cw FROM toks GROUP BY 1),
+bi AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY 1),
+n1 AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n1 FROM uni),
+n2 AS (SELECT CAST(SUM(cb) AS DOUBLE) AS n2 FROM bi)
+SELECT bg AS bigram, cb AS n,
+       ROUND(ln( (CAST(cb AS DOUBLE)/n2.n2)
+                 / ((CAST(ua.cw AS DOUBLE)/n1.n1) * (CAST(ub.cw AS DOUBLE)/n1.n1)) ), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.tok = string_split(bg,' ')[1]
+JOIN uni ub ON ub.tok = string_split(bg,' ')[2]
+CROSS JOIN n1 CROSS JOIN n2
+WHERE cb >= 5
+ORDER BY pmi DESC, bigram ASC LIMIT 15
+"""
+
+
+def text_canary(spark, sf) -> DataFrame:
+    """Exact-substring canary sweep (operators/text.py canary_scan):
+    five 30-char canaries cut from the middle of docs 0-4, scanned
+    against the whole corpus via a broadcast contains join."""
+    docs = T(spark, sf, "documents").df
+    canaries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("canary_id"),
+        F.substring("text", 20, 30).alias("canary_text"),
+    )
+    return text.canary_scan(
+        docs, "doc_id", "text", canaries, "canary_id", "canary_text"
+    ).orderBy("id")
+
+
+ORACLE_TEXT_CANARY = """
+WITH c AS (SELECT doc_id AS cid, substr(text, 20, 30) AS ctext
+           FROM documents WHERE doc_id < 5)
+SELECT d.doc_id AS id,
+       COUNT(c.cid) AS n_hits,
+       MIN(c.cid) AS first_canary
+FROM documents d LEFT JOIN c ON contains(d.text, c.ctext)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def emb_decontaminate(spark, sf) -> DataFrame:
+    """Semantic decontamination (operators/similarity.py
+    decontaminate_embeddings): drop corpus vectors within cosine 0.3
+    of any of the five held-out eval vectors (vec_id < 5) — one
+    Arrow-batched corpus pass against the broadcast eval matrix."""
+    emb = T(spark, sf, "embeddings").df
+    eval_df = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.decontaminate_embeddings(
+        corpus, "vec_id", "embedding", eval_df, threshold=0.3
+    ).orderBy("id")
+
+
+ORACLE_EMB_DECONTAMINATE = """
+WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding,1) AS i FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nv FROM ex GROUP BY 1),
+dots AS (
+  SELECT c.vec_id AS cid, e.vec_id AS eid, SUM(c.x*e.x) AS dot
+  FROM ex c JOIN ex e ON c.i = e.i
+  WHERE c.vec_id >= 5 AND e.vec_id < 5
+  GROUP BY 1, 2),
+dirty AS (
+  SELECT DISTINCT d.cid AS vec_id
+  FROM dots d JOIN nrm nc ON nc.vec_id = d.cid JOIN nrm ne ON ne.vec_id = d.eid
+  WHERE d.dot/(nc.nv*ne.nv) >= 0.3)
+SELECT e.vec_id AS id, (dd.vec_id IS NULL) AS keep
+FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 5) e
+LEFT JOIN dirty dd USING (vec_id) ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2653,11 +2763,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     # -- core operator representatives (green in r1, kept in-window)
-    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
-    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
+    # -- NEW late-r6 wave 2: repeat collapse, PMI collocations, canary
+    #    sweep, embedding decontamination (slots freed by rotating
+    #    op_join_left, op_flat_map, op_add_step, op_coerce past the
+    #    window after 4-5 green rounds; joins stay in-window via
+    #    op_join_inner_reject/op_asof_join/op_semi_join/op_anti_join,
+    #    coercion via op_as_date/op_replace/op_defaults)
+    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
     # -- NEW in this round: five curation operators on their first driver
     #    check (slots freed by rotating op_filter_map, op_column_ops,
     #    op_udaf_pandas, op_exchange, op_flatten_window past the window
@@ -2670,7 +2787,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
-    "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
@@ -2740,9 +2856,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     # ---- 50-entry driver window boundary ----
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
-    #    room for the five new curation queries above (families stay
-    #    in-window; all five remain bench/pytest-covered)
+    #    room for the nine new curation queries above (families stay
+    #    in-window; all rotated rows remain bench/pytest-covered)
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
+    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
+    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
+    "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

@@ -489,3 +489,39 @@ def test_semantic_dedup_single_cluster_shuffle(spark, sf):
     ]
     assert len(args) == 1, args
     assert "hashpartitioning(cluster" in args[0]
+
+
+def test_collapse_repeats_is_expression_only_no_shuffle(spark, sf):
+    """Repeat collapse is a per-row array pipeline: no Exchange, no
+    Python, one scan."""
+    from gratum_spark.operators import text as T2
+
+    docs = table(spark, sf, "documents").df
+    plan = plan_of(T2.collapse_repeats(docs, "doc_id", "text", 1))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in body
+    assert "EvalPython" not in body
+    assert body.count("(1) Scan parquet") == 1
+
+
+def test_canary_scan_broadcasts_canaries(spark, sf):
+    """The canary set must broadcast (nested-loop on contains) — the
+    corpus itself shuffles only for the per-doc aggregate."""
+    plan = plan_of(Q.text_canary(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_is_single_pass_no_shuffle(spark, sf):
+    """Embedding decontamination is one Arrow-batched corpus pass: the
+    eval matrix is closed over, so the plan has no Exchange and no
+    join."""
+    plan = plan_of(Q.emb_decontaminate(spark, sf))
+    body = plan.split("== Physical Plan ==")[1]
+    # the final orderBy in the query adds a range exchange; the operator
+    # itself must contribute none -> at most that single sort exchange
+    exchanges = [l for i, l in enumerate(body.splitlines())
+                 if l.strip().endswith(" Exchange")]
+    assert len(exchanges) <= 1
+    assert "Join" not in body
+    assert "ArrowEvalPython" in body

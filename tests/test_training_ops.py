@@ -852,3 +852,81 @@ def test_bm25_matches_reference_formula(spark):
     # rank order: score desc, id asc
     ordered = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [d for d, _ in ordered] == [d for d, _ in sorted(ranks.items(), key=lambda kv: kv[1])]
+
+
+def test_collapse_repeats_words_and_chunks(spark):
+    rows = [
+        (0, "buy now buy now buy now limited offer"),
+        (1, "the the the cat sat sat"),
+        (2, "no repeats here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w1 = {r["id"]: r for r in text.collapse_repeats(df, "doc_id", "text", 1).collect()}
+    assert w1[1]["clean_text"] == "the cat sat"
+    assert w1[1]["n_units"] == 6 and w1[1]["n_kept"] == 3
+    assert w1[2]["clean_text"] == "no repeats here at all"
+    # word-level can't see the 2-word period; chunk level can
+    assert w1[0]["clean_text"] == "buy now buy now buy now limited offer"
+    w2 = {r["id"]: r for r in text.collapse_repeats(df, "doc_id", "text", 2).collect()}
+    assert w2[0]["clean_text"] == "buy now limited offer"
+    assert w2[0]["n_units"] == 4 and w2[0]["n_kept"] == 2
+
+
+def test_pmi_bigrams_favors_exclusive_pair(spark):
+    # "strong collocation": aa always followed by bb; filler words vary
+    rows = [(i, "aa bb " + ("xx yy " * 3).strip()) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pmi_bigrams(df, "doc_id", "text", min_count=5, k=3).collect()
+    # aa bb: p(ab)=10/N2, p(a)=p(b)=10/N1 -> highest pmi
+    assert out[0]["bigram"] == "aa bb"
+    assert out[0]["n"] == 10
+    import math
+    n1 = 10 * 8  # tokens per doc = 8
+    n2 = 10 * 7  # bigrams per doc = 7
+    expect = math.log((10 / n2) / ((10 / n1) * (10 / n1)))
+    assert abs(out[0]["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_canary_scan_hits_and_clean(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the secret marker alpha is hidden here"),
+            (1, "nothing to see"),
+            (2, "marker alpha and marker beta both appear"),
+        ],
+        "doc_id long, text string",
+    )
+    canaries = spark.createDataFrame(
+        [(100, "marker alpha"), (200, "marker beta")],
+        "canary_id long, canary_text string",
+    )
+    out = {
+        r["id"]: r
+        for r in text.canary_scan(
+            docs, "doc_id", "text", canaries, "canary_id", "canary_text"
+        ).collect()
+    }
+    assert out[0]["n_hits"] == 1 and out[0]["first_canary"] == 100
+    assert out[1]["n_hits"] == 0 and out[1]["first_canary"] is None
+    assert out[2]["n_hits"] == 2 and out[2]["first_canary"] == 100
+
+
+def test_decontaminate_embeddings_drops_near_eval(spark):
+    eval_df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0]),   # cos ~0.995 -> dropped
+            (11, [0.0, 1.0, 0.0]),    # orthogonal -> kept
+            (12, [-1.0, 0.0, 0.0]),   # opposite -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: r["keep"]
+        for r in similarity.decontaminate_embeddings(
+            corpus, "vec_id", "embedding", eval_df, threshold=0.9
+        ).collect()
+    }
+    assert out == {10: False, 11: True, 12: True}

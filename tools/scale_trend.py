@@ -44,6 +44,15 @@ OPS = [
     "text_pack",
     "dedup_incremental",
     "corpus_novel_docs",
+    # late-r6 operators: chunk rewrite (string reassembly agg),
+    # SemDeDup (single cluster shuffle + per-cluster gram), BM25
+    # (postings aggregates + broadcast query probe), mixture (no data
+    # shuffle — should be ~flat), keep-best (one window shuffle)
+    "dedup_rewrite",
+    "dedup_semantic",
+    "text_bm25",
+    "corpus_mixture",
+    "dedup_keep_best",
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 INPUT_TABLE = {
@@ -58,6 +67,11 @@ INPUT_TABLE = {
     "text_pack": "documents",
     "dedup_incremental": "documents",
     "corpus_novel_docs": "documents",
+    "dedup_rewrite": "documents",
+    "dedup_semantic": "embeddings",
+    "text_bm25": "documents",
+    "corpus_mixture": "documents",
+    "dedup_keep_best": "documents",
 }
 
 

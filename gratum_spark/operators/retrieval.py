@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import words
 
-__all__ = ["build_postings", "bm25_topk"]
+__all__ = ["build_postings", "bm25_topk", "write_postings_index", "bm25_topk_stored"]
 
 
 def build_postings(
@@ -120,4 +120,123 @@ def bm25_topk(
             F.col("id").alias("doc_id"),
             "score",
         )
+    )
+
+
+def write_postings_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_term_buckets: int = 32,
+) -> None:
+    """Persist the BM25 index so query sessions read parquet instead of
+    re-tokenizing the corpus — the serving form `bm25_topk`'s docstring
+    promises. Four tables under ``path``:
+
+    - ``postings/`` (id, term, tf), PARTITIONED BY term_bucket
+      (xxhash64(term) % n_term_buckets) so a query batch scans only its
+      own terms' directories — the retrieval analogue of
+      `write_ivf_index`'s list-partitioned layout;
+    - ``doclens/`` (id, dl);
+    - ``dft/`` (term, dft) — vocabulary-sized, broadcast at probe time;
+    - ``meta/`` one row (n_docs, avgdl, n_term_buckets) so probes
+      can't silently use a mismatched bucket count.
+    """
+    postings, doclens = build_postings(docs, id_col, text_col)
+    (
+        postings.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("dft")
+    ).write.mode("overwrite").parquet(f"{path}/dft")
+    doclens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.lit(n_term_buckets).alias("n_term_buckets"),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_topk_stored(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 against a `write_postings_index` store. The query
+    terms' bucket ids prune the postings scan to the matching
+    ``term_bucket=`` directories (static partition pruning — the rest
+    of the 100 TB index is never opened); corpus constants come from
+    the 1-row meta table. Same output contract as `bm25_topk`; scores
+    agree with the direct form to summation order (the stored layout
+    feeds the per-doc sum in a different row order, so the last ulps of
+    the double accumulation can differ — compare at a tolerance, not
+    bit-exact).
+    """
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_buckets = int(meta["n_term_buckets"])
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(query_text_col)), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    buckets = [
+        r["b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    dft = spark.read.parquet(f"{path}/dft")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(meta["n_docs"])) - F.col("dft") + F.lit(0.5))
+        / (F.col("dft") + F.lit(0.5))
+    )
+    contrib = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(meta["avgdl"])))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(dft), on="term")
+        .join(doclens, on="id")
+        .groupBy("query_id", "id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("id").alias("doc_id"), "score")
     )

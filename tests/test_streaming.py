@@ -205,3 +205,44 @@ def test_stream_corpus_novel_matches_batch(spark, sf_dir, tmp_path):
                                   str(tmp_path / "novel_ckpt_idx"))
     got3 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert got3 == expected
+
+
+def test_canary_scan_stream_equals_batch(spark, sf_dir):
+    """canary_scan is a stream-static broadcast join + keyed aggregate:
+    the same builder must run under readStream (the 'scan the incoming
+    crawl for canaries as it lands' deployment) and match batch."""
+    from gratum_spark.operators import text
+
+    docs_b = sources.table(spark, sf_dir, "documents").df
+    canaries = docs_b.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("cid"), F.substring("text", 20, 30).alias("ctxt")
+    )
+    batch = text.canary_scan(docs_b, "doc_id", "text", canaries, "cid", "ctxt")
+    sdf = text.canary_scan(
+        streaming.read_event_stream(spark, f"{sf_dir}/documents.parquet"),
+        "doc_id", "text", canaries, "cid", "ctxt",
+    )
+    got = streaming.run_available_now(sdf, "canary_stream", output_mode="complete")
+    cols = ["id", "n_hits", "first_canary"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+
+
+def test_decontaminate_stream_equals_batch(spark, sf_dir):
+    """decontaminate_embeddings is stateless (closed-over eval matrix,
+    no join) so it streams in append mode unchanged."""
+    from gratum_spark.operators import similarity
+
+    emb_b = sources.table(spark, sf_dir, "embeddings").df
+    eval_df = emb_b.filter(F.col("vec_id") < 5)
+    batch = similarity.decontaminate_embeddings(
+        emb_b.filter(F.col("vec_id") >= 5), "vec_id", "embedding", eval_df
+    )
+    stream_src = streaming.read_event_stream(
+        spark, f"{sf_dir}/embeddings.parquet"
+    ).filter(F.col("vec_id") >= 5)
+    sdf = similarity.decontaminate_embeddings(
+        stream_src, "vec_id", "embedding", eval_df
+    )
+    got = streaming.run_available_now(sdf, "decon_stream", output_mode="append")
+    cols = ["id", "keep"]
+    assert _normalize(got, cols) == _normalize(batch, cols)

@@ -930,3 +930,37 @@ def test_decontaminate_embeddings_drops_near_eval(spark):
         ).collect()
     }
     assert out == {10: False, 11: True, 12: True}
+
+
+def test_bm25_stored_index_matches_direct(spark, tmp_path):
+    from gratum_spark.operators import retrieval
+
+    rows = [
+        (i, " ".join(["red", "green", "blue", "cyan"][j % 4]
+                     for j in range(i % 7 + 2)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "red blue"), (1, "cyan")], "query_id long, query_text string"
+    )
+    path = str(tmp_path / "bm25idx")
+    retrieval.write_postings_index(docs, "doc_id", "text", path, n_term_buckets=8)
+
+    direct = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in retrieval.bm25_topk(docs, "doc_id", "text", queries, k=5).collect()
+    )
+    stored_df = retrieval.bm25_topk_stored(spark, path, queries, k=5)
+    stored = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in stored_df.collect()
+    )
+    assert stored == direct
+
+    # the probe must prune the postings scan to the query terms' buckets
+    plan = stored_df._sc._jvm.PythonSQLUtils.explainString(
+        stored_df._jdf.queryExecution(), "formatted"
+    )
+    head = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "term_bucket" in head

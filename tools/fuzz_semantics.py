@@ -46,6 +46,7 @@ input/expected/got triple, and the process exits non-zero.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import random
 import shutil
@@ -487,6 +488,164 @@ def fuzz_join(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+
+
+# ------------------------------------------------- collapse_repeats
+
+
+def fuzz_collapse_repeats(spark, n: int, seed: int) -> list[str]:
+    """collapse_repeats vs the sequential unit walk (tiny vocab so
+    consecutive repeats arise naturally; unit sizes 1-3, ragged tails)."""
+    from gratum_spark.operators import text as _text
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 900_007 + t)
+        vocab = ["a", "b", "c", "aa", "bb"]
+        unit = rng.choice([1, 1, 2, 3])
+        docs = []
+        for d in range(rng.randint(1, 8)):
+            ws = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+            docs.append({"doc_id": d, "text": " ".join(ws)})
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["id"]: (r["n_units"], r["n_kept"], r["clean_text"])
+            for r in _text.collapse_repeats(df, "doc_id", "text", unit).collect()
+        }
+        for d in docs:
+            ws = d["text"].split(" ")
+            units = [" ".join(ws[i : i + unit]) for i in range(0, len(ws), unit)]
+            kept = [u for i, u in enumerate(units) if i == 0 or u != units[i - 1]]
+            want = (len(units), len(kept), " ".join(kept))
+            if got[d["doc_id"]] != want:
+                failures.append(
+                    f"collapse trial={t} seed={seed} unit={unit} doc={d['doc_id']}: "
+                    f"expected {want} got {got[d['doc_id']]} text={d['text']!r}"
+                )
+                break
+        if failures:
+            break
+    return failures
+
+
+# ------------------------------------------------- mixture_sample
+
+
+def fuzz_mixture(spark, n: int, seed: int) -> list[str]:
+    """mixture_sample vs the sequential epoch model (exact multiset of
+    (key, epoch); random group shapes, alpha in {0, 0.3, 0.5, 1}).
+    Replicates the engine's double math including the hex-threshold
+    fractional draw."""
+    import hashlib
+
+    from gratum_spark.operators import sampling as _sampling
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 910_009 + t)
+        alpha = rng.choice([0.0, 0.3, 0.5, 1.0])
+        target = rng.randint(1, 400)
+        rows = []
+        rid = 0
+        for g in range(rng.randint(1, 4)):
+            for _ in range(rng.randint(1, 40)):
+                rows.append({"id": rid, "g": f"g{g}"})
+                rid += 1
+        df = spark.createDataFrame(rows, "id long, g string")
+        got = sorted(
+            (r["id"], r["epoch"])
+            for r in _sampling.mixture_sample(df, "g", "id", alpha, target).collect()
+        )
+        counts: dict[str, int] = {}
+        for r in rows:
+            counts[r["g"]] = counts.get(r["g"], 0) + 1
+        tw = sum(c ** alpha for c in counts.values())
+        expect = []
+        for r in rows:
+            c = counts[r["g"]]
+            epochs = float(target) * (c ** alpha) / tw / float(c)
+            nfull = int(math.floor(epochs))
+            frc = epochs - nfull
+            thr = format(int(math.floor(frc * 4294967296.0)), "08x")
+            h = hashlib.md5(str(r["id"]).encode()).hexdigest()[:8]
+            copies = nfull + (1 if h < thr else 0)
+            expect.extend((r["id"], e) for e in range(1, copies + 1))
+        if got != sorted(expect):
+            failures.append(
+                f"mixture trial={t} seed={seed} alpha={alpha} target={target}: "
+                f"multiset mismatch ({len(got)} vs {len(expect)} rows)"
+            )
+            break
+    return failures
+
+
+# ------------------------------------------------- bm25
+
+
+def fuzz_bm25(spark, n: int, seed: int) -> list[str]:
+    """bm25_topk vs the textbook formula computed sequentially: per-doc
+    scores within 1e-9 and the emitted ranking consistent with the
+    reference scores (reduction order may differ in the last ulps, so
+    near-exact ties are allowed to break either way)."""
+    from gratum_spark.operators import retrieval as _retrieval
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 920_011 + t)
+        vocab = ["red", "green", "blue", "cyan", "teal", "pink"]
+        corpus = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for d in range(rng.randint(2, 12))
+        ]
+        qtext = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+        k = rng.randint(1, 6)
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame([(0, qtext)], "query_id long, query_text string")
+        out = _retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=k).collect()
+
+        toks = {d: s.split() for d, s in corpus}
+        N = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / N
+        def score(d):
+            s = 0.0
+            for term in set(qtext.split()):
+                tf = toks[d].count(term)
+                if tf == 0:
+                    continue
+                dft = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1.0 + (N - dft + 0.5) / (dft + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+            return s
+        ref = {d: score(d) for d in toks if score(d) > 0.0}
+        want_rows = min(k, len(ref))
+        if len(out) != want_rows:
+            failures.append(
+                f"bm25 trial={t} seed={seed}: {len(out)} rows, expected {want_rows}"
+            )
+            break
+        ok = True
+        prev = None
+        for r in sorted(out, key=lambda r: r["rank"]):
+            d = r["doc_id"]
+            if d not in ref or abs(r["score"] - ref[d]) > 1e-9:
+                failures.append(
+                    f"bm25 trial={t} seed={seed} doc={d}: score {r['score']} "
+                    f"!= ref {ref.get(d)}"
+                )
+                ok = False
+                break
+            if prev is not None and ref[d] > prev + 1e-9:
+                failures.append(
+                    f"bm25 trial={t} seed={seed}: rank order violates ref scores"
+                )
+                ok = False
+                break
+            prev = ref[d]
+        if not ok:
+            break
+    return failures
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "flatten_window": (fuzz_flatten_window, 25),
@@ -495,6 +654,9 @@ CAMPAIGNS = {
     "unique_filter": (fuzz_unique_filter, 20),
     "join": (fuzz_join, 20),
     "prefix_sum": (fuzz_prefix_sum, 15),
+    "collapse_repeats": (fuzz_collapse_repeats, 25),
+    "mixture": (fuzz_mixture, 25),
+    "bm25": (fuzz_bm25, 20),
 }
 
 

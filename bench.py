@@ -99,6 +99,7 @@ HEADLINE = [
     "text_pmi",
     "text_canary",
     "emb_decontaminate",
+    "corpus_report",
 ]
 
 N_PASSES = 3

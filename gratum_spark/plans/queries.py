@@ -2746,6 +2746,50 @@ LEFT JOIN dirty dd USING (vec_id) ORDER BY 1
 """
 
 
+def corpus_report(spark, sf) -> DataFrame:
+    """Per-source dataset card (the profiling table a curation run
+    publishes next to the corpus): doc/dup counts, language spread,
+    token volume, exact size percentiles — ONE aggregation plan over
+    one scan (multi-distinct expands map-side; percentile is the exact
+    sort-based form, deterministic on integer inputs).
+
+    At 100 TB this is the shape that replaces N profiling jobs with
+    one: every statistic here is partial-aggregatable or an Expand
+    branch of the same shuffle."""
+    docs = T(spark, sf, "documents").df
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    q = F.percentile("n_chars", F.lit([0.5, 0.9]))
+    return (
+        docs.withColumn("__toks__", toks)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("__toks__").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            q[0].alias("p50_chars"),
+            q[1].alias("p90_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_REPORT = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT text) AS dup_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       MIN(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2772,6 +2816,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    op_join_inner_reject/op_asof_join/op_semi_join/op_anti_join,
     #    coercion via op_as_date/op_replace/op_defaults)
     "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -2788,7 +2833,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),

@@ -525,3 +525,14 @@ def test_decontaminate_is_single_pass_no_shuffle(spark, sf):
     assert len(exchanges) <= 1
     assert "Join" not in body
     assert "ArrowEvalPython" in body
+
+
+def test_corpus_report_single_scan_expand(spark, sf):
+    """The dataset-card aggregate must profile the corpus in ONE scan:
+    the two distinct aggregates expand (not re-scan), and the plan has
+    no join or union back to the table."""
+    plan = plan_of(Q.corpus_report(spark, sf))
+    body = plan.split("== Physical Plan ==")[1]
+    assert body.count("(1) Scan parquet") == 1
+    assert "Expand" in body
+    assert "Join" not in body and "Union" not in body

@@ -89,7 +89,7 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the nine new curation operators (set 41 -> 50)
+    # added late-r6: the new curation/profiling operators (set 41 -> 52)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
@@ -100,6 +100,7 @@ HEADLINE = [
     "text_canary",
     "emb_decontaminate",
     "corpus_report",
+    "op_resample_interpolate",
 ]
 
 N_PASSES = 3

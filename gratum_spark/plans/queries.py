@@ -2790,6 +2790,52 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def op_resample_interpolate(spark, sf) -> DataFrame:
+    """Time-series gap-fill (operators/timeseries.py
+    resample_interpolate): every user's event series re-expressed on a
+    6-hour grid anchored at their first event, linearly interpolated
+    in exact-microsecond time — the hypertable resampling shape. One
+    shuffle; both window passes share one (user, ts) sort."""
+    from ..operators.timeseries import resample_interpolate
+
+    ev = T(spark, sf, "events").df
+    out = resample_interpolate(ev, "user_id", "ts", "value", step="6 hours")
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("grid_ts"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id", "grid_ts")
+
+
+ORACLE_RESAMPLE = """
+WITH b AS (SELECT user_id AS k, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
+grid AS (SELECT k, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts FROM b),
+u AS (
+  SELECT user_id AS k, ts, 0 AS is_grid, CAST(value AS DOUBLE) AS v FROM events
+  UNION ALL
+  SELECT k, ts, 1, NULL FROM grid),
+m AS (
+  SELECT k, ts, is_grid,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts, is_grid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN is_grid=0 THEN ts END IGNORE NULLS)
+        OVER (PARTITION BY k ORDER BY ts, is_grid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts, is_grid
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN is_grid=0 THEN ts END IGNORE NULLS)
+        OVER (PARTITION BY k ORDER BY ts, is_grid
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM u)
+SELECT k AS user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS grid_ts,
+  ROUND(CASE WHEN nv IS NULL OR epoch_us(nt) = epoch_us(pt) THEN pv
+       ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE)
+                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)) END,
+       6) AS value
+FROM m WHERE is_grid = 1 ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2817,6 +2863,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    coercion via op_as_date/op_replace/op_defaults)
     "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
     "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -2833,7 +2880,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
@@ -2907,6 +2953,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_coerce": (op_coerce, ORACLE_COERCE),
+    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
+    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

@@ -536,3 +536,26 @@ def test_corpus_report_single_scan_expand(spark, sf):
     assert body.count("(1) Scan parquet") == 1
     assert "Expand" in body
     assert "Join" not in body and "Union" not in body
+
+
+def test_resample_interpolate_single_shuffle(spark, sf):
+    """Gap-fill must cost ONE data shuffle: grid generation is map-side
+    off the bounds aggregate, and both window passes share the (key,
+    ts) partitioning. A second data-sized exchange means the forward
+    pass re-sorted into its own shuffle."""
+    from gratum_spark.operators.timeseries import resample_interpolate
+
+    ev = table(spark, sf, "events").df
+    out = resample_interpolate(ev, "user_id", "ts", "value", "6 hours")
+    plan = plan_of(out)
+    lines = plan.split("== Physical Plan ==")[1].splitlines()
+    args = [
+        next(l for l in lines[i + 1 :] if "Arguments:" in l)
+        for i, line in enumerate(lines)
+        if line.strip().endswith(" Exchange")
+    ]
+    # allowed: the per-key bounds aggregate (tiny, keyed on user) and
+    # the one (key)-partitioned window exchange
+    assert all("hashpartitioning(__k__" in a or "hashpartitioning(user_id" in a
+               for a in args), args
+    assert len(args) <= 2, args

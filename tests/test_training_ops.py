@@ -964,3 +964,67 @@ def test_bm25_stored_index_matches_direct(spark, tmp_path):
     )
     head = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "term_bucket" in head
+
+
+def test_resample_interpolate_semantics(spark):
+    import datetime as dt
+
+    from gratum_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        (1, dt.datetime(2024, 1, 1, 2, 0, 0), 4.0),
+        (1, dt.datetime(2024, 1, 1, 2, 30, 0), 10.0),
+        (2, dt.datetime(2024, 1, 1, 5, 15, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", "1 hour").orderBy(
+        "k", "grid_ts"
+    ).collect()
+    got = [(r["k"], r["grid_ts"].isoformat(), r["value"]) for r in out]
+    assert got == [
+        (1, "2024-01-01T00:00:00", 0.0),   # exact observation
+        (1, "2024-01-01T01:00:00", 2.0),   # midpoint of 0->4
+        (1, "2024-01-01T02:00:00", 4.0),   # exact observation
+        (2, "2024-01-01T05:15:00", 7.0),   # single-point series = itself
+    ]
+
+
+def test_resample_interpolate_tail_forward_fills(spark):
+    import datetime as dt
+
+    from gratum_spark.operators.timeseries import resample_interpolate
+
+    # span 0:00 -> 2:30 with the last event at 2:30: the 1h grid stops
+    # at 2:00, between events 2:00(=interp of 0..3 over 0:00..2:30? no:
+    # events at 0:00 (v=0) and 2:30 (v=3) -> 2:00 interpolates 2.4
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        (1, dt.datetime(2024, 1, 1, 2, 30, 0), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", "1 hour").orderBy("grid_ts").collect()
+    vals = [round(r["value"], 6) for r in out]
+    assert vals == [0.0, 1.2, 2.4]
+
+
+def test_semantic_dedup_composes_with_ivf_centroids(spark):
+    """The production path the docstring promises: ivf_build's Lloyd
+    centroids feed semantic_dedup_assigned directly."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(20, 8)
+    base[7] = base[3] * 1.001  # planted near-dup of id 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, _ = similarity.ivf_build(df, n_lists=4, n_iters=2)
+    assigned = df.join(assignments, on="vec_id").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.col("list_id").alias("cluster"),
+    )
+    out = {r["id"]: r for r in dedup.semantic_dedup_assigned(assigned, 0.999).collect()}
+    assert len(out) == 20
+    # the planted dup pair shares a k-means cluster and the later id drops
+    assert out[3]["cluster"] == out[7]["cluster"]
+    assert out[3]["keep"] and not out[7]["keep"]
+    assert sum(1 for r in out.values() if not r["keep"]) == 1

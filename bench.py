@@ -89,7 +89,7 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the new curation/profiling operators (set 41 -> 52)
+    # added late-r6: the new curation/profiling operators (set 41 -> 53)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
@@ -101,6 +101,7 @@ HEADLINE = [
     "emb_decontaminate",
     "corpus_report",
     "op_resample_interpolate",
+    "text_hybrid_search",
 ]
 
 N_PASSES = 3

@@ -2836,6 +2836,124 @@ FROM m WHERE is_grid = 1 ORDER BY 1, 2
 """
 
 
+def text_hybrid_search(spark, sf) -> DataFrame:
+    """Hybrid retrieval composite: BM25 recall (top-20 per query) +
+    exact-cosine rerank over the candidates, fused by reciprocal-rank
+    fusion (RRF, k=60 — Cormack et al.'s rank-based fusion). RRF works
+    on RANKS, not raw scores, so the fused ordering is engine-exact:
+    BM25 ranks are deterministic (score desc, id asc) and cosine ranks
+    come from decimal-exact dot products (functions.dot_decimal).
+
+    Scale shape: stage 1 is the bm25_topk plan (broadcast query probe);
+    stage 2 touches only |queries|·20 candidate rows — the rerank is a
+    broadcast join + 60 decimal dot products, nothing corpus-sized.
+    Candidates without an embedding row drop at the rerank join (inner,
+    documented)."""
+    from ..functions import dot_decimal, norm_sq_decimal
+    from ..operators import retrieval
+
+    docs = T(spark, sf, "documents").df
+    emb = T(spark, sf, "embeddings").df
+    qdf = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+            "query_text"
+        ),
+    )
+    bm = retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=20).select(
+        "query_id", F.col("rank").alias("rank_bm"), "doc_id"
+    )
+    dvec = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv"))
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = bm.join(dvec, on="doc_id").join(F.broadcast(qvec), on="query_id")
+    cos = dot_decimal(F.col("dv"), F.col("qv")) / (
+        F.sqrt(norm_sq_decimal(F.col("dv"))) * F.sqrt(norm_sq_decimal(F.col("qv")))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("__cos__").desc(), F.col("doc_id").asc())
+    rrf = (
+        F.lit(1.0) / (F.lit(60.0) + F.col("rank_bm").cast("double"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("rank_cos").cast("double"))
+    )
+    wf_ = Window.partitionBy("query_id").orderBy(F.col("__rrf__").desc(), F.col("doc_id").asc())
+    return (
+        cand.withColumn("__cos__", cos)
+        .withColumn("rank_cos", F.row_number().over(wc).cast("long"))
+        .withColumn("__rrf__", rrf)
+        .withColumn("rank", F.row_number().over(wf_).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", F.round("__rrf__", 6).alias("rrf"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_HYBRID_SEARCH = """
+WITH toks AS (
+  SELECT doc_id AS id, t.term FROM documents,
+  LATERAL unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+postings AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+doclens AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclens),
+dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM postings GROUP BY 1),
+q AS (SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text,' '),1,8),' ') AS query_text
+      FROM documents WHERE doc_id < 3),
+qterms AS (
+  SELECT DISTINCT query_id, t.term FROM q,
+  LATERAL unnest(list_filter(string_split_regex(lower(query_text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+scored AS (
+  SELECT qt.query_id, p.id,
+    SUM( ln(1.0 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+         * (CAST(p.tf AS DOUBLE)*2.2
+            / (CAST(p.tf AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl.dl AS DOUBLE)/s.avgdl)))
+       ) AS score
+  FROM postings p JOIN qterms qt USING (term)
+  JOIN dft f USING (term) JOIN doclens dl ON dl.id = p.id
+  CROSS JOIN stats s
+  GROUP BY 1,2),
+bm AS (
+  SELECT query_id, id AS doc_id, rank_bm FROM (
+    SELECT query_id, id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, id ASC) AS rank_bm
+    FROM scored)
+  WHERE rank_bm <= 20),
+ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding,1) AS i FROM embeddings),
+cosres AS (
+  SELECT b.query_id, b.doc_id, b.rank_bm,
+    CAST(SUM(CAST(d.x*qe.x AS DECIMAL(38,12))) AS DOUBLE)
+      / ( sqrt(CAST((SELECT SUM(CAST(e2.x*e2.x AS DECIMAL(38,12))) FROM ex e2
+                     WHERE e2.vec_id = b.doc_id) AS DOUBLE))
+        * sqrt(CAST((SELECT SUM(CAST(e3.x*e3.x AS DECIMAL(38,12))) FROM ex e3
+                     WHERE e3.vec_id = b.query_id) AS DOUBLE)) ) AS cosv
+  FROM bm b
+  JOIN ex d ON d.vec_id = b.doc_id
+  JOIN ex qe ON qe.vec_id = b.query_id AND qe.i = d.i
+  GROUP BY 1,2,3),
+ranked AS (
+  SELECT query_id, doc_id, rank_bm,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosv DESC, doc_id ASC) AS rank_cos
+  FROM cosres),
+fused AS (
+  SELECT query_id, doc_id,
+         1.0/(60.0 + CAST(rank_bm AS DOUBLE))
+           + 1.0/(60.0 + CAST(rank_cos AS DOUBLE)) AS rrf
+  FROM ranked)
+SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf FROM (
+  SELECT query_id, doc_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2864,6 +2982,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
     "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
     "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
+    "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -2880,7 +2999,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     # -- events-table queries (red in r1 via the nanos session bug, now fixed)
     "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
@@ -2955,6 +3073,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
+    "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

@@ -38,6 +38,12 @@ join            inner (unmatched-left rejects counted) and left-outer
 prefix_sum      global_prefix_sum / pack_sequences (distributed range
                 shuffle + totals broadcast) vs the sequential running
                 sum; random capacities and zero-heavy weights.
+collapse_repeats  consecutive-unit collapse vs the sequential unit walk.
+mixture         mixture_sample vs an exact (key, epoch) multiset model
+                including the hex-threshold fractional draw.
+bm25            bm25_topk vs the textbook formula; rank consistency.
+resample        resample_interpolate vs a sequential grid replay
+                (extent, exact hits, interpolation, tail fill).
 
 On failure the campaign prints the trial seed and the minimal
 input/expected/got triple, and the process exits non-zero.
@@ -646,6 +652,77 @@ def fuzz_bm25(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+
+
+# ------------------------------------------------- resample_interpolate
+
+
+def fuzz_resample(spark, n: int, seed: int) -> list[str]:
+    """resample_interpolate vs a sequential replay: random per-key event
+    sets (duplicate timestamps allowed only via distinct draw, second-
+    aligned), random step sizes; checks grid extent, exact-hit passthrough,
+    interior interpolation, and tail forward-fill."""
+    import datetime as dt
+
+    from gratum_spark.operators.timeseries import resample_interpolate
+
+    failures = []
+    base = dt.datetime(2024, 1, 1)
+    for t in range(n):
+        rng = random.Random(seed * 930_013 + t)
+        step_min = rng.choice([7, 30, 60, 240])
+        rows = []
+        series: dict[int, list[tuple[dt.datetime, float]]] = {}
+        for k in range(rng.randint(1, 4)):
+            secs = sorted(rng.sample(range(0, 200_000), rng.randint(1, 12)))
+            pts = [
+                (base + dt.timedelta(seconds=s), round(rng.uniform(-5, 5), 3))
+                for s in secs
+            ]
+            series[k] = pts
+            rows.extend((k, ts, v) for ts, v in pts)
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        got = {
+            (r["k"], r["grid_ts"]): r["value"]
+            for r in resample_interpolate(df, "k", "ts", "v", f"{step_min} minutes").collect()
+        }
+        expect: dict[tuple[int, dt.datetime], float] = {}
+        for k, pts in series.items():
+            t0, t1 = pts[0][0], pts[-1][0]
+            g = t0
+            while g <= t1:
+                prev = max((p for p in pts if p[0] <= g), key=lambda p: p[0])
+                nxt = [p for p in pts if p[0] >= g]
+                if not nxt:
+                    val = prev[1]
+                else:
+                    nx = min(nxt, key=lambda p: p[0])
+                    if nx[0] == prev[0]:
+                        val = prev[1]
+                    else:
+                        frac = (g - prev[0]).total_seconds() / (nx[0] - prev[0]).total_seconds()
+                        val = prev[1] + (nx[1] - prev[1]) * frac
+                expect[(k, g)] = val
+                g += dt.timedelta(minutes=step_min)
+        if set(got) != set(expect):
+            failures.append(
+                f"resample trial={t} seed={seed}: grid mismatch "
+                f"({len(got)} vs {len(expect)} points)"
+            )
+            break
+        bad = [
+            kk for kk in expect if abs(got[kk] - expect[kk]) > 1e-9
+        ]
+        if bad:
+            kk = bad[0]
+            failures.append(
+                f"resample trial={t} seed={seed} at {kk}: got {got[kk]} "
+                f"expected {expect[kk]}"
+            )
+            break
+    return failures
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "flatten_window": (fuzz_flatten_window, 25),
@@ -657,6 +734,7 @@ CAMPAIGNS = {
     "collapse_repeats": (fuzz_collapse_repeats, 25),
     "mixture": (fuzz_mixture, 25),
     "bm25": (fuzz_bm25, 20),
+    "resample": (fuzz_resample, 25),
 }
 
 

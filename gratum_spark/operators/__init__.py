@@ -1,7 +1,33 @@
 """Beyond-reference operators: dedup, similarity search, text analysis,
-multimodal plumbing, windowed analytics. See each module's docstring for
-the 100 TB scale design."""
+retrieval, time series, multimodal plumbing, windowed analytics. See
+each module's docstring for the 100 TB scale design."""
 
-from . import dedup, http, joins, multimodal, pgp, sampling, similarity, text
+from . import (
+    dedup,
+    http,
+    inference,
+    joins,
+    multimodal,
+    packing,
+    pgp,
+    retrieval,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pgp", "http", "joins", "sampling"]
+__all__ = [
+    "dedup",
+    "similarity",
+    "text",
+    "retrieval",
+    "timeseries",
+    "multimodal",
+    "packing",
+    "inference",
+    "pgp",
+    "http",
+    "joins",
+    "sampling",
+]

@@ -24,6 +24,8 @@ __all__ = [
     "tfidf_top_terms",
     "collapse_repeats",
     "pmi_bigrams",
+    "ngram_counts",
+    "pmi_from_counts",
     "canary_scan",
     "DEFAULT_LANG_WORDS",
     "PII_PATTERNS",
@@ -373,31 +375,14 @@ def collapse_repeats(
     )
 
 
-def pmi_bigrams(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    min_count: int = 5,
-    k: int = 15,
-) -> DataFrame:
-    """Top-k collocations by pointwise mutual information:
-    pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus bigram/unigram
-    frequencies, thresholded at ``min_count`` occurrences (PMI is
-    noise-dominated on rare pairs). The vocabulary-mining shape LM
-    tokenizer/phrase pipelines run before merging multiwords.
-
-    Plan: explodes feed map-side-combinable count aggregates; corpus
-    totals fold in as 1-row broadcasts and the unigram table broadcasts
-    onto the bigram counts (vocabulary ≪ corpus) — every join is
-    broadcast and the only data-sized shuffles are count aggregates.
-    Catalyst does not share subplans, so the tokenize+count runs once
-    per aggregate branch (~5 corpus scans, each linear); for a 100 TB
-    corpus, materialize the unigram/bigram count tables once (write
-    parquet / .persist) and fold totals from those instead of the raw
-    text. Top-k is a single TakeOrdered.
-
-    Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
-    """
+def ngram_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(unigram, bigram) corpus count tables: (w, cw) and (bg, cb).
+    These are the materialization unit for vocabulary mining — at
+    100 TB write them to parquet once and run `pmi_from_counts` (and
+    any other collocation scoring) off the stored tables instead of
+    re-tokenizing the corpus per query."""
     warr = words(F.lower(F.col(text_col)))
     toks = df.select(F.explode(warr).alias("w"))
     bigrams = df.select(
@@ -414,6 +399,16 @@ def pmi_bigrams(
     )
     uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
     bi = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+    return uni, bi
+
+
+def pmi_from_counts(
+    uni: DataFrame, bi: DataFrame, min_count: int = 5, k: int = 15
+) -> DataFrame:
+    """Top-k PMI collocations from (w, cw)/(bg, cb) count tables (see
+    `ngram_counts` / `pmi_bigrams`). Totals fold in as 1-row
+    broadcasts; the unigram vocabulary broadcasts onto the bigram
+    counts. Returns (bigram, n, pmi) — pmi rounded to 6dp."""
     n1 = uni.agg(F.sum("cw").cast("double").alias("n1"))
     n2 = bi.agg(F.sum("cb").cast("double").alias("n2"))
     a = F.split(F.col("bg"), " ").getItem(0)
@@ -443,6 +438,35 @@ def pmi_bigrams(
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 15,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus bigram/unigram
+    frequencies, thresholded at ``min_count`` occurrences (PMI is
+    noise-dominated on rare pairs). The vocabulary-mining shape LM
+    tokenizer/phrase pipelines run before merging multiwords.
+
+    Plan: explodes feed map-side-combinable count aggregates; corpus
+    totals fold in as 1-row broadcasts and the unigram table broadcasts
+    onto the bigram counts (vocabulary ≪ corpus) — every join is
+    broadcast and the only data-sized shuffles are count aggregates.
+    Catalyst does not share subplans, so the tokenize+count runs once
+    per aggregate branch (~5 corpus scans, each linear); for a 100 TB
+    corpus, materialize `ngram_counts`' tables once (write parquet)
+    and run `pmi_from_counts` off the stored tables instead. Top-k is
+    a single TakeOrdered.
+
+    Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
+    """
+    uni, bi = ngram_counts(df, id_col, text_col)
+    return pmi_from_counts(uni, bi, min_count=min_count, k=k)
 
 
 def canary_scan(

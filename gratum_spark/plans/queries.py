@@ -2800,11 +2800,17 @@ def op_resample_interpolate(spark, sf) -> DataFrame:
 
     ev = T(spark, sf, "events").df
     out = resample_interpolate(ev, "user_id", "ts", "value", step="6 hours")
-    return out.select(
-        "user_id",
-        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("grid_ts"),
-        F.round("value", 6).alias("value"),
-    ).orderBy("user_id", "grid_ts")
+    # sort on the native timestamp, format after: ordering by the
+    # fixed-width formatted string is equivalent but pays string
+    # building + comparison inside the range sort (~1.5 s at sf0.1)
+    return (
+        out.orderBy("user_id", "grid_ts")
+        .select(
+            "user_id",
+            F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("grid_ts"),
+            F.round("value", 6).alias("value"),
+        )
+    )
 
 
 ORACLE_RESAMPLE = """

@@ -1028,3 +1028,24 @@ def test_semantic_dedup_composes_with_ivf_centroids(spark):
     assert out[3]["cluster"] == out[7]["cluster"]
     assert out[3]["keep"] and not out[7]["keep"]
     assert sum(1 for r in out.values() if not r["keep"]) == 1
+
+
+def test_pmi_from_stored_counts_matches_direct(spark, tmp_path):
+    """The materialize-once path the pmi docstring names: ngram_counts
+    written to parquet and re-read must score identically."""
+    rows = [(i, "aa bb " + ("xx yy " * 3).strip()) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, bi = text.ngram_counts(df, "doc_id", "text")
+    uni.write.mode("overwrite").parquet(str(tmp_path / "uni"))
+    bi.write.mode("overwrite").parquet(str(tmp_path / "bi"))
+    direct = [tuple(r) for r in text.pmi_bigrams(df, "doc_id", "text", 5, 5).collect()]
+    stored = [
+        tuple(r)
+        for r in text.pmi_from_counts(
+            spark.read.parquet(str(tmp_path / "uni")),
+            spark.read.parquet(str(tmp_path / "bi")),
+            5,
+            5,
+        ).collect()
+    ]
+    assert stored == direct and len(direct) > 0

@@ -89,7 +89,7 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the new curation/profiling operators (set 41 -> 53)
+    # added late-r6: the new curation/profiling operators (set 41 -> 54)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_report",
     "op_resample_interpolate",
     "text_hybrid_search",
+    "graph_pagerank",
 ]
 
 N_PASSES = 3

@@ -4,6 +4,7 @@ each module's docstring for the 100 TB scale design."""
 
 from . import (
     dedup,
+    graph,
     http,
     inference,
     joins,
@@ -19,6 +20,7 @@ from . import (
 
 __all__ = [
     "dedup",
+    "graph",
     "similarity",
     "text",
     "retrieval",

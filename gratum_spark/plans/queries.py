@@ -2960,6 +2960,62 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def graph_pagerank(spark, sf) -> DataFrame:
+    """PageRank (operators/graph.py) over the customer–supplier
+    fulfillment graph (distinct (cust, supp) pairs from lineitem ⋈
+    orders, undirected): the domain-authority shape a web-corpus
+    pipeline runs on its host link graph. Five iterations, incoming
+    sums in exact decimal — every engine reproduces bit-identical
+    ranks, so the ITERATIVE algorithm gets a full value oracle (the
+    5 iterations unroll into CTEs), not a rows-only check."""
+    from ..operators.graph import pagerank
+
+    li = T(spark, sf, "lineitem").df
+    orders = T(spark, sf, "orders").df
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    pr = pagerank(base, damping=0.85, n_iters=5, undirected=True)
+    return (
+        pr.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    head = """
+WITH base AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+it0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes, n)"""
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(f""",
+it{i} AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / n.n + 0.85 *
+           CAST(SUM(CAST(r.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS pr
+  FROM it{i - 1} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src, n
+  GROUP BY e.dst, n.n)""")
+    tail = f"""
+SELECT node, pr FROM it{n_iters} ORDER BY pr DESC, node ASC LIMIT 20
+"""
+    return head + "".join(its) + tail
+
+
+ORACLE_PAGERANK = _pagerank_oracle(5)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2989,6 +3045,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
     "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
     "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
+    "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -3056,7 +3113,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
-    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     "op_unique": (op_unique, ORACLE_UNIQUE),
@@ -3080,6 +3136,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

@@ -1049,3 +1049,31 @@ def test_pmi_from_stored_counts_matches_direct(spark, tmp_path):
         ).collect()
     ]
     assert stored == direct and len(direct) > 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from gratum_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iters=5, undirected=True).collect()
+    }
+
+    # reference: same recurrence sequentially
+    und = set(edges) | {(b, a) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    deg = {v: sum(1 for s, _ in und if s == v) for v in nodes}
+    r = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(5):
+        nxt = {}
+        for v in nodes:
+            s = sum(r[s] / deg[s] for s, d in und if d == v)
+            nxt[v] = (1.0 - 0.85) / len(nodes) + 0.85 * s
+        r = nxt
+    assert set(got) == set(r)
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9
+    # more connections -> more rank: 'a' (deg 3) outranks 'd' (deg 1)
+    assert got["a"] > got["d"]

@@ -89,7 +89,7 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the new curation/profiling operators (set 41 -> 54)
+    # added late-r6: the new curation/profiling operators (set 41 -> 55)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
@@ -103,6 +103,7 @@ HEADLINE = [
     "op_resample_interpolate",
     "text_hybrid_search",
     "graph_pagerank",
+    "corpus_diff_report",
 ]
 
 N_PASSES = 3

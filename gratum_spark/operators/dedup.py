@@ -37,6 +37,7 @@ __all__ = [
     "semantic_dedup",
     "semantic_dedup_assigned",
     "canonical_keep_best",
+    "corpus_diff",
     "embedding_cosine_pairs",
     "connected_components",
 ]
@@ -974,3 +975,36 @@ def canonical_keep_best(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(F.col(id_col), F.col("canon_key"), F.col("keep"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Release-to-release corpus diff: per key, whether the document was
+    added, removed, changed (same key, different content hash), or
+    unchanged between two corpus versions — the audit table a dataset
+    release publishes next to its card.
+
+    One full-outer hash join on the key, content compared by md5 so
+    the 100 TB text bodies never co-shuffle — each side reduces to
+    (key, 16-byte hash) before the join. Engine-portable (md5).
+
+    Returns (key, status) for every key present in either version.
+    """
+    o = old.select(
+        F.col(key_col).alias("key"), F.md5(F.col(text_col)).alias("__oh__")
+    )
+    n = new.select(
+        F.col(key_col).alias("key"), F.md5(F.col(text_col)).alias("__nh__")
+    )
+    j = o.join(n, on="key", how="full_outer")
+    status = (
+        F.when(F.col("__oh__").isNull(), F.lit("added"))
+        .when(F.col("__nh__").isNull(), F.lit("removed"))
+        .when(F.col("__oh__") != F.col("__nh__"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("key", status.alias("status"))

@@ -3016,6 +3016,45 @@ SELECT node, pr FROM it{n_iters} ORDER BY pr DESC, node ASC LIMIT 20
 ORACLE_PAGERANK = _pagerank_oracle(5)
 
 
+def corpus_diff_report(spark, sf) -> DataFrame:
+    """Release diff (operators/dedup.py corpus_diff): v1 = docs 0-399,
+    v2 = docs 100+ with every 50th doc's text rewritten — the diff
+    audits added/removed/changed/unchanged counts between versions.
+    Bodies reduce to md5 before the full-outer join."""
+    docs = T(spark, sf, "documents").df
+    v1 = docs.filter(F.col("doc_id") < 400)
+    v2 = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.concat(F.lit("REV2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    d = dedup.corpus_diff(v1, v2, "doc_id", "text")
+    return (
+        d.groupBy("status")
+        .agg(F.count("*").alias("n"), F.min("key").alias("first_key"))
+        .orderBy("status")
+    )
+
+
+ORACLE_CORPUS_DIFF = """
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 50 = 0 THEN 'REV2 ' || text ELSE text END) AS h
+  FROM documents WHERE doc_id >= 100),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS key,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT status, COUNT(*) AS n, MIN(key) AS first_key
+FROM j GROUP BY status ORDER BY status
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3046,6 +3085,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
     "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
     "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
+    "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -3113,7 +3153,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
-    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
@@ -3137,6 +3176,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
+    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

@@ -1077,3 +1077,17 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - r[v]) < 1e-9
     # more connections -> more rank: 'a' (deg 3) outranks 'd' (deg 1)
     assert got["a"] > got["d"]
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "GAMMA2"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {
+        r["key"]: r["status"]
+        for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

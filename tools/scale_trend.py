@@ -53,6 +53,16 @@ OPS = [
     "text_bm25",
     "corpus_mixture",
     "dedup_keep_best",
+    # wave-2 + final late-r6 operators
+    "text_collapse_repeats",
+    "text_pmi",
+    "text_canary",
+    "emb_decontaminate",
+    "corpus_report",
+    "op_resample_interpolate",
+    "text_hybrid_search",
+    "graph_pagerank",
+    "corpus_diff_report",
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 INPUT_TABLE = {
@@ -72,6 +82,15 @@ INPUT_TABLE = {
     "text_bm25": "documents",
     "corpus_mixture": "documents",
     "dedup_keep_best": "documents",
+    "text_collapse_repeats": "documents",
+    "text_pmi": "documents",
+    "text_canary": "documents",
+    "emb_decontaminate": "embeddings",
+    "corpus_report": "documents",
+    "op_resample_interpolate": "events",
+    "text_hybrid_search": "documents",
+    "graph_pagerank": "lineitem",
+    "corpus_diff_report": "documents",
 }
 
 

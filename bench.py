@@ -89,7 +89,7 @@ HEADLINE = [
     "corpus_novel_docs",
     "text_model_score",
     "pipeline_pretraining",
-    # added late-r6: the new curation/profiling operators (set 41 -> 55)
+    # added late-r6: the new curation/profiling operators (set 41 -> 57)
     "dedup_rewrite",
     "dedup_semantic",
     "dedup_keep_best",
@@ -104,6 +104,8 @@ HEADLINE = [
     "text_hybrid_search",
     "graph_pagerank",
     "corpus_diff_report",
+    "corpus_select_budget",
+    "text_rerank_model",
 ]
 
 N_PASSES = 3

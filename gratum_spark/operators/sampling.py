@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample", "quota_sample", "mixture_sample"]
+__all__ = ["hash_split", "stratified_sample", "quota_sample", "mixture_sample", "select_by_budget"]
 
 
 def _frac_pred(h: F.Column, frac: float) -> F.Column:
@@ -185,4 +185,36 @@ def mixture_sample(
     )
     return (
         joined.select(*df.columns, F.explode(with_extra).alias("epoch"))
+    )
+
+
+def select_by_budget(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Quality-first corpus selection under a global weight budget (the
+    "best N tokens" data-selection step): rows rank by (quality DESC,
+    key ASC) and a row is kept iff the cumulative weight of every
+    strictly-better row plus its own still fits the budget. Only rows
+    that fit WHOLE are kept — no partial document.
+
+    Runs on the same distributed prefix sum as sequence packing
+    (operators/packing.py): one range shuffle on the (−quality, key)
+    struct + a per-partition totals broadcast — no single-partition
+    stage, unlike the SUM() OVER (ORDER BY …) plan the naive SQL
+    compiles to.
+
+    Returns the kept rows with their exclusive running ``offset``.
+    """
+    from .packing import global_prefix_sum
+
+    order_key = F.struct(
+        (-F.col(quality_col)).alias("__negq__"), F.col(key_col).alias("__k__")
+    )
+    with_off = global_prefix_sum(df, order_key, weight_col, out_col="offset")
+    return with_off.filter(
+        F.col("offset") + F.col(weight_col).cast("long") <= F.lit(budget)
     )

@@ -3055,6 +3055,123 @@ FROM j GROUP BY status ORDER BY status
 """
 
 
+def corpus_select_budget(spark, sf) -> DataFrame:
+    """Token-budget data selection (operators/sampling.py
+    select_by_budget): keep the best documents (by n_chars, ties to
+    lowest id) whose cumulative whitespace-token count fits a 20k
+    budget — the "best N tokens" selection step, running on the same
+    distributed prefix sum as sequence packing instead of the
+    single-partition global window the naive SQL compiles to."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    kept = sampling.select_by_budget(docs, "doc_id", "n_tokens", "n_chars", 20_000)
+    return kept.select(
+        "doc_id", "n_chars", "n_tokens", F.col("offset").alias("tok_offset")
+    ).orderBy("doc_id")
+
+
+ORACLE_SELECT_BUDGET = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_chars, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_off
+  FROM t)
+SELECT doc_id, n_chars, n_tokens, CAST(t_off AS BIGINT) AS tok_offset
+FROM o WHERE t_off + n_tokens <= 20000 ORDER BY doc_id
+"""
+
+
+def text_rerank_model(spark, sf) -> DataFrame:
+    """Retrieve-then-rerank composite: BM25 recall (top-20 per query)
+    reranked by the batch-inference quality model (the cross-encoder
+    rerank shape; deterministic fake model, worker-cached — real model
+    import-gated in operators/inference.py). Rerank scores only
+    |queries|·20 candidate texts."""
+    from ..operators import retrieval
+    from ..operators.inference import score_documents
+
+    docs = T(spark, sf, "documents").df
+    qdf = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+            "query_text"
+        ),
+    )
+    bm = retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=20).select(
+        "query_id", "doc_id"
+    )
+    cand = bm.join(docs.select("doc_id", "text"), on="doc_id")
+    scored = score_documents(cand, "doc_id", "text", model="fake").dropDuplicates(
+        ["doc_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        bm.join(scored.select("doc_id", "score"), on="doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_RERANK_MODEL = """
+WITH toks AS (
+  SELECT doc_id AS id, t.term FROM documents,
+  LATERAL unnest(list_filter(string_split_regex(lower(text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+postings AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+doclens AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclens),
+dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft FROM postings GROUP BY 1),
+q AS (SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text,' '),1,8),' ') AS query_text
+      FROM documents WHERE doc_id < 3),
+qterms AS (
+  SELECT DISTINCT query_id, t.term FROM q,
+  LATERAL unnest(list_filter(string_split_regex(lower(query_text),'[^a-z]+'),
+                             x -> x <> '')) AS t(term)),
+scored AS (
+  SELECT qt.query_id, p.id,
+    SUM( ln(1.0 + (s.n_docs - f.dft + 0.5)/(f.dft + 0.5))
+         * (CAST(p.tf AS DOUBLE)*2.2
+            / (CAST(p.tf AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl.dl AS DOUBLE)/s.avgdl)))
+       ) AS score
+  FROM postings p JOIN qterms qt USING (term)
+  JOIN dft f USING (term) JOIN doclens dl ON dl.id = p.id
+  CROSS JOIN stats s
+  GROUP BY 1,2),
+bm AS (
+  SELECT query_id, id AS doc_id FROM (
+    SELECT query_id, id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, id ASC) AS rank_bm
+    FROM scored)
+  WHERE rank_bm <= 20),
+ms AS (
+  SELECT doc_id,
+         ((length(text) % 97) + (len(string_split(text, ' ')) % 13)) / 110.0 AS score
+  FROM documents)
+SELECT query_id, rank, doc_id, ROUND(score, 6) AS score FROM (
+  SELECT b.query_id, b.doc_id, ms.score,
+         ROW_NUMBER() OVER (PARTITION BY b.query_id
+                            ORDER BY ms.score DESC, b.doc_id ASC) AS rank
+  FROM bm b JOIN ms USING (doc_id))
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3086,6 +3203,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
     "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
     "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
+    "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
+    "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
@@ -3111,9 +3230,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
     # -- LLM-data-pipeline representatives (kept in-window: each family --
     #    dedup, curation, ANN, text, multimodal -- keeps one current row)
-    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
-    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     # -- new in r6: the composed pretraining-curation loop (first driver
     #    check; text_contamination rotated past the window after 3 green
     #    rounds — its n-gram overlap machinery is exercised inside this
@@ -3177,6 +3294,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),

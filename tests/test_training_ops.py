@@ -1091,3 +1091,33 @@ def test_corpus_diff_statuses(spark):
         for r in dedup.corpus_diff(old, new, "doc_id", "text").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_select_by_budget_prefix_semantics(spark):
+    from gratum_spark.operators import sampling
+
+    rows = [
+        (1, 10, 100),  # best quality, 10 tokens
+        (2, 50, 90),   # second, 50 tokens
+        (3, 30, 80),   # third, 30 tokens -> cumulative 90 > 60: cut here
+        (4, 5, 70),    # better-ranked row 3's weight still counts: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, w long, q long")
+    kept = {
+        r["id"]: r["offset"]
+        for r in sampling.select_by_budget(df, "id", "w", "q", 60).collect()
+    }
+    # prefix semantics: the quality-ranked PREFIX that fits whole — row 3
+    # overflows and everything after it stays out even if it would fit
+    assert kept == {1: 0, 2: 10}
+
+
+def test_select_by_budget_quality_tie_breaks_by_key(spark):
+    from gratum_spark.operators import sampling
+
+    rows = [(9, 10, 5), (2, 10, 5), (5, 10, 5)]
+    df = spark.createDataFrame(rows, "id long, w long, q long")
+    kept = sorted(
+        r["id"] for r in sampling.select_by_budget(df, "id", "w", "q", 20).collect()
+    )
+    assert kept == [2, 5]

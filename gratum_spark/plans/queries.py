@@ -1137,6 +1137,59 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_interval_join(spark, sf) -> DataFrame:
+    """Stream-stream interval join EXECUTED AS A STREAM
+    (streaming.stream_interval_join): every view paired with the same
+    user's clicks landing within the following hour — the attribution
+    join. Both stream sides are watermarked and the join condition
+    bounds event time on both inputs, so join state is evicted at the
+    watermark horizon instead of growing with the stream (the property
+    that makes a continuous 100 TB/day attribution join runnable).
+    availableNow-drained; equals the batch/DuckDB interval join."""
+    from .. import streaming
+
+    sdf = streaming.read_event_stream(spark, f"{sf}/events.parquet")
+    views = sdf.filter(F.col("event_type") == "view")
+    clicks = sdf.filter(F.col("event_type") == "click")
+    joined = streaming.stream_interval_join(
+        views, clicks, key="user_id", within="1 hour", watermark="2 hours"
+    )
+    out = streaming.run_available_now(
+        joined.select(
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_event_id").alias("view_id"),
+            F.col("r_event_id").alias("click_id"),
+            F.col("l_ts").alias("view_ts"),
+            F.col("r_ts").alias("click_ts"),
+        ),
+        "q_stream_interval_join",
+        "append",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    ).orderBy("user_id", "view_id", "click_id")
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+ORDER BY 1, 2, 3
+"""
+
+
 def stream_dedup_counts(spark, sf) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): duplicate
     event_ids are dropped while their watermark window is open — the
@@ -3228,6 +3281,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    past the window after 4 green rounds — cube/grouping-sets family
     #    stays covered by op_grouping_sets/op_cube below)
     "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
+    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
     # -- LLM-data-pipeline representatives (kept in-window: each family --
     #    dedup, curation, ANN, text, multimodal -- keeps one current row)
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),

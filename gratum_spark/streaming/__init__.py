@@ -37,6 +37,7 @@ __all__ = [
     "session_agg",
     "stateful_counter",
     "stream_dedup",
+    "stream_interval_join",
     "stream_corpus_novel",
     "write_stream_parquet",
     "run_available_now",
@@ -194,6 +195,54 @@ def stream_dedup(
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return df.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval (event-time) join: pair each left row
+    with every right row sharing ``key`` whose timestamp falls in
+    [left_ts, left_ts + within] — the attribution shape (view→click,
+    impression→conversion, request→error).
+
+    Works identically on batch and streaming DataFrames (same logical
+    plan). Under streaming, BOTH sides carry a watermark and the join
+    condition bounds event time on both inputs, which is exactly what
+    Spark needs to evict state: a left row is dropped from the state
+    store once the right watermark passes ``left_ts + within``, and a
+    right row once the left watermark passes ``right_ts`` — so state is
+    bounded by the interval + watermark horizon, not the stream length.
+    At 100 TB/day, that bound (not the join itself) is what makes the
+    operator runnable continuously.
+
+    All columns are prefixed (``l_``/``r_``) so self-joins of one event
+    stream against itself — the common case — are unambiguous.
+    ``how='leftOuter'`` emits unmatched left rows with nulls once the
+    watermark proves no match can still arrive (streaming outer-join
+    semantics); batch outer joins emit them immediately.
+    """
+    l = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    if watermark:
+        l = l.withWatermark(f"{left_prefix}{left_ts}", watermark)
+        r = r.withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lt = F.col(f"{left_prefix}{left_ts}")
+    rt = F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(f"{left_prefix}{key}") == F.col(f"{right_prefix}{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, how)
 
 
 def stateful_counter(

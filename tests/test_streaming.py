@@ -246,3 +246,45 @@ def test_decontaminate_stream_equals_batch(spark, sf_dir):
     got = streaming.run_available_now(sdf, "decon_stream", output_mode="append")
     cols = ["id", "keep"]
     assert _normalize(got, cols) == _normalize(batch, cols)
+
+
+def test_interval_join_stream_equals_batch(spark, events_path, events_batch):
+    """stream_interval_join builds the same logical plan batch or
+    streaming; the availableNow drain must equal the batch interval
+    join (views paired with same-user clicks within the next hour)."""
+    views_b = events_batch.filter(F.col("event_type") == "view")
+    clicks_b = events_batch.filter(F.col("event_type") == "click")
+    batch = streaming.stream_interval_join(
+        views_b, clicks_b, key="user_id", within="1 hour", watermark=None
+    )
+    src = streaming.read_event_stream(spark, events_path)
+    got = streaming.run_available_now(
+        streaming.stream_interval_join(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+            key="user_id",
+            within="1 hour",
+            watermark="2 hours",
+        ),
+        "interval_join_stream",
+        output_mode="append",
+    )
+    cols = ["l_event_id", "r_event_id"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+    assert got.count() > 0
+
+
+def test_interval_join_bounds_pairs(spark, events_batch):
+    """Every emitted pair respects the [0, within] event-time bound and
+    the key equality — the condition Spark uses to evict join state."""
+    views = events_batch.filter(F.col("event_type") == "view")
+    clicks = events_batch.filter(F.col("event_type") == "click")
+    out = streaming.stream_interval_join(
+        views, clicks, key="user_id", within="30 minutes", watermark=None
+    )
+    bad = out.filter(
+        (F.col("l_user_id") != F.col("r_user_id"))
+        | (F.col("r_ts") < F.col("l_ts"))
+        | (F.col("r_ts") > F.col("l_ts") + F.expr("interval 30 minutes"))
+    )
+    assert bad.count() == 0

@@ -2123,6 +2123,27 @@ def ann_ivf_full_probe(spark, sf) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def ann_recall(spark, sf) -> DataFrame:
+    """ANN quality measurement (operators/similarity.py
+    ann_recall_at_k): recall@10 of a 16-list/4-probe IVF index vs
+    exact brute force for 8 query vectors — the go/no-go metric for an
+    index configuration before it serves a 100 TB corpus. No SQL
+    oracle (k-means centroids aren't SQL-expressible); determinism +
+    the recall@full-probe==1.0 invariant are pinned in
+    tests/test_similarity.py, and the driver records the rows-only
+    check."""
+    emb = T(spark, sf, "embeddings").df.cache()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    rec = similarity.ann_recall_at_k(
+        emb, queries, k=10, n_lists=16, n_iters=2, n_probe=4
+    )
+    return rec.select(
+        F.col("qid").alias("query_id"), F.round("recall", 4).alias("recall")
+    ).orderBy("query_id")
+
+
 def text_redact_pii(spark, sf) -> DataFrame:
     """PII scrubbing (operators/text.py redact_pii): deterministic
     synthetic PII is appended per doc, then the RE2-portable pattern
@@ -3403,4 +3424,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
     "ann_ivf": (ann_ivf, None),
+    "ann_recall": (ann_recall, None),
 }

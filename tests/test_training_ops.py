@@ -1121,3 +1121,75 @@ def test_select_by_budget_quality_tie_breaks_by_key(spark):
         r["id"] for r in sampling.select_by_budget(df, "id", "w", "q", 20).collect()
     )
     assert kept == [2, 5]
+
+
+def test_ivf_topk_many_matches_single_query(spark):
+    """Batched IVF must return exactly what per-query ivf_topk returns
+    on the same build (same probe ranking, same tie-breaks)."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(150, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    assignments, centroids = similarity.ivf_build(df, n_lists=4, n_iters=2)
+    queries = spark.createDataFrame(
+        [(qid, [float(x) for x in vecs[qid]]) for qid in (3, 77)],
+        "query_id long, embedding array<float>",
+    )
+    many = similarity.ivf_topk_many(
+        df, assignments, centroids, queries, k=5, n_probe=2
+    ).collect()
+    got = {qid: sorted((r["vec_id"], round(r["cosine"], 9))
+                       for r in many if r["qid"] == qid) for qid in (3, 77)}
+    for qid in (3, 77):
+        single = similarity.ivf_topk(
+            df, assignments, centroids,
+            [float(x) for x in vecs[qid]], k=5, n_probe=2,
+        ).collect()
+        want = sorted((r["vec_id"], round(r["cosine"], 9)) for r in single)
+        assert got[qid] == want
+
+
+def test_ann_recall_full_probe_is_one(spark):
+    """n_probe == n_lists scans every list, so IVF equals brute force
+    and recall@k must be exactly 1.0 for every query."""
+    rng = np.random.RandomState(12)
+    vecs = rng.randn(120, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(qid, [float(x) for x in vecs[qid]]) for qid in (0, 50, 99)],
+        "query_id long, embedding array<float>",
+    )
+    rec = similarity.ann_recall_at_k(
+        df, queries, k=8, n_lists=4, n_iters=2, n_probe=4
+    ).collect()
+    assert len(rec) == 3
+    assert all(r["recall"] == 1.0 for r in rec)
+
+
+def test_ann_recall_partial_probe_bounded(spark):
+    """Partial probe: recall is in [0, 1], the query's own vector keeps
+    per-query recall > 0, and the result is deterministic run to run."""
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(160, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(160)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(qid, [float(x) for x in vecs[qid]]) for qid in (7, 80)],
+        "query_id long, embedding array<float>",
+    )
+    run = lambda: sorted(
+        (r["qid"], round(r["recall"], 6))
+        for r in similarity.ann_recall_at_k(
+            df, queries, k=5, n_lists=4, n_iters=2, n_probe=2
+        ).collect()
+    )
+    first = run()
+    assert all(0.0 < rec <= 1.0 for _, rec in first)
+    assert first == run()

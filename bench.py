@@ -106,6 +106,9 @@ HEADLINE = [
     "corpus_diff_report",
     "corpus_select_budget",
     "text_rerank_model",
+    # added late-r6 wave 3: exact-substring span dedup (set 57 -> 59)
+    "dedup_spans",
+    "dedup_span_rewrite",
 ]
 
 N_PASSES = 3

@@ -38,6 +38,8 @@ __all__ = [
     "semantic_dedup_assigned",
     "canonical_keep_best",
     "corpus_diff",
+    "duplicate_spans",
+    "duplicate_span_rewrite",
     "embedding_cosine_pairs",
     "connected_components",
 ]
@@ -1008,3 +1010,164 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("key", status.alias("status"))
+
+
+def _duplicate_span_ranges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Maximal duplicated token spans per document (shared core of
+    `duplicate_spans` / `duplicate_span_rewrite`).
+
+    The exact-substring dedup shape (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a k-token window that
+    occurs 2+ times ANYWHERE in the corpus (another doc or the same doc
+    again) marks a duplicated region; overlapping/adjacent marked
+    windows merge into maximal spans. Where the suffix-array original is
+    a single-machine algorithm, the distributed shape is overlapping
+    k-shingles + one corpus-wide count + gaps-and-islands:
+
+      posexplode k-shingles (start positions 0..n-k, expression-only)
+        -> groupBy shingle, count(*) >= 2      (map-side combinable)
+        -> join hits back on shingle            (co-partitioned: the
+           dup side just aggregated on the same key)
+        -> window per doc ordered by start pos  (one shuffle on id;
+           per-doc state bounded by the doc's own shingle count)
+        -> islands merge: two marked windows chain into one span iff
+           start gap <= k (same-length intervals sorted by start, so a
+           lag(1) test is exact — no running-max needed).
+
+    Three shuffles total, nothing pairwise, no all-pairs joins; the
+    only corpus-sized key space is the shingle groupBy, which partial
+    aggregation collapses before the exchange. Returns one row per
+    maximal span: (id, span_start, span_end) in token positions,
+    end inclusive.
+    """
+    warr = words(F.col(text_col))
+    n = F.size(warr)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(warr, i + 1, k)))
+        ).alias("pos", "shingle"),
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__occ__"))
+        .filter(F.col("__occ__") >= 2)
+        .select("shingle")
+    )
+    hits = sh.join(dup, on="shingle").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn("__g__", F.sum(brk).over(w))
+    return islands.groupBy("id", "__g__").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-span accounting: how many maximal
+    k-token-window duplicate spans each document carries and what
+    fraction of its tokens they cover (see `_duplicate_span_ranges`
+    for the distributed plan). Every document yields a row — docs with
+    no duplicated span report zeros via the final left join, which
+    re-joins only (id, 2 longs), never the text bodies.
+
+    Returns (id, n_tokens, n_dup_spans, dup_tokens, dup_frac).
+    """
+    spans = _duplicate_span_ranges(df, id_col, text_col, k)
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, on="id", how="left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens").cast("long"), F.lit(0).cast("long")).alias(
+            "dup_tokens"
+        ),
+        (
+            F.coalesce(F.col("dup_tokens").cast("double"), F.lit(0.0))
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def duplicate_span_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring dedup with document REWRITE: every token covered
+    by a duplicated span (`_duplicate_span_ranges`) is cut and the
+    document is reassembled from the survivors in order. This is the
+    aggressive variant that removes ALL occurrences of a duplicated
+    region (the span that "owns" a phrase is just as boilerplate as its
+    copies); the keep-first-occurrence policy at a fixed granularity is
+    `chunk_dedup_rewrite`.
+
+    The rebuild is expression-only: per-doc spans are collected into a
+    bounded array (a doc's span count <= its token count / k), joined
+    back to the one row that owns the text, and the token filter is a
+    nested higher-order expression — no Python in the loop, no extra
+    shuffle beyond `_duplicate_span_ranges`' three (the per-doc span
+    array aggregates on the window's existing id-partitioning, and the
+    final join re-shuffles only the span arrays against the corpus).
+
+    Returns (id, n_tokens, removed_tokens, clean_text).
+    """
+    spans = (
+        _duplicate_span_ranges(df, id_col, text_col, k)
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("__spans__")
+        )
+    )
+    warr = words(F.col(text_col))
+    joined = df.select(
+        F.col(id_col).alias("id"), warr.alias("__toks__")
+    ).join(spans, on="id", how="left")
+    sp = F.coalesce(
+        F.col("__spans__"),
+        F.expr("array()").cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    indexed = F.transform(
+        F.col("__toks__"),
+        lambda t, i: F.struct(i.alias("pos"), t.alias("t")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda r: (s["pos"] >= r["span_start"]) & (s["pos"] <= r["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("__toks__").cast("long").alias("n_tokens"),
+        (F.size("__toks__") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )

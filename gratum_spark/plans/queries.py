@@ -2546,6 +2546,91 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_spans(spark, sf) -> DataFrame:
+    """Exact-substring dedup accounting (operators/dedup.py
+    duplicate_spans): any 10-token window occurring 2+ times anywhere in
+    the corpus marks a duplicated region; overlapping windows merge into
+    maximal spans (Lee et al. 2021 shape, distributed as shingle-count +
+    gaps-and-islands instead of a suffix array)."""
+    docs = T(spark, sf, "documents").df
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=10).orderBy("id")
+
+
+ORACLE_DEDUP_SPANS = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(ws, i+1, i+10), ' ') AS shingle
+  FROM w, LATERAL unnest(generate_series(0, len(ws)-10)) AS t(i)),
+dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) >= 2),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (shingle)),
+mk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM mk),
+spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos)+9 AS e
+          FROM isl GROUP BY 1,2),
+pd AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e-s+1) AS dup_tokens
+       FROM spans GROUP BY 1)
+SELECT w.doc_id AS id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.n_dup_spans,0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(pd.dup_tokens,0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(pd.dup_tokens,0) AS DOUBLE)/CAST(len(w.ws) AS DOUBLE)
+         AS dup_frac
+FROM w LEFT JOIN pd USING (doc_id) ORDER BY id
+"""
+
+
+def dedup_span_rewrite(spark, sf) -> DataFrame:
+    """Exact-substring dedup with rewrite (operators/dedup.py
+    duplicate_span_rewrite): every token covered by a duplicated
+    10-token window is cut and the document reassembled from survivors
+    in order — the aggressive all-occurrences variant; keep-first at
+    fixed granularity is dedup_rewrite."""
+    docs = T(spark, sf, "documents").df
+    return dedup.duplicate_span_rewrite(docs, "doc_id", "text", k=10).orderBy("id")
+
+
+ORACLE_DEDUP_SPAN_REWRITE = """
+WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(ws, i+1, i+10), ' ') AS shingle
+  FROM w, LATERAL unnest(generate_series(0, len(ws)-10)) AS t(i)),
+dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) >= 2),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (shingle)),
+mk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 10
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM mk),
+spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos)+9 AS e
+          FROM isl GROUP BY 1,2),
+cov AS (SELECT doc_id, CAST(p AS INT) AS cpos
+        FROM spans, LATERAL unnest(generate_series(s, e)) AS t(p)),
+tok AS (SELECT doc_id, CAST(i-1 AS INT) AS pos, ws[i] AS tkn
+        FROM w, LATERAL unnest(generate_series(1, len(ws))) AS t(i)),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tkn
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+         WHERE cov.cpos IS NULL)
+SELECT w.doc_id AS id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(len(w.ws) - COALESCE(k.cnt,0) AS BIGINT) AS removed_tokens,
+       COALESCE(k.txt,'') AS clean_text
+FROM w LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt,
+                         string_agg(tkn,' ' ORDER BY pos) AS txt
+                  FROM kept GROUP BY 1) k USING (doc_id)
+ORDER BY id
+"""
+
+
 def dedup_semantic(spark, sf) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.py
     semantic_dedup): one deterministic centroid-assignment step over the
@@ -3351,11 +3436,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    "op_concat": (op_concat, ORACLE_CONCAT),
-    "op_replace": (op_replace, ORACLE_REPLACE),
-    "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    # -- NEW late-r6 wave 3: exact-substring span dedup (Lee et al. 2021
+    #    shape — the canonical training-data dedup the inventory lacked)
+    #    on its first driver check. Slots freed by moving op_concat and
+    #    op_as_date past the window (both r1/r2-green + re-verified by
+    #    the local gate this round; concat stays pytest/property-covered,
+    #    date parsing via op_coerce's lineage + pytest).
+    "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
+    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
     # ---- 50-entry driver window boundary ----
+    "op_concat": (op_concat, ORACLE_CONCAT),
+    "op_as_date": (op_as_date, ORACLE_AS_DATE),
+    "op_replace": (op_replace, ORACLE_REPLACE),
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
     #    room for the nine new curation queries above (families stay
     #    in-window; all rotated rows remain bench/pytest-covered)

@@ -559,3 +559,25 @@ def test_resample_interpolate_single_shuffle(spark, sf):
     assert all("hashpartitioning(__k__" in a or "hashpartitioning(user_id" in a
                for a in args), args
     assert len(args) <= 2, args
+
+
+def test_duplicate_spans_plan_shape(spark, sf):
+    """Exact-substring span dedup must stay non-pairwise: no cartesian /
+    BNLJ anywhere, no data-sized SinglePartition exchange, and the
+    gaps-and-islands window + span aggregation reuse ONE id-partitioned
+    exchange (hashpartitioning(id) satisfies groupBy(id, island), so
+    EnsureRequirements must not insert a second shuffle between them)."""
+    import re
+
+    from gratum_spark.operators.dedup import duplicate_spans
+
+    docs = table(spark, sf, "documents").df
+    plan = plan_of(duplicate_spans(docs, "doc_id", "text", k=10))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    id_shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(id" in line
+    ]
+    assert len(id_shuffles) <= 1, id_shuffles

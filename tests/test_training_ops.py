@@ -1193,3 +1193,57 @@ def test_ann_recall_partial_probe_bounded(spark):
     first = run()
     assert all(0.0 < rec <= 1.0 for _, rec in first)
     assert first == run()
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    # docs 0 and 1 share a 12-token run; with k=4 the 9 overlapping
+    # duplicated windows must merge into ONE maximal 12-token span
+    shared = " ".join(f"a{i}" for i in range(12))
+    rows = [
+        (0, f"p1 p2 {shared} q1 q2 q3"),
+        (1, f"r1 {shared} s1"),
+        (2, "all tokens here are one of a kind truly"),
+        (3, "tiny"),  # shorter than k: no windows at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dedup.duplicate_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert out[0]["n_dup_spans"] == 1 and out[0]["dup_tokens"] == 12
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 12
+    assert out[0]["n_tokens"] == 17 and out[1]["n_tokens"] == 14
+    # clean and sub-k docs still yield rows, with zeros
+    assert out[2]["n_dup_spans"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[3]["n_dup_spans"] == 0 and out[3]["n_tokens"] == 1
+
+
+def test_duplicate_spans_flags_within_doc_repeat_and_disjoint_spans(spark):
+    # one doc that repeats its own 4-token phrase (far apart) => the
+    # phrase duplicates against itself; both occurrences are spans
+    phrase = "b1 b2 b3 b4"
+    rows = [(0, f"{phrase} m1 m2 m3 m4 m5 m6 {phrase}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    (r,) = dedup.duplicate_spans(df, "doc_id", "text", k=4).collect()
+    assert r["n_dup_spans"] == 2
+    assert r["dup_tokens"] == 8
+    assert r["dup_frac"] == 8 / 14
+
+
+def test_duplicate_span_rewrite_cuts_all_occurrences_in_order(spark):
+    shared = " ".join(f"c{i}" for i in range(8))
+    rows = [
+        (0, f"h1 h2 {shared} t1 t2"),
+        (1, f"{shared}"),  # the whole doc is the duplicated span
+        (2, "nothing here repeats anywhere in this corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dedup.duplicate_span_rewrite(df, "doc_id", "text", k=4).collect()
+    }
+    # aggressive variant: BOTH copies are cut, survivors keep order
+    assert out[0]["clean_text"] == "h1 h2 t1 t2"
+    assert out[0]["removed_tokens"] == 8
+    assert out[1]["clean_text"] == "" and out[1]["removed_tokens"] == 8
+    assert out[2]["clean_text"] == rows[2][1] and out[2]["removed_tokens"] == 0

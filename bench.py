@@ -106,9 +106,11 @@ HEADLINE = [
     "corpus_diff_report",
     "corpus_select_budget",
     "text_rerank_model",
-    # added late-r6 wave 3: exact-substring span dedup (set 57 -> 59)
+    # added late-r6 wave 3: exact-substring span dedup + bigram-LM
+    # perplexity scoring (set 57 -> 60)
     "dedup_spans",
     "dedup_span_rewrite",
+    "text_perplexity",
 ]
 
 N_PASSES = 3

@@ -27,6 +27,8 @@ __all__ = [
     "ngram_counts",
     "pmi_from_counts",
     "canary_scan",
+    "lm_score_from_counts",
+    "lm_score",
     "DEFAULT_LANG_WORDS",
     "PII_PATTERNS",
 ]
@@ -385,16 +387,22 @@ def ngram_counts(
     re-tokenizing the corpus per query."""
     warr = words(F.lower(F.col(text_col)))
     toks = df.select(F.explode(warr).alias("w"))
+    # the >=2 guard matters: sequence(0, -1) runs DESCENDING in Spark,
+    # so an unguarded single-token doc generates i=-1 and element_at
+    # reads out of bounds instead of yielding zero bigrams
     bigrams = df.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(warr) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(warr, i + 1),
-                    F.element_at(warr, i + 2),
+            F.when(
+                F.size(warr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(warr) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(warr, i + 1),
+                        F.element_at(warr, i + 2),
+                    ),
                 ),
-            )
+            ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("bg")
     )
     uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
@@ -467,6 +475,115 @@ def pmi_bigrams(
     """
     uni, bi = ngram_counts(df, id_col, text_col)
     return pmi_from_counts(uni, bi, min_count=min_count, k=k)
+
+
+def lm_score_from_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy scoring from stored count
+    tables — the CCNet-style perplexity quality filter: documents whose
+    token transitions are improbable under a reference LM (here an
+    add-alpha-smoothed bigram model from `ngram_counts`) are gibberish /
+    boilerplate candidates; low-perplexity documents read like the
+    reference corpus.
+
+        nll(w1 w2) = -ln( (c(w1 w2) + α) / (c(w1) + α·V) )
+
+    per-bigram, averaged over the document's bigrams (each term rounded
+    to 6dp before aggregation so the score is engine-reproducible — the
+    same trick as `tfidf_top_terms`).
+
+    Plan: per-doc (id, bigram) counts aggregate map-side, join corpus
+    bigram counts on the bigram key (co-partitioned: `bi` just
+    aggregated on it), then the unigram table joins on the first word
+    and V folds in as a 1-row broadcast. At 100 TB run this off
+    materialized `ngram_counts` parquet — the model tables are the
+    small side and the corpus is scanned once.
+
+    Returns (id, n_bigrams, avg_nll, ppl); documents with fewer than
+    two tokens keep their row with n_bigrams=0 and NULL scores.
+    """
+    warr = words(F.lower(F.col(text_col)))
+    doc_bi = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.when(
+                    F.size(warr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(warr) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(warr, i + 1),
+                            F.element_at(warr, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<string>"))
+            ).alias("bg"),
+        )
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("m"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("__v__"))
+    u1 = uni.select(F.col("w").alias("__w1__"), F.col("cw").alias("__c1__"))
+    # left joins + coalesce-to-0: with a held-out reference model an
+    # unseen bigram/unigram must score at the smoothing floor
+    # α/(c+αV), not vanish from the average (self-scoring always hits)
+    nll = F.round(
+        -F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (
+                F.coalesce(F.col("__c1__"), F.lit(0)).cast("double")
+                + F.lit(alpha) * F.col("__v__")
+            )
+        ),
+        6,
+    )
+    scored = (
+        doc_bi.join(bi, on="bg", how="left")
+        .withColumn("__w1__", F.split(F.col("bg"), " ").getItem(0))
+        .join(u1, on="__w1__", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            # the weighted sum runs in decimal so it is exact and
+            # order-independent (a plain double sum flipped the 6dp
+            # rounding on ~1% of docs between engines); the single
+            # double division after it is deterministic
+            (
+                F.sum(nll.cast("decimal(28,6)") * F.col("m")).cast("double")
+                / F.sum("m")
+            ).alias("__avg__"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.round(F.col("__avg__"), 6).alias("avg_nll"),
+        F.round(F.exp(F.round(F.col("__avg__"), 6)), 6).alias("ppl"),
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Self-scoring convenience for `lm_score_from_counts`: trains the
+    bigram model on ``df`` itself and scores every document against it
+    (the in-corpus outlier sweep). For a held-out reference model,
+    materialize `ngram_counts` of the reference corpus and call
+    `lm_score_from_counts` directly."""
+    uni, bi = ngram_counts(df, id_col, text_col)
+    return lm_score_from_counts(df, id_col, text_col, uni, bi, alpha=alpha)
 
 
 def canary_scan(

@@ -2848,6 +2848,43 @@ ORDER BY pmi DESC, bigram ASC LIMIT 15
 """
 
 
+def text_perplexity(spark, sf) -> DataFrame:
+    """Per-doc bigram-LM cross-entropy scoring (operators/text.py
+    lm_score): add-0.5-smoothed bigram model trained on the corpus
+    itself, every document scored by its average per-bigram negative
+    log-likelihood — the CCNet-style perplexity quality filter. Each
+    nll term rounds to 6dp before aggregation for engine parity."""
+    docs = T(spark, sf, "documents").df
+    return text.lm_score(docs, "doc_id", "text", alpha=0.5).orderBy("id")
+
+
+ORACLE_TEXT_PERPLEXITY = """
+WITH w AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, COUNT(*) AS cw FROM toks GROUP BY 1),
+vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bgs AS (
+  SELECT doc_id, ws[j] || ' ' || ws[j+1] AS bg, ws[j] AS w1
+  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) AS t(j)),
+bi AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY 1),
+dbg AS (SELECT doc_id, bg, w1, COUNT(*) AS m FROM bgs GROUP BY 1,2,3),
+scored AS (
+  SELECT dbg.doc_id,
+         SUM(dbg.m) AS n_bigrams,
+         CAST(SUM(dbg.m * CAST(ROUND(-ln( (CAST(bi.cb AS DOUBLE) + 0.5)
+                                / (CAST(uni.cw AS DOUBLE) + 0.5*vv.v) ), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+           / SUM(dbg.m) AS avg0
+  FROM dbg JOIN bi USING (bg) JOIN uni ON uni.tok = dbg.w1 CROSS JOIN vv
+  GROUP BY 1)
+SELECT w.doc_id AS id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(s.avg0, 6) AS avg_nll,
+       ROUND(exp(ROUND(s.avg0, 6)), 6) AS ppl
+FROM w LEFT JOIN scored s USING (doc_id) ORDER BY id
+"""
+
+
 def text_canary(spark, sf) -> DataFrame:
     """Exact-substring canary sweep (operators/text.py canary_scan):
     five 30-char canaries cut from the middle of docs 0-4, scanned
@@ -3449,6 +3486,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_concat": (op_concat, ORACLE_CONCAT),
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_replace": (op_replace, ORACLE_REPLACE),
+    # -- new late-r6 wave 3, past-window (rotate in next round):
+    #    CCNet-style bigram-LM perplexity quality scoring
+    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
     #    room for the nine new curation queries above (families stay
     #    in-window; all rotated rows remain bench/pytest-covered)

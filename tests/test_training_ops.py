@@ -1247,3 +1247,36 @@ def test_duplicate_span_rewrite_cuts_all_occurrences_in_order(spark):
     assert out[0]["removed_tokens"] == 8
     assert out[1]["clean_text"] == "" and out[1]["removed_tokens"] == 8
     assert out[2]["clean_text"] == rows[2][1] and out[2]["removed_tokens"] == 0
+
+
+def test_lm_score_matches_hand_computed_bigram_model(spark):
+    # corpus: "a b a b", "a b c", "x". unigrams: a:3 b:3 c:1 x:1 => V=4
+    # bigrams: "a b":3, "b a":1, "b c":1
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in text.lm_score(df, "doc_id", "text", alpha=0.5).collect()}
+
+    def nll(cb, cw, v=4.0, a=0.5):
+        return round(-math.log((cb + a) / (cw + a * v)), 6)
+
+    # doc 0: bigrams a b (x2), b a (x1)
+    exp0 = (2 * nll(3, 3) + 1 * nll(1, 3)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_nll"] == pytest.approx(round(exp0, 6), abs=1e-9)
+    assert out[0]["ppl"] == pytest.approx(round(math.exp(round(exp0, 6)), 6), abs=1e-9)
+    # doc 1: a b, b c
+    exp1 = (nll(3, 3) + nll(1, 3)) / 2
+    assert out[1]["avg_nll"] == pytest.approx(round(exp1, 6), abs=1e-9)
+    # single-token doc: row kept, no score
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] is None
+
+
+def test_lm_score_from_counts_floors_unseen_bigrams(spark):
+    # reference model trained on one corpus, scoring a doc whose bigram
+    # was never seen: both counts coalesce to 0 => nll = -ln(α/(αV))
+    ref = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    uni, bi = text.ngram_counts(ref, "doc_id", "text")  # V=2
+    tgt = spark.createDataFrame([(9, "q z")], "doc_id long, text string")
+    (r,) = text.lm_score_from_counts(tgt, "doc_id", "text", uni, bi, alpha=0.5).collect()
+    assert r["n_bigrams"] == 1
+    assert r["avg_nll"] == pytest.approx(round(-math.log(0.5 / (0.5 * 2)), 6), abs=1e-9)

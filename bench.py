@@ -106,11 +106,12 @@ HEADLINE = [
     "corpus_diff_report",
     "corpus_select_budget",
     "text_rerank_model",
-    # added late-r6 wave 3: exact-substring span dedup + bigram-LM
-    # perplexity scoring (set 57 -> 60)
+    # added late-r6 wave 3: exact-substring span dedup, bigram-LM
+    # perplexity scoring, DSIR importance weights (set 57 -> 61)
     "dedup_spans",
     "dedup_span_rewrite",
     "text_perplexity",
+    "corpus_dsir",
 ]
 
 N_PASSES = 3

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample", "quota_sample", "mixture_sample", "select_by_budget"]
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "quota_sample",
+    "mixture_sample",
+    "select_by_budget",
+    "dsir_logratios",
+]
 
 
 def _frac_pred(h: F.Column, frac: float) -> F.Column:
@@ -217,4 +224,100 @@ def select_by_budget(
     with_off = global_prefix_sum(df, order_key, weight_col, out_col="offset")
     return with_off.filter(
         F.col("offset") + F.col(weight_col).cast("long") <= F.lit(budget)
+    )
+
+
+def dsir_logratios(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 3,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every SOURCE
+    document by how much more likely its hashed n-gram features are
+    under a TARGET-corpus model than under the source model —
+    sum over the doc's (uni+bi)gram occurrences of
+
+        ln( p_target(bucket) / p_source(bucket) )
+
+    with add-α smoothing over the B hash buckets. High log-ratio ⇒ the
+    doc "reads like" the target domain; feed the output to
+    `select_by_budget` / `hash_split`-thresholding for the actual
+    resampling step.
+
+    Engine-portable hashing: the bucket key is the first ``prefix_len``
+    hex chars of md5(gram) (B = 16^prefix_len buckets) — a STRING key,
+    so any engine with md5 reproduces the bucketing exactly, same as
+    this module's split/threshold rules.
+
+    Scale shape: both model tables are bounded by B (4096 at the
+    default), so they broadcast; per-doc feature counts aggregate
+    map-side on (id, bucket); corpus totals fold in as 1-row
+    broadcasts. The only data-sized shuffles are the count aggregates —
+    the target corpus is scanned twice (counts + total) and the source
+    three times; at 100 TB, materialize the two count tables once and
+    reuse (they are the "trained model"). Per-bucket terms round to 6dp
+    and the per-doc sum runs in decimal, so the scores are
+    engine-exact.
+
+    Returns (id, n_grams, logratio_sum, avg_logratio) for every source
+    document; docs with no grams (empty text still yields one unigram)
+    cannot occur, so no null handling is needed.
+    """
+    B = 16 ** prefix_len
+
+    def buckets(df: DataFrame) -> DataFrame:
+        warr = F.split(F.lower(F.col(text_col)), " ")
+        bi = F.when(
+            F.size(warr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(warr) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(warr, i + 1), F.element_at(warr, i + 2)
+                ),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(warr, bi)).alias("__g__"),
+        ).withColumn("__b__", F.substring(F.md5(F.col("__g__")), 1, prefix_len))
+
+    tgt_counts = buckets(target).groupBy("__b__").agg(F.count("*").alias("__ct__"))
+    src_counts = buckets(source).groupBy("__b__").agg(F.count("*").alias("__cs__"))
+    tgt_total = tgt_counts.agg(F.sum("__ct__").cast("double").alias("__nt__"))
+    src_total = src_counts.agg(F.sum("__cs__").cast("double").alias("__ns__"))
+
+    doc_feats = buckets(source).groupBy("id", "__b__").agg(F.count("*").alias("__m__"))
+    lr = F.round(
+        F.log(
+            (F.coalesce(F.col("__ct__"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (F.col("__nt__") + F.lit(alpha * B))
+        )
+        - F.log(
+            (F.coalesce(F.col("__cs__"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (F.col("__ns__") + F.lit(alpha * B))
+        ),
+        6,
+    )
+    return (
+        doc_feats.join(F.broadcast(tgt_counts), on="__b__", how="left")
+        .join(F.broadcast(src_counts), on="__b__", how="left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(src_total))
+        .groupBy("id")
+        .agg(
+            F.sum("__m__").alias("n_grams"),
+            F.sum(lr.cast("decimal(28,6)") * F.col("__m__")).alias("__s__"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            F.round(F.col("__s__").cast("double"), 6).alias("logratio_sum"),
+            F.round(
+                F.col("__s__").cast("double") / F.col("n_grams"), 6
+            ).alias("avg_logratio"),
+        )
     )

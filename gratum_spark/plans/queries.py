@@ -2885,6 +2885,51 @@ FROM w LEFT JOIN scored s USING (doc_id) ORDER BY id
 """
 
 
+def corpus_dsir(spark, sf) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py dsir_logratios):
+    every document scored by how much its hashed (uni+bi)gram features
+    favor the English-language subset over the whole corpus — the
+    data-selection-by-importance-resampling shape (Xie et al. 2023).
+    Bucket keys are 3-hex-char md5 prefixes (B=4096), so the whole
+    model is engine-portable; per-doc sums run in decimal."""
+    from ..operators import sampling
+
+    docs = T(spark, sf, "documents").df
+    target = docs.filter(F.col("lang") == "en")
+    return sampling.dsir_logratios(docs, target, "doc_id", "text").orderBy("id")
+
+
+ORACLE_CORPUS_DSIR = """
+WITH base AS (SELECT doc_id, lang, string_split(lower(text),' ') AS ws
+              FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ws,
+           list_transform(generate_series(1, len(ws)-1),
+                          j -> ws[j] || ' ' || ws[j+1]))) AS gr
+  FROM base),
+gb AS (SELECT doc_id, lang, substr(md5(gr),1,3) AS b FROM grams),
+ct AS (SELECT b, COUNT(*) AS ct FROM gb WHERE lang = 'en' GROUP BY 1),
+cs AS (SELECT b, COUNT(*) AS cs FROM gb GROUP BY 1),
+nt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt FROM ct),
+ns AS (SELECT CAST(SUM(cs) AS DOUBLE) AS ns FROM cs),
+dfq AS (SELECT doc_id, b, COUNT(*) AS m FROM gb GROUP BY 1,2),
+t AS (
+  SELECT dfq.doc_id,
+         SUM(dfq.m) AS n_grams,
+         SUM(dfq.m * CAST(ROUND(
+               ln((CAST(COALESCE(ct.ct,0) AS DOUBLE) + 0.5)/(nt.nt + 0.5*4096))
+             - ln((CAST(COALESCE(cs.cs,0) AS DOUBLE) + 0.5)/(ns.ns + 0.5*4096)),
+             6) AS DECIMAL(28,6))) AS s
+  FROM dfq LEFT JOIN ct USING (b) LEFT JOIN cs USING (b)
+  CROSS JOIN nt CROSS JOIN ns GROUP BY 1)
+SELECT doc_id AS id, CAST(n_grams AS BIGINT) AS n_grams,
+       ROUND(CAST(s AS DOUBLE), 6) AS logratio_sum,
+       ROUND(CAST(s AS DOUBLE)/n_grams, 6) AS avg_logratio
+FROM t ORDER BY id
+"""
+
+
 def text_canary(spark, sf) -> DataFrame:
     """Exact-substring canary sweep (operators/text.py canary_scan):
     five 30-char canaries cut from the middle of docs 0-4, scanned
@@ -3489,6 +3534,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- new late-r6 wave 3, past-window (rotate in next round):
     #    CCNet-style bigram-LM perplexity quality scoring
     "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
+    "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
     #    room for the nine new curation queries above (families stay
     #    in-window; all rotated rows remain bench/pytest-covered)

@@ -1280,3 +1280,57 @@ def test_lm_score_from_counts_floors_unseen_bigrams(spark):
     (r,) = text.lm_score_from_counts(tgt, "doc_id", "text", uni, bi, alpha=0.5).collect()
     assert r["n_bigrams"] == 1
     assert r["avg_nll"] == pytest.approx(round(-math.log(0.5 / (0.5 * 2)), 6), abs=1e-9)
+
+
+def test_dsir_logratios_matches_reference_model(spark):
+    import hashlib
+
+    from gratum_spark.operators import sampling
+
+    rows = [
+        (0, "the quick brown fox", "en"),
+        (1, "the quick brown dog", "en"),
+        (2, "der schnelle braune fuchs", "de"),
+        (3, "x", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["id"]: r
+        for r in sampling.dsir_logratios(
+            df, df.filter("lang = 'en'"), "doc_id", "text", prefix_len=3
+        ).collect()
+    }
+
+    # independent reference: same hashed-ngram model in plain python
+    def grams(t):
+        ws = t.lower().split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:3]
+
+    B, a = 4096, 0.5
+    ct, cs = {}, {}
+    for _, t, lang in rows:
+        for g in grams(t):
+            b = bucket(g)
+            cs[b] = cs.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nt, ns = sum(ct.values()), sum(cs.values())
+    for doc_id, t, _ in rows:
+        gs = grams(t)
+        terms = [
+            round(
+                math.log((ct.get(bucket(g), 0) + a) / (nt + a * B))
+                - math.log((cs.get(bucket(g), 0) + a) / (ns + a * B)),
+                6,
+            )
+            for g in gs
+        ]
+        assert out[doc_id]["n_grams"] == len(gs)
+        assert out[doc_id]["logratio_sum"] == pytest.approx(
+            round(sum(terms), 6), abs=1e-9
+        )
+    # target-like docs must outscore off-target ones
+    assert out[0]["avg_logratio"] > out[2]["avg_logratio"]

@@ -63,6 +63,13 @@ OPS = [
     "text_hybrid_search",
     "graph_pagerank",
     "corpus_diff_report",
+    # wave-3 late-r6 operators: exact-substring span dedup (shingle
+    # count + islands window — the corpus-sized groupBy is the scale
+    # risk) and bigram-LM perplexity (two model-table joins)
+    "dedup_spans",
+    "dedup_span_rewrite",
+    "text_perplexity",
+    "corpus_dsir",
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 INPUT_TABLE = {
@@ -91,6 +98,10 @@ INPUT_TABLE = {
     "text_hybrid_search": "documents",
     "graph_pagerank": "lineitem",
     "corpus_diff_report": "documents",
+    "dedup_spans": "documents",
+    "dedup_span_rewrite": "documents",
+    "text_perplexity": "documents",
+    "corpus_dsir": "documents",
 }
 
 

@@ -197,7 +197,8 @@ def main() -> int:
     # r5's headline line with `passes` embedded overflowed that capture,
     # leaving BENCH_r05.json unparseable ("parsed": null). The LAST stdout
     # line must stay compact — headline total, per-query mins (2-decimal),
-    # sf, calibration — comfortably under 2000 bytes for the 36-query set.
+    # sf, calibration — under 2000 bytes for the current 61-query set
+    # (~1650 bytes; the >1900 fallback below drops per-query detail).
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),

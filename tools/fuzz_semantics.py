@@ -723,6 +723,100 @@ def fuzz_resample(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+# ------------------------------------------------- duplicate spans
+
+
+def fuzz_duplicate_spans(spark, n: int, seed: int) -> list[str]:
+    """duplicate_spans / duplicate_span_rewrite vs the sequential model:
+    enumerate every k-window, count occurrences corpus-wide, mark
+    positions whose window occurs 2+ times, merge marked starts into
+    maximal spans (gap > k breaks), then check span accounting AND the
+    rebuilt text. Tiny vocab so real repeats (cross-doc and within-doc)
+    arise naturally; k in 2-5, docs 1-8, lengths 0-30 words."""
+    from gratum_spark.operators import dedup as _dedup
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 920_011 + t)
+        k = rng.randint(2, 5)
+        vocab = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+        docs = []
+        for d in range(rng.randint(1, 8)):
+            ws = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            docs.append({"doc_id": d, "text": " ".join(ws)})
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # sequential reference
+        counts: dict[str, int] = {}
+        toks = {}
+        for d in docs:
+            ws = d["text"].split(" ")  # '' -> [''] like split() in-engine
+            toks[d["doc_id"]] = ws
+            for i in range(len(ws) - k + 1):
+                g = " ".join(ws[i : i + k])
+                counts[g] = counts.get(g, 0) + 1
+        expect_spans: dict[int, list[tuple[int, int]]] = {}
+        for d in docs:
+            ws = toks[d["doc_id"]]
+            starts = [
+                i
+                for i in range(len(ws) - k + 1)
+                if counts[" ".join(ws[i : i + k])] >= 2
+            ]
+            spans = []
+            for p in starts:
+                if spans and p <= spans[-1][0] + k:
+                    spans[-1] = (p, spans[-1][1])  # extend: track last start
+                else:
+                    spans.append((p, p))  # (last_start, first_start)
+            expect_spans[d["doc_id"]] = [
+                (first, last + k - 1) for last, first in spans
+            ]
+
+        got = {
+            r["id"]: r
+            for r in _dedup.duplicate_spans(df, "doc_id", "text", k=k).collect()
+        }
+        got_rw = {
+            r["id"]: r
+            for r in _dedup.duplicate_span_rewrite(
+                df, "doc_id", "text", k=k
+            ).collect()
+        }
+        for d in docs:
+            did = d["doc_id"]
+            ws = toks[did]
+            spans = expect_spans[did]
+            dup_tokens = sum(e - s + 1 for s, e in spans)
+            covered = {p for s, e in spans for p in range(s, e + 1)}
+            clean = " ".join(w for i, w in enumerate(ws) if i not in covered)
+            r = got[did]
+            if (r["n_dup_spans"], r["dup_tokens"], r["n_tokens"]) != (
+                len(spans),
+                dup_tokens,
+                len(ws),
+            ):
+                failures.append(
+                    f"spans trial={t} seed={seed} k={k} doc={did}: expected "
+                    f"{(len(spans), dup_tokens, len(ws))} got "
+                    f"{(r['n_dup_spans'], r['dup_tokens'], r['n_tokens'])} "
+                    f"text={d['text']!r}"
+                )
+                break
+            rw = got_rw[did]
+            if (rw["removed_tokens"], rw["clean_text"]) != (len(covered), clean):
+                failures.append(
+                    f"rewrite trial={t} seed={seed} k={k} doc={did}: expected "
+                    f"({len(covered)}, {clean!r}) got "
+                    f"({rw['removed_tokens']}, {rw['clean_text']!r}) "
+                    f"text={d['text']!r}"
+                )
+                break
+        if failures:
+            break
+    return failures
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "flatten_window": (fuzz_flatten_window, 25),
@@ -735,6 +829,7 @@ CAMPAIGNS = {
     "mixture": (fuzz_mixture, 25),
     "bm25": (fuzz_bm25, 20),
     "resample": (fuzz_resample, 25),
+    "duplicate_spans": (fuzz_duplicate_spans, 20),
 }
 
 

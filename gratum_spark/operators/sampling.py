@@ -285,8 +285,23 @@ def dsir_logratios(
             F.explode(F.concat(warr, bi)).alias("__g__"),
         ).withColumn("__b__", F.substring(F.md5(F.col("__g__")), 1, prefix_len))
 
-    tgt_counts = buckets(target).groupBy("__b__").agg(F.count("*").alias("__ct__"))
-    src_counts = buckets(source).groupBy("__b__").agg(F.count("*").alias("__cs__"))
+    # the two model tables are <= B rows but their subtrees tokenize a
+    # whole corpus each, and each is referenced twice below (feature
+    # join + total) — eager localCheckpoint materializes each once,
+    # cutting ~5 corpus scans to 3 (target counts, source counts,
+    # per-doc features)
+    tgt_counts = (
+        buckets(target)
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__ct__"))
+        .localCheckpoint(eager=True)
+    )
+    src_counts = (
+        buckets(source)
+        .groupBy("__b__")
+        .agg(F.count("*").alias("__cs__"))
+        .localCheckpoint(eager=True)
+    )
     tgt_total = tgt_counts.agg(F.sum("__ct__").cast("double").alias("__nt__"))
     src_total = src_counts.agg(F.sum("__cs__").cast("double").alias("__ns__"))
 

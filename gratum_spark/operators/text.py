@@ -474,6 +474,14 @@ def pmi_bigrams(
     Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
     """
     uni, bi = ngram_counts(df, id_col, text_col)
+    # The count tables are tiny (vocabulary-sized) but their subtrees
+    # re-tokenize the whole corpus, and pmi_from_counts references each
+    # one twice (join + total). Eager localCheckpoint materializes each
+    # once, cutting ~5 corpus scans to 2 — the in-operator version of
+    # the "materialize ngram_counts once" advice the docstring gives
+    # for stored-table use at real scale.
+    uni = uni.localCheckpoint(eager=True)
+    bi = bi.localCheckpoint(eager=True)
     return pmi_from_counts(uni, bi, min_count=min_count, k=k)
 
 
@@ -583,6 +591,11 @@ def lm_score(
     materialize `ngram_counts` of the reference corpus and call
     `lm_score_from_counts` directly."""
     uni, bi = ngram_counts(df, id_col, text_col)
+    # same rationale as pmi_bigrams: the model tables are tiny but each
+    # re-tokenizes the corpus and is referenced twice downstream
+    # (join + total/vocab) — materialize each once
+    uni = uni.localCheckpoint(eager=True)
+    bi = bi.localCheckpoint(eager=True)
     return lm_score_from_counts(df, id_col, text_col, uni, bi, alpha=alpha)
 
 

@@ -1017,6 +1017,7 @@ def _duplicate_span_ranges(
     id_col: str,
     text_col: str,
     k: int,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document (shared core of
     `duplicate_spans` / `duplicate_span_rewrite`).
@@ -1045,6 +1046,13 @@ def _duplicate_span_ranges(
     maximal span: (id, span_start, span_end) in token positions,
     end inclusive.
     """
+    if n_partitions:
+        # shingling is the CPU-heavy stage; when the input arrives in
+        # few partitions (small files / single row-group parquet) a
+        # round-robin repartition buys per-doc parallelism for one
+        # narrow shuffle of (id, text) — same trade as _lsh_side above.
+        # At real scale inputs have ample splits; leave it None there.
+        df = df.repartition(n_partitions)
     warr = words(F.col(text_col))
     n = F.size(warr)
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
@@ -1080,6 +1088,7 @@ def duplicate_spans(
     id_col: str,
     text_col: str,
     k: int = 10,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span accounting: how many maximal
     k-token-window duplicate spans each document carries and what
@@ -1090,7 +1099,7 @@ def duplicate_spans(
 
     Returns (id, n_tokens, n_dup_spans, dup_tokens, dup_frac).
     """
-    spans = _duplicate_span_ranges(df, id_col, text_col, k)
+    spans = _duplicate_span_ranges(df, id_col, text_col, k, n_partitions)
     per_doc = spans.groupBy("id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -1118,6 +1127,7 @@ def duplicate_span_rewrite(
     id_col: str,
     text_col: str,
     k: int = 10,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup with document REWRITE: every token covered
     by a duplicated span (`_duplicate_span_ranges`) is cut and the
@@ -1138,7 +1148,7 @@ def duplicate_span_rewrite(
     Returns (id, n_tokens, removed_tokens, clean_text).
     """
     spans = (
-        _duplicate_span_ranges(df, id_col, text_col, k)
+        _duplicate_span_ranges(df, id_col, text_col, k, n_partitions)
         .groupBy("id")
         .agg(
             F.array_sort(

@@ -234,6 +234,7 @@ def dsir_logratios(
     text_col: str,
     prefix_len: int = 3,
     alpha: float = 0.5,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every SOURCE
@@ -268,6 +269,14 @@ def dsir_logratios(
     cannot occur, so no null handling is needed.
     """
     B = 16 ** prefix_len
+    if n_partitions:
+        # tokenize/hash is the CPU-heavy stage; fan out few-split
+        # inputs (small files / single row-group parquet) with one
+        # narrow round-robin shuffle — no-op worthy at real scale
+        # where inputs have ample splits (same trade as the dedup
+        # module's n_partitions)
+        source = source.repartition(n_partitions)
+        target = target.repartition(n_partitions)
 
     def buckets(df: DataFrame) -> DataFrame:
         warr = F.split(F.lower(F.col(text_col)), " ")

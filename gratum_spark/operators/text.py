@@ -378,13 +378,21 @@ def collapse_repeats(
 
 
 def ngram_counts(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, n_partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(unigram, bigram) corpus count tables: (w, cw) and (bg, cb).
     These are the materialization unit for vocabulary mining — at
     100 TB write them to parquet once and run `pmi_from_counts` (and
     any other collocation scoring) off the stored tables instead of
-    re-tokenizing the corpus per query."""
+    re-tokenizing the corpus per query.
+
+    ``n_partitions``: tokenizing is the CPU-heavy stage; when the input
+    arrives in few partitions (small files / single row-group parquet)
+    a round-robin repartition buys per-doc parallelism for one narrow
+    shuffle of the raw rows. At real scale inputs have ample splits —
+    leave it None there (the dedup module makes the same trade)."""
+    if n_partitions:
+        df = df.repartition(n_partitions)
     warr = words(F.lower(F.col(text_col)))
     toks = df.select(F.explode(warr).alias("w"))
     # the >=2 guard matters: sequence(0, -1) runs DESCENDING in Spark,
@@ -454,6 +462,7 @@ def pmi_bigrams(
     text_col: str,
     min_count: int = 5,
     k: int = 15,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information:
     pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus bigram/unigram
@@ -473,7 +482,7 @@ def pmi_bigrams(
 
     Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
     """
-    uni, bi = ngram_counts(df, id_col, text_col)
+    uni, bi = ngram_counts(df, id_col, text_col, n_partitions)
     # The count tables are tiny (vocabulary-sized) but their subtrees
     # re-tokenize the whole corpus, and pmi_from_counts references each
     # one twice (join + total). Eager localCheckpoint materializes each
@@ -492,6 +501,7 @@ def lm_score_from_counts(
     uni: DataFrame,
     bi: DataFrame,
     alpha: float = 0.5,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM cross-entropy scoring from stored count
     tables — the CCNet-style perplexity quality filter: documents whose
@@ -515,7 +525,11 @@ def lm_score_from_counts(
 
     Returns (id, n_bigrams, avg_nll, ppl); documents with fewer than
     two tokens keep their row with n_bigrams=0 and NULL scores.
+    ``n_partitions`` fans out few-split inputs before the CPU-heavy
+    per-doc tokenize (see `ngram_counts`).
     """
+    if n_partitions:
+        df = df.repartition(n_partitions)
     warr = words(F.lower(F.col(text_col)))
     doc_bi = (
         df.select(
@@ -584,19 +598,22 @@ def lm_score(
     id_col: str,
     text_col: str,
     alpha: float = 0.5,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Self-scoring convenience for `lm_score_from_counts`: trains the
     bigram model on ``df`` itself and scores every document against it
     (the in-corpus outlier sweep). For a held-out reference model,
     materialize `ngram_counts` of the reference corpus and call
     `lm_score_from_counts` directly."""
-    uni, bi = ngram_counts(df, id_col, text_col)
+    uni, bi = ngram_counts(df, id_col, text_col, n_partitions)
     # same rationale as pmi_bigrams: the model tables are tiny but each
     # re-tokenizes the corpus and is referenced twice downstream
     # (join + total/vocab) — materialize each once
     uni = uni.localCheckpoint(eager=True)
     bi = bi.localCheckpoint(eager=True)
-    return lm_score_from_counts(df, id_col, text_col, uni, bi, alpha=alpha)
+    return lm_score_from_counts(
+        df, id_col, text_col, uni, bi, alpha=alpha, n_partitions=n_partitions
+    )
 
 
 def canary_scan(

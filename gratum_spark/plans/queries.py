@@ -2553,7 +2553,10 @@ def dedup_spans(spark, sf) -> DataFrame:
     maximal spans (Lee et al. 2021 shape, distributed as shingle-count +
     gaps-and-islands instead of a suffix array)."""
     docs = T(spark, sf, "documents").df
-    return dedup.duplicate_spans(docs, "doc_id", "text", k=10).orderBy("id")
+    return dedup.duplicate_spans(
+        docs, "doc_id", "text", k=10,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id")
 
 
 ORACLE_DEDUP_SPANS = """
@@ -2592,7 +2595,10 @@ def dedup_span_rewrite(spark, sf) -> DataFrame:
     in order — the aggressive all-occurrences variant; keep-first at
     fixed granularity is dedup_rewrite."""
     docs = T(spark, sf, "documents").df
-    return dedup.duplicate_span_rewrite(docs, "doc_id", "text", k=10).orderBy("id")
+    return dedup.duplicate_span_rewrite(
+        docs, "doc_id", "text", k=10,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id")
 
 
 ORACLE_DEDUP_SPAN_REWRITE = """
@@ -2821,7 +2827,10 @@ def text_pmi(spark, sf) -> DataFrame:
     min_count 5 — corpus totals and the unigram vocabulary broadcast
     onto the bigram counts."""
     docs = T(spark, sf, "documents").df
-    return text.pmi_bigrams(docs, "doc_id", "text", min_count=5, k=15).orderBy(
+    return text.pmi_bigrams(
+        docs, "doc_id", "text", min_count=5, k=15,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy(
         F.col("pmi").desc(), F.col("bigram").asc()
     )
 
@@ -2855,7 +2864,10 @@ def text_perplexity(spark, sf) -> DataFrame:
     log-likelihood — the CCNet-style perplexity quality filter. Each
     nll term rounds to 6dp before aggregation for engine parity."""
     docs = T(spark, sf, "documents").df
-    return text.lm_score(docs, "doc_id", "text", alpha=0.5).orderBy("id")
+    return text.lm_score(
+        docs, "doc_id", "text", alpha=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id")
 
 
 ORACLE_TEXT_PERPLEXITY = """
@@ -2896,7 +2908,10 @@ def corpus_dsir(spark, sf) -> DataFrame:
 
     docs = T(spark, sf, "documents").df
     target = docs.filter(F.col("lang") == "en")
-    return sampling.dsir_logratios(docs, target, "doc_id", "text").orderBy("id")
+    return sampling.dsir_logratios(
+        docs, target, "doc_id", "text",
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id")
 
 
 ORACLE_CORPUS_DSIR = """

@@ -9,9 +9,10 @@ behavior. If candidate generation were super-linear (a skewed band
 bucket, a stop-shingle blowup), the 10x input step would show a >>10x
 time/output step. ~Linear-in-rows growth is the pass condition.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_trend.py
-Writes SCALE_TREND.json + prints a markdown table (committed as
-SCALE_TREND.md).
+Usage: PYTHONPATH=/root/repo python tools/scale_trend.py [op ...]
+With op names, re-measures just those rows and merges them into
+SCALE_TREND.json; with none, rewrites the full table. Prints a
+markdown table (committed as SCALE_TREND.md).
 """
 
 from __future__ import annotations
@@ -106,17 +107,22 @@ INPUT_TABLE = {
 
 
 def main() -> int:
+    # optional subset: `python tools/scale_trend.py op1 op2 ...`
+    # re-measures just those rows and merges into SCALE_TREND.json
+    # (full-table rewrite when no args)
+    subset = [a for a in sys.argv[1:] if a in INPUT_TABLE]
+    ops = subset or OPS
     spark = get_spark("scale-trend")
     # warm-up: one pass of each op at the small SF so JVM/codegen/Arrow
     # startup isn't charged to the first measured cell
-    for op in OPS:
+    for op in ops:
         fn, _ = QUERIES[op]
         fn(spark, SFS[0]).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict[str, dict[str, float]]] = {}
     for sf_dir in SFS:
         sf = os.path.basename(sf_dir)
-        for op in OPS:
+        for op in ops:
             fn, _ = QUERIES[op]
             in_rows = spark.read.parquet(
                 f"{sf_dir}/{INPUT_TABLE[op]}.parquet"
@@ -145,8 +151,16 @@ def main() -> int:
             "ratio_output": round(b["output_rows"] / max(a["output_rows"], 1), 2),
         }
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALE_TREND.json"), "w") as f:
-        json.dump(trend, f, indent=2)
+    out_path = os.path.join(os.path.dirname(__file__), "..", "SCALE_TREND.json")
+    if subset and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(trend)
+        trend_to_write = merged
+    else:
+        trend_to_write = trend
+    with open(out_path, "w") as f:
+        json.dump(trend_to_write, f, indent=2)
 
     print("| operator | sf0.01 s | sf0.1 s | in 10x | time x | out pairs 0.01 -> 0.1 |")
     print("|---|---|---|---|---|---|")

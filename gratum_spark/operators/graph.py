@@ -58,7 +58,11 @@ def pagerank(
     # (MEMORY_AND_DISK blocks, ContextCleaner-released) — same trade as
     # connected_components; call setCheckpointDir + .checkpoint() for a
     # replayable cut on a real cluster.
-    e = e.distinct().localCheckpoint(eager=True)
+    # the static side is also PRE-PARTITIONED on the join key before
+    # the cut (the Pregel trade: co-locate the graph once, shuffle only
+    # the ranks each superstep) — the checkpointed LogicalRDD keeps the
+    # hashpartitioning, so no iteration re-shuffles the edge table
+    e = e.distinct().repartition("src").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_total = nodes.agg(F.count("*").cast("double").alias("n"))

@@ -107,11 +107,13 @@ HEADLINE = [
     "corpus_select_budget",
     "text_rerank_model",
     # added late-r6 wave 3: exact-substring span dedup, bigram-LM
-    # perplexity scoring, DSIR importance weights (set 57 -> 61)
+    # perplexity scoring, DSIR importance weights, MERGE reconciliation
+    # (set 57 -> 62)
     "dedup_spans",
     "dedup_span_rewrite",
     "text_perplexity",
     "corpus_dsir",
+    "corpus_merge",
 ]
 
 N_PASSES = 3
@@ -197,7 +199,7 @@ def main() -> int:
     # r5's headline line with `passes` embedded overflowed that capture,
     # leaving BENCH_r05.json unparseable ("parsed": null). The LAST stdout
     # line must stay compact — headline total, per-query mins (2-decimal),
-    # sf, calibration — under 2000 bytes for the current 61-query set
+    # sf, calibration — under 2000 bytes for the current 62-query set
     # (~1650 bytes; the >1900 fallback below drops per-query detail).
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",

@@ -38,6 +38,7 @@ __all__ = [
     "semantic_dedup_assigned",
     "canonical_keep_best",
     "corpus_diff",
+    "merge_upsert",
     "duplicate_spans",
     "duplicate_span_rewrite",
     "embedding_cosine_pairs",
@@ -1010,6 +1011,57 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("key", status.alias("status"))
+
+
+def merge_upsert(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    cmp_cols: list[str],
+) -> DataFrame:
+    """MERGE a new batch into a corpus by key (the Delta/Iceberg
+    `MERGE INTO` reconciliation, as a pure copy-on-write DataFrame op):
+    batch rows replace corpus rows with the same key, new keys insert,
+    untouched corpus rows carry over. Output is the complete next
+    corpus version plus a ``merge_status`` audit column — inserted /
+    updated / unchanged (key matched, identical content) / kept
+    (corpus-only) — the per-row ledger a release pipeline publishes
+    with the new snapshot.
+
+    One full-outer hash join on the key; content equality compares an
+    md5 over the ``cmp_cols`` (engine-portable), computed per side
+    BEFORE the join so text bodies co-shuffle once, not twice. A table
+    format (Delta/Iceberg/Hudi) would add file-level pruning on top;
+    the join shape is the same.
+
+    Returns (key, *cmp_cols, merge_status).
+    """
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cmp_cols
+        ]
+        return df.select(
+            F.col(key_col).alias("key"),
+            *[F.col(c).alias(f"__{tag}_{c}__") for c in cmp_cols],
+            F.md5(F.concat_ws("|~|", *parts)).alias(f"__{tag}_h__"),
+        )
+
+    j = hashed(corpus, "c").join(hashed(batch, "b"), on="key", how="full_outer")
+    status = (
+        F.when(F.col("__c_h__").isNull(), F.lit("inserted"))
+        .when(F.col("__b_h__").isNull(), F.lit("kept"))
+        .when(F.col("__c_h__") != F.col("__b_h__"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "key",
+        *[
+            F.coalesce(F.col(f"__b_{c}__"), F.col(f"__c_{c}__")).alias(c)
+            for c in cmp_cols
+        ],
+        status.alias("merge_status"),
+    )
 
 
 def _duplicate_span_ranges(

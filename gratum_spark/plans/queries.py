@@ -2945,6 +2945,74 @@ FROM t ORDER BY id
 """
 
 
+def corpus_merge(spark, sf) -> DataFrame:
+    """MERGE-INTO reconciliation (operators/dedup.py merge_upsert): a
+    synthetic batch (updated texts for doc_id%7==0, identical resends
+    for %7==1, brand-new keys for %11==0) upserts into the documents
+    corpus; one full-outer hash join emits the next corpus version with
+    a per-row inserted/updated/unchanged/kept audit status."""
+    docs = T(spark, sf, "documents").df
+    upd = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    same = docs.filter(F.col("doc_id") % 7 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    newtext = F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+    new = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        newtext.alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcnew").alias("source"),
+        F.length(newtext).cast("long").alias("n_chars"),
+    )
+    batch = upd.unionByName(same).unionByName(new)
+    return dedup.merge_upsert(
+        docs, batch, "doc_id", ["text", "lang", "source", "n_chars"]
+    ).orderBy("key")
+
+
+ORACLE_CORPUS_MERGE = """
+WITH batch AS (
+  SELECT doc_id, text || ' v2' AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'new doc ' || CAST(doc_id AS VARCHAR) AS text,
+         'en' AS lang, 'srcnew' AS source,
+         CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 11 = 0),
+c AS (SELECT doc_id AS key, text, lang, source, n_chars,
+             md5(concat_ws('|~|', COALESCE(text,'<NULL>'), COALESCE(lang,'<NULL>'),
+                           COALESCE(source,'<NULL>'),
+                           COALESCE(CAST(n_chars AS VARCHAR),'<NULL>'))) AS h
+      FROM documents),
+b AS (SELECT doc_id AS key, text, lang, source, n_chars,
+             md5(concat_ws('|~|', COALESCE(text,'<NULL>'), COALESCE(lang,'<NULL>'),
+                           COALESCE(source,'<NULL>'),
+                           COALESCE(CAST(n_chars AS VARCHAR),'<NULL>'))) AS h
+      FROM batch)
+SELECT COALESCE(b.key, c.key) AS key,
+       COALESCE(b.text, c.text) AS text,
+       COALESCE(b.lang, c.lang) AS lang,
+       COALESCE(b.source, c.source) AS source,
+       COALESCE(b.n_chars, c.n_chars) AS n_chars,
+       CASE WHEN c.h IS NULL THEN 'inserted'
+            WHEN b.h IS NULL THEN 'kept'
+            WHEN c.h <> b.h THEN 'updated'
+            ELSE 'unchanged' END AS merge_status
+FROM c FULL OUTER JOIN b ON c.key = b.key
+ORDER BY key
+"""
+
+
 def text_canary(spark, sf) -> DataFrame:
     """Exact-substring canary sweep (operators/text.py canary_scan):
     five 30-char canaries cut from the middle of docs 0-4, scanned
@@ -3550,6 +3618,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    CCNet-style bigram-LM perplexity quality scoring
     "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
     "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
+    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
     #    room for the nine new curation queries above (families stay
     #    in-window; all rotated rows remain bench/pytest-covered)

@@ -1334,3 +1334,25 @@ def test_dsir_logratios_matches_reference_model(spark):
         )
     # target-like docs must outscore off-target ones
     assert out[0]["avg_logratio"] > out[2]["avg_logratio"]
+
+
+def test_merge_upsert_statuses_and_winners(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha", 5), (1, "beta", 4), (2, "gamma", 5)],
+        "doc_id long, text string, n long",
+    )
+    batch = spark.createDataFrame(
+        [(1, "beta", 4), (2, "gamma2", 6), (3, "delta", 5)],
+        "doc_id long, text string, n long",
+    )
+    out = {
+        r["key"]: r
+        for r in dedup.merge_upsert(corpus, batch, "doc_id", ["text", "n"]).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["merge_status"] == "kept" and out[0]["text"] == "alpha"
+    assert out[1]["merge_status"] == "unchanged"
+    # batch wins on update
+    assert out[2]["merge_status"] == "updated" and out[2]["text"] == "gamma2"
+    assert out[2]["n"] == 6
+    assert out[3]["merge_status"] == "inserted" and out[3]["text"] == "delta"

@@ -599,9 +599,13 @@ def ngram_jaccard_pairs(
         F.col("common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
     ).alias("jaccard")
+    # na/nb hold one row PER DOCUMENT — unbounded cardinality, so no
+    # broadcast hint: a plain equi-join lets AQE broadcast only when the
+    # side is actually small, and shuffles otherwise (the pair table is
+    # already keyed on a/b).
     return (
-        common.join(F.broadcast(na), on="a")
-        .join(F.broadcast(nb), on="b")
+        common.join(na, on="a")
+        .join(nb, on="b")
         .select("a", "b", jac)
         .filter(F.col("jaccard") >= threshold)
     )

@@ -100,9 +100,16 @@ def bm25_topk(
         * F.lit(k1 + 1.0)
         / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")))
     )
+    # dft is FULL-VOCABULARY sized (unbounded at corpus scale) — never
+    # broadcast it whole. Semi-join it down to the query vocabulary
+    # first; that result is bounded by |query terms| and safe to
+    # broadcast onto the postings.
+    dft_q = dft.join(
+        F.broadcast(qterms.select("term").distinct()), on="term", how="left_semi"
+    )
     scored = (
         postings.join(F.broadcast(qterms), on="term")
-        .join(F.broadcast(dft), on="term")
+        .join(F.broadcast(dft_q), on="term")
         .join(doclens, on="id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "id")
@@ -225,9 +232,15 @@ def bm25_topk_stored(
             * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(meta["avgdl"])))
         )
     )
+    # Same rule as `bm25_topk`: the stored dft table is vocabulary-sized,
+    # so prune it to the query vocabulary before the (now bounded)
+    # broadcast.
+    dft_q = dft.join(
+        F.broadcast(qterms.select("term").distinct()), on="term", how="left_semi"
+    )
     scored = (
         postings.join(F.broadcast(qterms), on="term")
-        .join(F.broadcast(dft), on="term")
+        .join(F.broadcast(dft_q), on="term")
         .join(doclens, on="id")
         .groupBy("query_id", "id")
         .agg(F.sum(contrib).alias("score"))

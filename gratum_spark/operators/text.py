@@ -317,8 +317,12 @@ def tfidf_top_terms(
         6,
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    # dfreq is corpus-vocabulary-sized — no broadcast hint; tf is already
+    # term-keyed, so a shuffle join is the natural plan and AQE will
+    # broadcast only when the vocabulary is actually small. The 1-row
+    # n_docs frame stays a broadcast.
     return (
-        tf.join(F.broadcast(dfreq), on="term")
+        tf.join(dfreq, on="term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
@@ -423,8 +427,11 @@ def pmi_from_counts(
 ) -> DataFrame:
     """Top-k PMI collocations from (w, cw)/(bg, cb) count tables (see
     `ngram_counts` / `pmi_bigrams`). Totals fold in as 1-row
-    broadcasts; the unigram vocabulary broadcasts onto the bigram
-    counts. Returns (bigram, n, pmi) — pmi rounded to 6dp."""
+    broadcasts; the unigram vocabulary tables join plainly (they are
+    vocabulary-sized — unbounded at corpus scale — so no broadcast
+    hint; AQE broadcasts them only when actually small, matching
+    `lm_score_from_counts`). Returns (bigram, n, pmi) — pmi rounded
+    to 6dp."""
     n1 = uni.agg(F.sum("cw").cast("double").alias("n1"))
     n2 = bi.agg(F.sum("cb").cast("double").alias("n2"))
     a = F.split(F.col("bg"), " ").getItem(0)
@@ -442,8 +449,8 @@ def pmi_from_counts(
         bi.filter(F.col("cb") >= min_count)
         .withColumn("wa", a)
         .withColumn("wb", b)
-        .join(F.broadcast(ua), on="wa")
-        .join(F.broadcast(ub), on="wb")
+        .join(ua, on="wa")
+        .join(ub, on="wb")
         .crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(n2))
         .select(

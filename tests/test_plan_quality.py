@@ -7,6 +7,8 @@ value is still correct at test scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -567,8 +569,6 @@ def test_duplicate_spans_plan_shape(spark, sf):
     gaps-and-islands window + span aggregation reuse ONE id-partitioned
     exchange (hashpartitioning(id) satisfies groupBy(id, island), so
     EnsureRequirements must not insert a second shuffle between them)."""
-    import re
-
     from gratum_spark.operators.dedup import duplicate_spans
 
     docs = table(spark, sf, "documents").df
@@ -581,3 +581,80 @@ def test_duplicate_spans_plan_shape(spark, sf):
         if "Exchange hashpartitioning(id" in line
     ]
     assert len(id_shuffles) <= 1, id_shuffles
+
+
+@contextmanager
+def _no_size_based_broadcast(spark):
+    """Disable size-estimated broadcasts so only HINTED broadcasts
+    survive in the plan. At test scale every table sits under the
+    broadcast threshold, so a count of BroadcastHashJoins can't tell a
+    hint (which would OOM on an unbounded table at 100 TB) from the
+    planner's own size-based choice (which is safe — it re-decides at
+    real scale). With the threshold at -1, any remaining broadcast IS a
+    hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ngram_jaccard_never_hints_per_doc_sizes(spark, sf):
+    """ngram_jaccard_pairs' na/nb tables hold one row PER DOCUMENT —
+    a broadcast hint there is a multi-hundred-GB driver ship at 10 B
+    docs. With size-based broadcast off, the plan must contain zero
+    BroadcastHashJoins (every join falls back to shuffle)."""
+    from gratum_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf, "documents").df
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(ngram_jaccard_pairs(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_tfidf_never_hints_vocab_df_table(spark, sf):
+    """tfidf_top_terms' document-frequency table is corpus-vocabulary
+    sized. Only the 1-row n_docs cross join may broadcast (BNLJ); the
+    tf⋈dfreq join must be shuffle-shaped when size-estimation is off."""
+    from gratum_spark.operators.text import tfidf_top_terms
+
+    docs = table(spark, sf, "documents").df
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(tfidf_top_terms(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total only
+    assert "SortMergeJoin" in plan
+
+
+def test_pmi_never_hints_unigram_vocab(spark, sf):
+    """pmi_from_counts joins the unigram vocabulary onto bigram counts —
+    both unbounded. Only the two 1-row totals may broadcast."""
+    from gratum_spark.operators.text import ngram_counts, pmi_from_counts
+
+    docs = table(spark, sf, "documents").df
+    uni, bi = ngram_counts(docs, "doc_id", "text")
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(pmi_from_counts(uni, bi))
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_bm25_prunes_dft_before_broadcast(spark, sf):
+    """bm25_topk may broadcast dft ONLY after a left-semi prune against
+    the query vocabulary (bounded by |query terms|); the raw
+    full-vocabulary dft must never carry a hint. The semi-join shows up
+    as LeftSemi in the plan, and the postings⋈doclens id-join stays a
+    shuffle when size-estimation is off."""
+    from gratum_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf, "documents").df
+    qs = spark.createDataFrame(
+        [(1, "machine learning"), (2, "data quality")],
+        ["query_id", "query_text"],
+    )
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(bm25_topk(docs, "doc_id", "text", qs))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" in plan  # the data-sized id-join shuffles

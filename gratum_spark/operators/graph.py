@@ -41,11 +41,20 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over an edge list; returns (node, rank).
 
-    ``undirected=True`` doubles each edge (a->b, b->a), which also
-    guarantees every node has out-degree >= 1 — no dangling-mass
-    redistribution term needed. Nodes are whatever appears in the edge
-    list. Rank updates follow r' = (1-d)/N + d * sum(r_in / outdeg_in)
+    ``undirected=True`` doubles each edge (a->b, b->a), which
+    guarantees every node has in- and out-degree >= 1 — no dangling
+    nodes, no zero-in-degree nodes, and the recurrence needs no
+    correction terms. Nodes are whatever appears in the edge list
+    (either endpoint). Rank updates follow
+    r' = (1-d)/N + d * (sum(r_in / outdeg_in) + dangling_mass/N)
     with the incoming sum in exact decimal.
+
+    Directed mode handles the two shapes the plain recurrence gets
+    wrong: a node nobody links to keeps its (1-d)/N floor every
+    iteration (the node set is left-joined back, never rebuilt from the
+    contributions), and the rank of sink nodes (out-degree 0) is
+    redistributed uniformly — the standard dangling-mass term (Brin &
+    Page 1998 §2.1.1) — so total rank mass stays exactly 1.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if undirected:
@@ -64,7 +73,21 @@ def pagerank(
     # hashpartitioning, so no iteration re-shuffles the edge table
     e = e.distinct().repartition("src").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    if undirected:
+        # doubled edges ⇒ every node appears as src; no dangling nodes
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        dangling = None
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # sinks: appear in the node set but never as a source
+        dangling = nodes.join(
+            deg, nodes.node == deg.src, "left_anti"
+        ).localCheckpoint(eager=True)
     n_total = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -78,16 +101,51 @@ def pagerank(
                 (F.col("rank") / F.col("deg").cast("double")).cast(_DEC).alias("c"),
             )
         )
-        ranks = (
-            contrib.groupBy("node")
-            .agg(F.sum("c").cast("double").alias("in_sum"))
-            .crossJoin(F.broadcast(n_total))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
-                    + F.lit(damping) * F.col("in_sum")
-                ).alias("rank"),
-            )
+        in_sums = contrib.groupBy("node").agg(
+            F.sum("c").cast("double").alias("in_sum")
         )
+        if dangling is None:
+            # undirected: in-degree >= 1 everywhere, so the aggregate
+            # covers every node and there is no dangling mass — keep
+            # the original (oracle-exact) two-term update
+            ranks = (
+                in_sums.crossJoin(F.broadcast(n_total))
+                .select(
+                    "node",
+                    (
+                        (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                        + F.lit(damping) * F.col("in_sum")
+                    ).alias("rank"),
+                )
+            )
+        else:
+            # directed: the 1-row dangling-mass aggregate (decimal-exact
+            # like the contribution sums) broadcasts back onto the node
+            # set; nodes with no inbound links keep their (1-d)/N floor
+            # via the left join + coalesce
+            dmass = ranks.join(dangling, on="node", how="left_semi").agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+                ).alias("dm")
+            )
+            ranks = (
+                nodes.join(in_sums, on="node", how="left")
+                .crossJoin(F.broadcast(n_total))
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    (
+                        (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("in_sum"), F.lit(0.0))
+                            + F.col("dm") / F.col("n")
+                        )
+                    ).alias("rank"),
+                )
+                # ranks feed the next iteration TWICE (contrib + dmass);
+                # without a per-superstep cut the unrolled plan doubles
+                # per iteration
+                .localCheckpoint(eager=True)
+            )
     return ranks

@@ -1079,6 +1079,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got["a"] > got["d"]
 
 
+def test_pagerank_directed_star_keeps_all_nodes(spark):
+    """Directed star s1..s3 -> hub: the spokes have zero in-degree (they
+    must keep their (1-d)/N floor, not vanish from the frame) and the
+    hub is a sink (its rank redistributes uniformly as dangling mass).
+    Compare against the closed-form sequential recurrence and check the
+    mass-conservation invariant sum(rank) == 1."""
+    from gratum_spark.operators.graph import pagerank
+
+    edges = [("s1", "hub"), ("s2", "hub"), ("s3", "hub")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    d, iters = 0.85, 4
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=d, n_iters=iters, undirected=False).collect()
+    }
+
+    nodes = ["hub", "s1", "s2", "s3"]
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = r["hub"]  # the only sink
+        nxt = {}
+        for v in nodes:
+            in_sum = sum(r[s] for s, t in edges if t == v)  # deg(si)=1
+            nxt[v] = (1 - d) / n + d * (in_sum + dm / n)
+        r = nxt
+    # no node disappears (the old groupBy-rebuild dropped s1..s3 after
+    # iteration 1) and every rank matches the closed-form value
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_corpus_diff_statuses(spark):
     old = spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"

@@ -116,6 +116,49 @@ HEADLINE = [
     "corpus_merge",
 ]
 
+# The frozen r3-era comparison subset (the exact query keys BENCH_r03
+# recorded): every one must stay in HEADLINE so the core36 subtotal keeps
+# measuring identical work each round.
+CORE36 = frozenset([
+    "ann_topk",
+    "corpus_quota_sample",
+    "dedup_chunks",
+    "dedup_cluster_cc",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_verified",
+    "dedup_ngram",
+    "emb_quantize",
+    "multimodal_audio",
+    "op_asof_join",
+    "op_corr_exact",
+    "op_grouping_sets",
+    "op_histogram",
+    "op_percentiles",
+    "op_pivot",
+    "op_range_join",
+    "op_rollup",
+    "op_salted_join",
+    "op_sessionize",
+    "op_tumbling_window",
+    "op_unpivot",
+    "op_window_rank",
+    "pipeline_curation",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "stream_tumbling_counts",
+    "text_contamination",
+    "text_lang_id",
+    "text_redact_pii",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf",
+    "text_top_terms",
+])
+
+
 N_PASSES = 3
 
 
@@ -192,6 +235,14 @@ def main() -> int:
     calibration_end = _calibrate(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability: the full headline set grows every
+    # round, so the raw total isn't comparable across rounds. "core36" is
+    # the frozen 36-query subset every round since r3 has run — its
+    # subtotal tracks engine speed on constant work without
+    # tail-reconstruction archaeology.
+    core36 = round(
+        sum(v for k, v in timings.items() if k in CORE36), 3
+    )
     calibration = {"start": calibration_start, "end": calibration_end}
 
     # Full detail (every raw pass + per-query mins + calibration) goes to
@@ -208,6 +259,7 @@ def main() -> int:
     detail = {
         "metric": "headline_queries_total",
         "value": total,
+        "core36": core36,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -224,6 +276,7 @@ def main() -> int:
     headline = {
         "metric": "headline_queries_total",
         "value": total,
+        "core36": core36,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,

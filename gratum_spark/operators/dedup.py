@@ -1042,13 +1042,21 @@ def merge_upsert(
     """
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
+        # injective content encoding: each column reduces to a
+        # fixed-width token ('n' for NULL, 'v'+md5 hex otherwise) before
+        # the outer md5 — a raw separator scheme can collide when a
+        # value literally contains the separator or the NULL sentinel,
+        # mislabeling an updated row as unchanged
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cmp_cols
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+            )
+            for c in cmp_cols
         ]
         return df.select(
             F.col(key_col).alias("key"),
             *[F.col(c).alias(f"__{tag}_{c}__") for c in cmp_cols],
-            F.md5(F.concat_ws("|~|", *parts)).alias(f"__{tag}_h__"),
+            F.md5(F.concat_ws("|", *parts)).alias(f"__{tag}_h__"),
         )
 
     j = hashed(corpus, "c").join(hashed(batch, "b"), on="key", how="full_outer")
@@ -1126,6 +1134,17 @@ def _duplicate_span_ranges(
         .filter(F.col("__occ__") >= 2)
         .select("shingle")
     )
+    # No max-doc-freq cap here, deliberately — unlike the jaccard
+    # candidate prefilter (dedup stop-shingle cap above), dropping a
+    # high-frequency shingle HERE would change the answer: a window
+    # repeated in 10 M docs is exactly the boilerplate this operator
+    # exists to mark. The blow-up is bounded without it: `dup` holds
+    # DISTINCT shingles, so each (id, pos) row joins back at most once
+    # and `hits` <= total corpus shingle positions (linear in corpus
+    # tokens — the same size as the explode that produced `sh`), while
+    # the islands window partitions on id, so per-task state is bounded
+    # by a single document's own position count, independent of how
+    # corpus-frequent its shingles are.
     hits = sh.join(dup, on="shingle").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(

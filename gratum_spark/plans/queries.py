@@ -1521,6 +1521,69 @@ def dedup_simhash(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _planted_clone_corpus(docs):
+    """(corpus-with-clones, planted-pairs) for the structural LSH
+    checks: every doc_id % 10 == 0 is re-inserted verbatim under
+    id + 1000000, so each planted pair is an EXACT duplicate. Identical
+    texts produce identical MinHash signatures (hence collide in every
+    band) and identical SimHash values (hamming 0) no matter which hash
+    functions the engine uses — which turns a hash-specific candidate
+    set into an oracle-expressible superset invariant."""
+    base = docs.select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    )
+    return base.unionByName(clones), planted
+
+
+def dedup_minhash_planted(spark, sf) -> DataFrame:
+    """Structural MinHash-LSH check (r6 verdict task 4): the candidate
+    set must CONTAIN every planted exact-duplicate pair — identical
+    texts agree on all 64 min-hashes, so they meet in all 16 bands with
+    estimated Jaccard 1.0 regardless of the hash family, making `found`
+    deterministically true and SQL-expressible. (The full hash-specific
+    candidate set stays un-oracled in dedup_minhash.)"""
+    docs = T(spark, sf, "documents").df
+    corpus, planted = _planted_clone_corpus(docs)
+    cand = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n_hashes=64, bands=16, threshold=0.10,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).select("a", "b", F.lit(True).alias("f"))
+    return (
+        planted.join(cand, on=["a", "b"], how="left")
+        .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
+        .orderBy("a")
+    )
+
+
+def dedup_simhash_planted(spark, sf) -> DataFrame:
+    """Structural SimHash check (r6 verdict task 4): planted exact
+    duplicates simhash to the same 64-bit value (hamming 0), so every
+    planted pair must appear in the candidate set — engine-independent,
+    hence oracle-expressible, unlike the full candidate list in
+    dedup_simhash."""
+    docs = T(spark, sf, "documents").df
+    corpus, planted = _planted_clone_corpus(docs)
+    cand = dedup.simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=16,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    ).select("a", "b", F.lit(True).alias("f"))
+    return (
+        planted.join(cand, on=["a", "b"], how="left")
+        .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
+        .orderBy("a")
+    )
+
+
+ORACLE_PLANTED_PAIRS = """
+SELECT doc_id AS a, doc_id + 1000000 AS b, TRUE AS found
+FROM documents WHERE doc_id % 10 = 0 ORDER BY a
+"""
+
+
 def dedup_embedding(spark, sf) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed (no oracle:
     bucketing is hash-specific; exact-cosine path is oracle-checked in
@@ -2123,15 +2186,42 @@ def ann_ivf_full_probe(spark, sf) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def ann_recall_exact(spark, sf) -> DataFrame:
+    """Structural recall-evaluator check (r6 verdict task 4): with
+    n_probe == n_lists every IVF list is scanned, so the index's top-k
+    IS the brute-force top-k and recall@10 must be exactly 1.0 for
+    every query — an engine-independent invariant the SQL oracle can
+    state as a literal. Drives the whole evaluator path (deterministic
+    k-means build, probe, brute-force join, per-query recall) through
+    an exact value check; the honest partial-probe metric stays in
+    ann_recall."""
+    emb = T(spark, sf, "embeddings").df.cache()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    rec = similarity.ann_recall_at_k(
+        emb, queries, k=10, n_lists=8, n_iters=2, n_probe=8
+    )
+    return rec.select(
+        F.col("qid").alias("query_id"), F.round("recall", 4).alias("recall")
+    ).orderBy("query_id")
+
+
+ORACLE_ANN_RECALL_EXACT = """
+SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS recall
+FROM embeddings WHERE vec_id < 8 ORDER BY vec_id
+"""
+
+
 def ann_recall(spark, sf) -> DataFrame:
     """ANN quality measurement (operators/similarity.py
     ann_recall_at_k): recall@10 of a 16-list/4-probe IVF index vs
     exact brute force for 8 query vectors — the go/no-go metric for an
     index configuration before it serves a 100 TB corpus. No SQL
-    oracle (k-means centroids aren't SQL-expressible); determinism +
-    the recall@full-probe==1.0 invariant are pinned in
-    tests/test_similarity.py, and the driver records the rows-only
-    check."""
+    oracle (k-means centroids aren't SQL-expressible); determinism is
+    pinned in tests/test_similarity.py, the recall@full-probe==1.0
+    invariant is driver-checked in ann_recall_exact, and the driver
+    records the rows-only check here."""
     emb = T(spark, sf, "embeddings").df.cache()
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -2990,14 +3080,20 @@ WITH batch AS (
          CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
   FROM documents WHERE doc_id % 11 = 0),
 c AS (SELECT doc_id AS key, text, lang, source, n_chars,
-             md5(concat_ws('|~|', COALESCE(text,'<NULL>'), COALESCE(lang,'<NULL>'),
-                           COALESCE(source,'<NULL>'),
-                           COALESCE(CAST(n_chars AS VARCHAR),'<NULL>'))) AS h
+             md5(concat_ws('|',
+                 CASE WHEN text IS NULL THEN 'n' ELSE 'v' || md5(text) END,
+                 CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || md5(lang) END,
+                 CASE WHEN source IS NULL THEN 'n' ELSE 'v' || md5(source) END,
+                 CASE WHEN n_chars IS NULL THEN 'n'
+                      ELSE 'v' || md5(CAST(n_chars AS VARCHAR)) END)) AS h
       FROM documents),
 b AS (SELECT doc_id AS key, text, lang, source, n_chars,
-             md5(concat_ws('|~|', COALESCE(text,'<NULL>'), COALESCE(lang,'<NULL>'),
-                           COALESCE(source,'<NULL>'),
-                           COALESCE(CAST(n_chars AS VARCHAR),'<NULL>'))) AS h
+             md5(concat_ws('|',
+                 CASE WHEN text IS NULL THEN 'n' ELSE 'v' || md5(text) END,
+                 CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || md5(lang) END,
+                 CASE WHEN source IS NULL THEN 'n' ELSE 'v' || md5(source) END,
+                 CASE WHEN n_chars IS NULL THEN 'n'
+                      ELSE 'v' || md5(CAST(n_chars AS VARCHAR)) END)) AS h
       FROM batch)
 SELECT COALESCE(b.key, c.key) AS key,
        COALESCE(b.text, c.text) AS text,
@@ -3521,8 +3617,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    window after 4-5 green rounds; joins stay in-window via
     #    op_join_inner_reject/op_asof_join/op_semi_join/op_anti_join,
     #    coercion via op_as_date/op_replace/op_defaults)
-    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
-    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    # -- rotated INTO the window in r7 (r6 verdict task 2): the only
+    #    three oracle-eligible queries that had never had a driver-side
+    #    green row (added late in r6, after that round's window was
+    #    set). Slots freed by moving text_collapse_repeats, text_canary
+    #    and corpus_report just past the boundary (each r6-green once;
+    #    families stay in-window via text_pmi/text_chunks/text_tfidf and
+    #    corpus_diff_report, and all three stay bench/pytest-covered).
+    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
+    "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
+    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
     "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
     "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
     "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
@@ -3530,7 +3634,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
     "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
-    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
     # -- NEW in this round: five curation operators on their first driver
     #    check (slots freed by rotating op_filter_map, op_column_ops,
@@ -3594,31 +3697,47 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    # -- NEW in r7 (r6 verdict task 4): structural value oracles for the
+    #    hash-specific family — planted-exact-dup supersets for
+    #    MinHash-LSH and SimHash, and full-probe recall==1.0 for the IVF
+    #    recall evaluator. Slots freed by moving op_lag_lead, op_unique
+    #    and op_defaults past the window (each green twice: r1/r2 AND
+    #    the r6 re-check after the engine changed; window-function
+    #    family stays in-window via text_pack/op_resample_interpolate,
+    #    dedup via dedup_exact-lineage + dedup_minhash_verified,
+    #    defaults via pytest + op_column_ops lineage).
+    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
+    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
     # -- NEW late-r6 wave 3: exact-substring span dedup (Lee et al. 2021
     #    shape — the canonical training-data dedup the inventory lacked)
-    #    on its first driver check. Slots freed by moving op_concat and
-    #    op_as_date past the window (both r1/r2-green + re-verified by
-    #    the local gate this round; concat stays pytest/property-covered,
-    #    date parsing via op_coerce's lineage + pytest).
+    #    on its first driver check. Slots freed by moving op_concat,
+    #    op_as_date AND op_replace past the window (all r1/r2-green +
+    #    re-verified by the local gate that round; op_replace already sat
+    #    at position 51 — an off-by-one that left it outside the real
+    #    50-entry window — so this rotation also formalized that. Concat
+    #    stays pytest/property-covered, date parsing via op_coerce's
+    #    lineage + pytest, replace via op_column_ops lineage + pytest).
     "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
     "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
     # ---- 50-entry driver window boundary ----
+    # -- rotated OUT in r7 to free slots for text_perplexity/corpus_dsir/
+    #    corpus_merge above (each green on its single r6 driver check;
+    #    still bench/pytest-covered)
+    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
+    "op_unique": (op_unique, ORACLE_UNIQUE),
+    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_concat": (op_concat, ORACLE_CONCAT),
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_replace": (op_replace, ORACLE_REPLACE),
-    # -- new late-r6 wave 3, past-window (rotate in next round):
-    #    CCNet-style bigram-LM perplexity quality scoring
-    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
-    "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
-    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
     # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
     #    room for the nine new curation queries above (families stay
     #    in-window; all rotated rows remain bench/pytest-covered)

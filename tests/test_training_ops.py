@@ -1390,3 +1390,23 @@ def test_merge_upsert_statuses_and_winners(spark):
     assert out[2]["merge_status"] == "updated" and out[2]["text"] == "gamma2"
     assert out[2]["n"] == 6
     assert out[3]["merge_status"] == "inserted" and out[3]["text"] == "delta"
+
+
+def test_merge_upsert_hash_is_injective(spark):
+    """Adversarial content-hash cases: a value containing the old
+    separator/sentinel strings, NULL vs the literal string '<NULL>',
+    and a column-boundary shift ('ab','c' vs 'a','bc') must all compare
+    as CHANGED — a non-injective encoding labels them 'unchanged'."""
+    corpus = spark.createDataFrame(
+        [(0, "x|~|y", "z"), (1, None, "q"), (2, "ab", "c")],
+        "doc_id long, a string, b string",
+    )
+    batch = spark.createDataFrame(
+        [(0, "x", "~|y|z"), (1, "<NULL>", "q"), (2, "a", "bc")],
+        "doc_id long, a string, b string",
+    )
+    out = {
+        r["key"]: r["merge_status"]
+        for r in dedup.merge_upsert(corpus, batch, "doc_id", ["a", "b"]).collect()
+    }
+    assert out == {0: "updated", 1: "updated", 2: "updated"}

@@ -162,9 +162,12 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(trend_to_write, f, indent=2)
 
+    # print the FULL merged table (not just this run's rows): the
+    # committed SCALE_TREND.md is regenerated from this output, and a
+    # subset run must not silently drop every other operator's row
     print("| operator | sf0.01 s | sf0.1 s | in 10x | time x | out pairs 0.01 -> 0.1 |")
     print("|---|---|---|---|---|---|")
-    for op, t in trend.items():
+    for op, t in trend_to_write.items():
         print(
             f"| {op} | {t['sf0.01']['sec']} | {t['sf0.1']['sec']} | "
             f"{t['ratio_input']} | {t['ratio_time']} | "

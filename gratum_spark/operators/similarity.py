@@ -277,8 +277,13 @@ def ivf_topk(
         / (math.sqrt(dot(r["centroid"], r["centroid"])) * qn + 1e-12),
     )
     probe_ids = [r["list_id"] for r in ranked[:n_probe]]
+    # the candidate id set is (n_probe/n_lists) × CORPUS rows — unbounded,
+    # so no broadcast hint on the semi-join: AQE broadcasts it only when
+    # the probed lists are actually small. (Against a stored index the
+    # assignment scan is already partition-pruned to the probed lists —
+    # see ivf_topk_stored — so this join never sees the full corpus.)
     candidates = assignments.filter(F.col("list_id").isin(probe_ids)).select(id_col)
-    subset = df.join(F.broadcast(candidates), on=id_col, how="leftsemi")
+    subset = df.join(candidates, on=id_col, how="leftsemi")
     return cosine_topk(subset, query, id_col, vec_col, k)
 
 

@@ -1311,8 +1311,12 @@ class Pipeline:
     ) -> "Pipeline":
         """Add boolean ``included`` = key exists in other pipeline; no row is
         filtered (reference quirk — Pipeline.groovy:488-505, note the
-        commented-out filter at :501). Broadcast semi-style left join
-        against the distinct key set."""
+        commented-out filter at :501). Semi-style left join against the
+        distinct key set — no broadcast hint: the right side's distinct
+        keys are unbounded in general (the reference held them in a
+        single-node HashMap, which is exactly the OOM this engine must
+        not inherit), so AQE broadcasts only when the key set is
+        actually small and shuffles otherwise."""
         right_df = other.df if isinstance(other, Pipeline) else other
         pairs = self._normalize_on(on)
         keys_df = (
@@ -1322,7 +1326,6 @@ class Pipeline:
             .distinct()
             .withColumn("__included__", F.lit(True))
         )
-        keys_df = F.broadcast(keys_df)
         cond = None
         for i, (lk, _) in enumerate(pairs):
             e = self.df[lk] == keys_df[f"__ik_{i}__"]

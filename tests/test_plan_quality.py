@@ -658,3 +658,34 @@ def test_bm25_prunes_dft_before_broadcast(spark, sf):
         plan = plan_of(bm25_topk(docs, "doc_id", "text", qs))
     assert "LeftSemi" in plan
     assert "SortMergeJoin" in plan  # the data-sized id-join shuffles
+
+
+def test_ivf_topk_never_hints_candidate_ids(spark, sf):
+    """ivf_topk's candidate id set is (n_probe/n_lists) of the CORPUS —
+    unbounded, so the semi-join must carry no broadcast hint (with
+    size-estimation off it falls back to a shuffle join)."""
+    from gratum_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = table(spark, sf, "embeddings").df
+    assignments, centroids = ivf_build(emb, n_lists=4, n_iters=1)
+    q = emb.limit(1).collect()[0]["embedding"]
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(
+            ivf_topk(emb, assignments, centroids, [float(x) for x in q], n_probe=2)
+        )
+    assert "BroadcastHashJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_intersect_never_hints_key_set(spark, sf):
+    """intersect's right-side distinct key set is unbounded (the
+    reference held it in a single-node HashMap — the exact OOM shape to
+    avoid); no broadcast hint allowed."""
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").df.select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    with _no_size_based_broadcast(spark):
+        plan = plan_of(orders.intersect(cust, "o_custkey").df)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan

@@ -146,7 +146,8 @@ def write_postings_index(
       own terms' directories — the retrieval analogue of
       `write_ivf_index`'s list-partitioned layout;
     - ``doclens/`` (id, dl);
-    - ``dft/`` (term, dft) — vocabulary-sized, broadcast at probe time;
+    - ``dft/`` (term, dft) — vocabulary-sized; probes semi-join it down
+      to the query vocabulary before any broadcast;
     - ``meta/`` one row (n_docs, avgdl, n_term_buckets) so probes
       can't silently use a mismatched bucket count.
     """

@@ -282,9 +282,10 @@ def tfidf_top_terms(
     Plan: explode words -> per-(doc, term) counts (one shuffle,
     map-side combinable) -> document frequencies from the SAME counts
     table (a second small agg keyed on term; its output is
-    |vocabulary|-sized, broadcast back onto the counts) -> windowed
-    top-k per doc. The fact table shuffles once; idf rides in on a
-    broadcast hash join, so no second shuffle of the corpus-sized side.
+    |vocabulary|-sized, joined back onto the counts on term — no
+    broadcast hint, the counts are already term-keyed and AQE
+    broadcasts the df side only when it is actually small) -> windowed
+    top-k per doc. The fact table shuffles once either way.
 
     The corpus size N is a 1-row aggregate cross-joined in as a
     broadcast (NOT a driver-side .collect(): that would be a second
@@ -478,9 +479,10 @@ def pmi_bigrams(
     tokenizer/phrase pipelines run before merging multiwords.
 
     Plan: explodes feed map-side-combinable count aggregates; corpus
-    totals fold in as 1-row broadcasts and the unigram table broadcasts
-    onto the bigram counts (vocabulary ≪ corpus) — every join is
-    broadcast and the only data-sized shuffles are count aggregates.
+    totals fold in as 1-row broadcasts and the unigram tables join
+    plainly onto the bigram counts (vocabulary ≪ corpus, but still
+    unbounded — AQE broadcasts when actually small) — the only
+    data-sized shuffles are count aggregates and the vocab joins.
     Catalyst does not share subplans, so the tokenize+count runs once
     per aggregate branch (~5 corpus scans, each linear); for a 100 TB
     corpus, materialize `ngram_counts`' tables once (write parquet)

@@ -157,6 +157,10 @@ CORE36 = frozenset([
     "text_tfidf",
     "text_top_terms",
 ])
+# enforced, not just stated: a rotation that drops a CORE36 query from
+# HEADLINE would silently shrink the core36 subtotal and read as a
+# speedup
+assert CORE36 <= set(HEADLINE), sorted(CORE36 - set(HEADLINE))
 
 
 N_PASSES = 3

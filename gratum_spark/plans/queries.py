@@ -1539,6 +1539,19 @@ def _planted_clone_corpus(docs):
     return base.unionByName(clones), planted
 
 
+def _planted_found_flags(planted, cand_pairs):
+    """Shared tail of the planted-superset checks: left-join the planted
+    pair list against the candidate (a, b) set and emit a boolean
+    ``found`` per pair — ONE place defines the column contract the
+    shared ORACLE_PLANTED_PAIRS oracle checks."""
+    cand = cand_pairs.select("a", "b", F.lit(True).alias("f"))
+    return (
+        planted.join(cand, on=["a", "b"], how="left")
+        .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
+        .orderBy("a")
+    )
+
+
 def dedup_minhash_planted(spark, sf) -> DataFrame:
     """Structural MinHash-LSH check (r6 verdict task 4): the candidate
     set must CONTAIN every planted exact-duplicate pair — identical
@@ -1551,12 +1564,8 @@ def dedup_minhash_planted(spark, sf) -> DataFrame:
     cand = dedup.minhash_lsh_pairs(
         corpus, "doc_id", "text", n_hashes=64, bands=16, threshold=0.10,
         n_partitions=spark.sparkContext.defaultParallelism,
-    ).select("a", "b", F.lit(True).alias("f"))
-    return (
-        planted.join(cand, on=["a", "b"], how="left")
-        .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
-        .orderBy("a")
     )
+    return _planted_found_flags(planted, cand)
 
 
 def dedup_simhash_planted(spark, sf) -> DataFrame:
@@ -1570,12 +1579,8 @@ def dedup_simhash_planted(spark, sf) -> DataFrame:
     cand = dedup.simhash_pairs(
         corpus, "doc_id", "text", max_hamming=16,
         n_partitions=spark.sparkContext.defaultParallelism,
-    ).select("a", "b", F.lit(True).alias("f"))
-    return (
-        planted.join(cand, on=["a", "b"], how="left")
-        .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
-        .orderBy("a")
     )
+    return _planted_found_flags(planted, cand)
 
 
 ORACLE_PLANTED_PAIRS = """
@@ -2162,7 +2167,11 @@ ORDER BY query_id, cosine DESC, vec_id
 
 def ann_ivf(spark, sf) -> DataFrame:
     """IVF approximate top-k (no oracle: recall-traded approximation)."""
-    emb = T(spark, sf, "embeddings").df.cache()
+    # eager localCheckpoint, not .cache(): checkpoint blocks are
+    # ContextCleaner-released when the plan is dropped, while a bare
+    # cache with no unpersist accumulates storage memory across the
+    # 50-query driver session (same trade as operators/dedup.py)
+    emb = T(spark, sf, "embeddings").df.localCheckpoint(eager=True)
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     assignments, centroids = similarity.ivf_build(emb, n_lists=8, n_iters=2)
     return similarity.ivf_topk(
@@ -2177,7 +2186,11 @@ def ann_ivf_full_probe(spark, sf) -> DataFrame:
     pruning, in-list exact scoring) verifiable against the same SQL
     oracle as ann_topk. The recall-traded partial-probe variant stays in
     ann_ivf."""
-    emb = T(spark, sf, "embeddings").df.cache()
+    # eager localCheckpoint, not .cache(): checkpoint blocks are
+    # ContextCleaner-released when the plan is dropped, while a bare
+    # cache with no unpersist accumulates storage memory across the
+    # 50-query driver session (same trade as operators/dedup.py)
+    emb = T(spark, sf, "embeddings").df.localCheckpoint(eager=True)
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     assignments, centroids = similarity.ivf_build(emb, n_lists=8, n_iters=2)
     topk = similarity.ivf_topk(
@@ -2195,7 +2208,11 @@ def ann_recall_exact(spark, sf) -> DataFrame:
     k-means build, probe, brute-force join, per-query recall) through
     an exact value check; the honest partial-probe metric stays in
     ann_recall."""
-    emb = T(spark, sf, "embeddings").df.cache()
+    # eager localCheckpoint, not .cache(): checkpoint blocks are
+    # ContextCleaner-released when the plan is dropped, while a bare
+    # cache with no unpersist accumulates storage memory across the
+    # 50-query driver session (same trade as operators/dedup.py)
+    emb = T(spark, sf, "embeddings").df.localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -2222,7 +2239,11 @@ def ann_recall(spark, sf) -> DataFrame:
     pinned in tests/test_similarity.py, the recall@full-probe==1.0
     invariant is driver-checked in ann_recall_exact, and the driver
     records the rows-only check here."""
-    emb = T(spark, sf, "embeddings").df.cache()
+    # eager localCheckpoint, not .cache(): checkpoint blocks are
+    # ContextCleaner-released when the plan is dropped, while a bare
+    # cache with no unpersist accumulates storage memory across the
+    # 50-query driver session (same trade as operators/dedup.py)
+    emb = T(spark, sf, "embeddings").df.localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )

@@ -262,21 +262,25 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """ANN top-k: score centroids against the query on the driver, scan
-    only the n_probe nearest lists, exact cosine within them."""
-    import math
+    only the n_probe nearest lists, exact cosine within them.
 
-    cents = centroids.collect()
-
-    def dot(a, b):
-        return sum(x * y for x, y in zip(a, b))
-
-    qn = math.sqrt(dot(query, query))
-    ranked = sorted(
-        cents,
-        key=lambda r: -dot(r["centroid"], query)
-        / (math.sqrt(dot(r["centroid"], r["centroid"])) * qn + 1e-12),
-    )
-    probe_ids = [r["list_id"] for r in ranked[:n_probe]]
+    Probe ranking uses the SAME inner-product metric that ``_assign``
+    uses to place vectors into lists (FAISS-style metric consistency:
+    the probed cells are the ones the query itself would land in).
+    This makes self-retrieval a guarantee, not a heuristic: a query
+    vector that is in the corpus has its own list as the #1 probed
+    list at any n_probe >= 1 — the structural invariant the driver
+    checks in ann_ivf_planted. (The earlier cosine-ranked probe could,
+    on adversarial centroid norms, rank the query's own cell outside
+    the probe set.) Exact scoring WITHIN the probed lists is still
+    cosine.
+    """
+    cents = centroids.orderBy("list_id").collect()
+    list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
+    cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
+    q = np.array(list(query), dtype=np.float64)
+    order = np.argsort(-(cmat @ q), kind="stable")[:n_probe]
+    probe_ids = [int(x) for x in list_ids[order]]
     # the candidate id set is (n_probe/n_lists) × CORPUS rows — unbounded,
     # so no broadcast hint on the semi-join: AQE broadcasts it only when
     # the probed lists are actually small. (Against a stored index the
@@ -321,13 +325,14 @@ def ivf_topk_many(
     cents = centroids.orderBy("list_id").collect()
     list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
     cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
-    cnorm = cmat / (np.linalg.norm(cmat, axis=1, keepdims=True) + 1e-12)
 
     @F.pandas_udf("array<long>")
     def probe_lists(vecs: pd.Series) -> pd.Series:
+        # rank lists by the ASSIGNMENT metric (raw inner product, same
+        # as _assign) so a corpus vector's own list is always probed
+        # first — see ivf_topk's docstring on metric consistency
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
-        order = np.argsort(-(mat @ cnorm.T), axis=1)[:, :n_probe]
+        order = np.argsort(-(mat @ cmat.T), axis=1, kind="stable")[:, :n_probe]
         return pd.Series([list(list_ids[row]) for row in order])
 
     probes = queries.select(

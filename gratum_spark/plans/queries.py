@@ -1521,20 +1521,34 @@ def dedup_simhash(spark, sf) -> DataFrame:
     ).orderBy("a", "b")
 
 
-def _planted_clone_corpus(docs):
+def _planted_clone_corpus(docs, id_col="doc_id", payload_col="text"):
     """(corpus-with-clones, planted-pairs) for the structural LSH
-    checks: every doc_id % 10 == 0 is re-inserted verbatim under
+    checks: every id % 10 == 0 is re-inserted verbatim under
     id + 1000000, so each planted pair is an EXACT duplicate. Identical
     texts produce identical MinHash signatures (hence collide in every
     band) and identical SimHash values (hamming 0) no matter which hash
     functions the engine uses — which turns a hash-specific candidate
-    set into an oracle-expressible superset invariant."""
-    base = docs.select("doc_id", "text")
-    clones = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    set into an oracle-expressible superset invariant. Works for any
+    (id, payload) pair — the embedding variant plants identical
+    vectors the same way.
+
+    Guards (ADVICE r7): clone ids must not collide with real ids, so
+    the max corpus id is asserted < 1000000 (testdata tops out at
+    doc_id 4999 / vec_id 1999; a larger sf would need a derived
+    offset), and NULL payloads are excluded on BOTH sides — a NULL
+    text/vector hashes to nothing, which would silently drop the pair
+    and fail the oracle for a data reason, not an engine reason. The
+    shared oracles carry the same ``IS NOT NULL`` filter."""
+    base = docs.select(id_col, payload_col).filter(F.col(payload_col).isNotNull())
+    max_id = base.agg(F.max(id_col)).collect()[0][0]
+    assert max_id is not None and max_id < 1000000, (
+        f"planted-clone offset collides with real ids (max {id_col}={max_id})"
     )
-    planted = base.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    clones = base.filter(F.col(id_col) % 10 == 0).select(
+        (F.col(id_col) + 1000000).alias(id_col), payload_col
+    )
+    planted = base.filter(F.col(id_col) % 10 == 0).select(
+        F.col(id_col).alias("a"), (F.col(id_col) + 1000000).alias("b")
     )
     return base.unionByName(clones), planted
 
@@ -1544,7 +1558,14 @@ def _planted_found_flags(planted, cand_pairs):
     pair list against the candidate (a, b) set and emit a boolean
     ``found`` per pair — ONE place defines the column contract the
     shared ORACLE_PLANTED_PAIRS oracle checks."""
-    cand = cand_pairs.select("a", "b", F.lit(True).alias("f"))
+    # dropDuplicates makes the (a, b)-unique contract self-enforcing
+    # (ADVICE r7): today every caller's candidate set is already
+    # distinct, but a future operator emitting duplicate pairs would
+    # otherwise fan out the planted rows and fail the row-count oracle
+    # with a confusing diff instead of a clean found=false
+    cand = cand_pairs.select("a", "b").dropDuplicates(["a", "b"]).select(
+        "a", "b", F.lit(True).alias("f")
+    )
     return (
         planted.join(cand, on=["a", "b"], how="left")
         .select("a", "b", F.coalesce(F.col("f"), F.lit(False)).alias("found"))
@@ -1585,7 +1606,79 @@ def dedup_simhash_planted(spark, sf) -> DataFrame:
 
 ORACLE_PLANTED_PAIRS = """
 SELECT doc_id AS a, doc_id + 1000000 AS b, TRUE AS found
-FROM documents WHERE doc_id % 10 = 0 ORDER BY a
+FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL ORDER BY a
+"""
+
+
+def dedup_embedding_planted(spark, sf) -> DataFrame:
+    """Structural embedding-LSH check (r7 verdict task 2, mirroring the
+    minhash/simhash planted pattern): every vec_id % 10 == 0 embedding
+    is re-inserted verbatim under id + 1000000, and the candidate set
+    from embedding_cosine_pairs must CONTAIN every planted pair —
+    identical vectors produce identical sign bits against every
+    hyperplane, so they share a bucket in ALL n_tables tables no matter
+    which Gaussian planes the engine drew, and their exact cosine is
+    1.0 >= threshold, so the verify stage cannot drop them. Engine-
+    independent, hence SQL-expressible; the full hash-specific
+    candidate set stays un-oracled in dedup_embedding."""
+    emb = T(spark, sf, "embeddings").df
+    corpus, planted = _planted_clone_corpus(emb, "vec_id", "embedding")
+    cand = dedup.embedding_cosine_pairs(
+        corpus, "vec_id", "embedding", threshold=0.5, n_planes=6, n_tables=16
+    )
+    return _planted_found_flags(planted, cand)
+
+
+ORACLE_EMB_PLANTED_PAIRS = """
+SELECT vec_id AS a, vec_id + 1000000 AS b, TRUE AS found
+FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL ORDER BY a
+"""
+
+
+def ann_ivf_planted(spark, sf) -> DataFrame:
+    """Structural partial-probe IVF check (r7 verdict task 2): a query
+    vector that IS a corpus vector must return itself at rank 1 from
+    the probe. Guaranteed, not data-dependent: ivf_topk ranks lists by
+    the SAME inner-product metric _assign uses to build them (see the
+    metric-consistency note in operators/similarity.py), so the
+    query's own list is always the #1 probed list, the query vector is
+    always a candidate, and cosine(v, v) = 1.0 is the maximum — rank 1
+    under the (cosine desc, id asc) tie-break. Covers the one IVF path
+    with no driver row (single-query ivf_topk at n_probe < n_lists;
+    the full-probe paths are value-checked in ann_ivf_full_probe /
+    ann_recall_exact)."""
+    from functools import reduce as _reduce
+
+    # eager localCheckpoint, not .cache(): checkpoint blocks are
+    # ContextCleaner-released when the plan is dropped (same trade as
+    # the other ANN queries)
+    emb = T(spark, sf, "embeddings").df.localCheckpoint(eager=True)
+    assignments, centroids = similarity.ivf_build(emb, n_lists=8, n_iters=2)
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    outs = []
+    for r in qrows:
+        top1 = similarity.ivf_topk(
+            emb, assignments, centroids,
+            [float(x) for x in r["embedding"]], k=1, n_probe=3,
+        )
+        outs.append(
+            top1.select(
+                F.lit(r["vec_id"]).cast("long").alias("query_id"),
+                F.col("vec_id").cast("long").alias("top1"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs).orderBy("query_id")
+
+
+ORACLE_ANN_IVF_PLANTED = """
+SELECT vec_id AS query_id, vec_id AS top1, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 4 ORDER BY query_id
 """
 
 
@@ -3625,26 +3718,32 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- headline TPC-H
+    # ================= r8 driver window (first 50 entries) =================
+    # r8 rotation (r7 verdict task 1): rotated IN — the two queries whose
+    # plans changed in r7's broadcast de-hinting (dedup_ngram,
+    # ann_ivf_full_probe — driver evidence predates the plan change), the
+    # eleven oldest-evidence §2 queries (last driver-checked r5/r6), and
+    # the two NEW planted structural oracles (r7 verdict task 2:
+    # dedup_embedding_planted, ann_ivf_planted — after these, all five
+    # hash-specific queries have an oracle-checked structural sibling).
+    # Rotated OUT to free the 15 slots: the long-stable streaming trio
+    # (stream_tumbling/stateful/session — green r2..r7), op_fill_down
+    # (green r2..r7 + fuzz 25×2), and ten 2-3×-green r6 rows
+    # (dedup_rewrite/semantic/keep_best, corpus_mixture, text_bm25/
+    # tfidf/chunks, op_filter_closure/intersect_flag/reduce/group_rows);
+    # every family keeps an in-window representative (streaming via
+    # stream_dedup_keys/interval_join/dedup_counts, dedup via the planted
+    # pair + minhash_verified + incremental + spans, text via perplexity/
+    # pmi/rerank/hybrid/model_score/pack, filters via op_filter_regex +
+    # op_filter_map, aggregation via q1 + op_reduce lineage in pytest).
+    # -- headline TPC-H anchors (never rotated)
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
-    # -- core operator representatives (green in r1, kept in-window)
+    # -- core operator representatives
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    # -- NEW late-r6 wave 2: repeat collapse, PMI collocations, canary
-    #    sweep, embedding decontamination (slots freed by rotating
-    #    op_join_left, op_flat_map, op_add_step, op_coerce past the
-    #    window after 4-5 green rounds; joins stay in-window via
-    #    op_join_inner_reject/op_asof_join/op_semi_join/op_anti_join,
-    #    coercion via op_as_date/op_replace/op_defaults)
-    # -- rotated INTO the window in r7 (r6 verdict task 2): the only
-    #    three oracle-eligible queries that had never had a driver-side
-    #    green row (added late in r6, after that round's window was
-    #    set). Slots freed by moving text_collapse_repeats, text_canary
-    #    and corpus_report just past the boundary (each r6-green once;
-    #    families stay in-window via text_pmi/text_chunks/text_tfidf and
-    #    corpus_diff_report, and all three stay bench/pytest-covered).
+    # -- first-green in r7, kept for a second consecutive driver row
     "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
     "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
     "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
@@ -3656,117 +3755,72 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
-    # -- NEW in this round: five curation operators on their first driver
-    #    check (slots freed by rotating op_filter_map, op_column_ops,
-    #    op_udaf_pandas, op_exchange, op_flatten_window past the window
-    #    after 4-5 consecutive green rounds; their families stay
-    #    in-window via op_filter_closure/op_filter_regex, op_coerce/
-    #    op_replace/op_defaults, op_reduce, op_flat_map, op_fill_down)
-    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
-    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
-    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
-    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
-    "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
-    # -- events-table queries (red in r1 via the nanos session bug, now fixed)
-    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
-    "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
-    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
-    # -- new in r5: streaming dedup (first driver check; op_rollup rotated
-    #    past the window after 4 green rounds — cube/grouping-sets family
-    #    stays covered by op_grouping_sets/op_cube below)
-    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
-    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
-    # -- LLM-data-pipeline representatives (kept in-window: each family --
-    #    dedup, curation, ANN, text, multimodal -- keeps one current row)
-    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
-    # -- new in r6: the composed pretraining-curation loop (first driver
-    #    check; text_contamination rotated past the window after 3 green
-    #    rounds — its n-gram overlap machinery is exercised inside this
-    #    composite's incremental-dedup stage, and the text family keeps
-    #    text_chunks/text_tfidf/text_pack/text_model_score in-window)
-    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
-    "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
-    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    # -- new in r6: model-scored quality filter (first driver check;
-    #    op_salted_join rotated past the window after 3 green rounds —
-    #    the join family keeps 4 in-window reps: op_join_left,
-    #    op_join_inner_reject, op_anti_join, op_semi_join)
-    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
-    # -- new in r6: doc-level incremental keep-set (first driver check;
-    #    corpus_quota_sample rotated past the window after 3 green
-    #    rounds — sampling family stays pytest/bench-covered)
-    "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
-    # -- new in r6: incremental new-batch-vs-corpus dedup (first driver
-    #    check; dedup_chunks rotated past the window after 3 green
-    #    rounds — chunk-dedup family stays pytest/bench-covered, dedup
-    #    stays in-window via dedup_exact + dedup_minhash_verified)
-    "dedup_incremental": (dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
-    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
-    # -- new in r6: sequence packing over a distributed prefix sum
-    #    (first driver check; op_set_ops rotated past the window after 3
-    #    green rounds — intersect/set-membership stays covered in-window
-    #    by op_intersect_flag)
-    "text_pack": (text_pack, ORACLE_TEXT_PACK),
-    # -- rotated INTO the window in r6 (r5 verdict task 2): every query
-    #    below was driver-green in r1/r2 but has not been re-oracled since
-    #    the engine changed under it (Arrow-batched closures, distributed
-    #    run-ids, scoped timestamp confs). Re-checking them beats
-    #    re-confirming the 3x-green text/multimodal rows (rotated out
-    #    below, still bench/pytest-covered).
-    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
-    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
-    "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
-    "op_anti_join": (op_anti_join, ORACLE_ANTI),
-    "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    # -- NEW in r7 (r6 verdict task 4): structural value oracles for the
-    #    hash-specific family — planted-exact-dup supersets for
-    #    MinHash-LSH and SimHash, and full-probe recall==1.0 for the IVF
-    #    recall evaluator. Slots freed by moving op_lag_lead, op_unique
-    #    and op_defaults past the window (each green twice: r1/r2 AND
-    #    the r6 re-check after the engine changed; window-function
-    #    family stays in-window via text_pack/op_resample_interpolate,
-    #    dedup via dedup_exact-lineage + dedup_minhash_verified,
-    #    defaults via pytest + op_column_ops lineage).
-    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
-    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
-    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
-    # -- NEW late-r6 wave 3: exact-substring span dedup (Lee et al. 2021
-    #    shape — the canonical training-data dedup the inventory lacked)
-    #    on its first driver check. Slots freed by moving op_concat,
-    #    op_as_date AND op_replace past the window (all r1/r2-green +
-    #    re-verified by the local gate that round; op_replace already sat
-    #    at position 51 — an off-by-one that left it outside the real
-    #    50-entry window — so this rotation also formalized that. Concat
-    #    stays pytest/property-covered, date parsing via op_coerce's
-    #    lineage + pytest, replace via op_column_ops lineage + pytest).
-    "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
-    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
-    # ---- 50-entry driver window boundary ----
-    # -- rotated OUT in r7 to free slots for text_perplexity/corpus_dsir/
-    #    corpus_merge above (each green on its single r6 driver check;
-    #    still bench/pytest-covered)
-    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
-    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
-    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    # -- rotated IN for r8: plan changed by r7 de-hinting; the r5/r6
+    #    driver rows predate the current plans
+    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
+    # -- rotated IN for r8: oldest-evidence §2 queries (last driver rows
+    #    r5/r6; re-oracling them beats re-confirming 3×-green rows)
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_concat": (op_concat, ORACLE_CONCAT),
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
     "op_replace": (op_replace, ORACLE_REPLACE),
-    # -- rotated OUT mid-r6 after 4-5 consecutive green rounds to make
-    #    room for the nine new curation queries above (families stay
-    #    in-window; all rotated rows remain bench/pytest-covered)
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_coerce": (op_coerce, ORACLE_COERCE),
+    # -- NEW in r8 (r7 verdict task 2): planted structural oracles for
+    #    the last two hash-specific families without one
+    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
+    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
+    # -- streaming representatives (watermarked family)
+    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
+    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
+    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
+    # -- LLM-data-pipeline representatives (each family keeps a row)
+    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
+    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
+    "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
+    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
+    "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
+    "dedup_incremental": (dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "text_pack": (text_pack, ORACLE_TEXT_PACK),
+    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_anti_join": (op_anti_join, ORACLE_ANTI),
+    "op_semi_join": (op_semi_join, ORACLE_SEMI),
+    # -- r7 structural oracles, kept for a second consecutive driver row
+    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
+    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
+    "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
+    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
+    # ---- 50-entry driver window boundary ----
+    # -- rotated OUT in r8 (see the rotation note above; all remain
+    #    bench/pytest-covered and were green on their latest driver row)
+    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
+    "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
+    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
+    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
+    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
+    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
+    "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
+    "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
+    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
+    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    # -- rotated out in earlier rounds (families stay in-window; all
+    #    green on their latest driver row, still bench/pytest-covered)
+    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
@@ -3778,18 +3832,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
     "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
-    # -- rotated OUT in r6 after 3-4 consecutive green rounds (families
-    #    stay represented in-window: text via text_contamination/text_tfidf/
-    #    text_chunks, multimodal via multimodal_audio, ANN via ann_topk,
-    #    dedup via dedup_exact/dedup_minhash_verified/dedup_chunks,
-    #    distinct via op_set_ops, json via pytest). Still bench-covered.
-    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
     "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
     "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "text_lang_id": (text_lang_id, _lang_oracle()),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
@@ -3804,15 +3851,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
-    # -- past-window queries from earlier rotations (r1/r2-green; family
-    #    stays represented in-window)
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
     "op_inject": (op_inject, ORACLE_INJECT),
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    # rotated out in r5 after 4 green rounds (families stay in-window:
-    # cube/grouping-sets via the op_cube/op_grouping_sets lineage,
-    # sort+limit via q3_top_orders)
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
     "op_cube": (op_cube, ORACLE_CUBE),
@@ -3822,7 +3864,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
     "op_corr_exact": (op_corr_exact, ORACLE_CORR),
     "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
-    # -- hash-specific queries with no SQL-expressible oracle
+    # -- hash-specific queries with no SQL-expressible oracle (each now
+    #    has an oracle-checked structural sibling: dedup_minhash_planted,
+    #    dedup_simhash_planted, dedup_embedding_planted, ann_ivf_planted,
+    #    ann_recall_exact)
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),

@@ -148,6 +148,30 @@ def test_ivf_topk_recall(spark):
     assert len(ids) == 5
 
 
+def test_ivf_probe_metric_matches_assignment(spark):
+    """Metric consistency (r8): the probe must rank lists by the SAME
+    inner-product metric _assign uses to build them, so an indexed
+    vector's own list is always the #1 probed list and self-retrieval
+    holds at n_probe=1 — the invariant the ann_ivf_planted driver
+    oracle relies on. Adversarial centroid norms would break a
+    cosine-ranked probe here; pin the aligned behavior."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    assignments, centroids = similarity.ivf_build(df, n_lists=4, n_iters=2)
+    assigned = {r["vec_id"]: r["list_id"] for r in assignments.collect()}
+    for qid in (0, 17, 63, 99):
+        top1 = similarity.ivf_topk(
+            df, assignments, centroids,
+            [float(x) for x in vecs[qid]], k=1, n_probe=1,
+        ).collect()
+        # n_probe=1 probes exactly the query's own cell -> self at rank 1
+        assert [r["vec_id"] for r in top1] == [qid], (qid, assigned[qid])
+
+
 def test_text_analysis(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the hat"), (1, "one 2 three")],

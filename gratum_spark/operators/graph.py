@@ -76,22 +76,30 @@ def pagerank(
     if undirected:
         # doubled edges ⇒ every node appears as src; no dangling nodes
         nodes = e.select(F.col("src").alias("node")).distinct()
-        dangling = None
     else:
+        # sinks (out-degree 0) are flagged ONCE at build time and the
+        # flag rides along in the ranks frame, so each superstep's
+        # dangling mass is a single aggregate over the already-
+        # checkpointed ranks — no per-iteration semi-join against a
+        # dangling table (the r7 shape paid one join + one action per
+        # superstep for the same scalar)
         nodes = (
             e.select(F.col("src").alias("node"))
             .unionByName(e.select(F.col("dst").alias("node")))
             .distinct()
+            .join(deg, F.col("node") == F.col("src"), "left")
+            .select("node", F.col("deg").isNull().alias("is_sink"))
             .localCheckpoint(eager=True)
         )
-        # sinks: appear in the node set but never as a source
-        dangling = nodes.join(
-            deg, nodes.node == deg.src, "left_anti"
-        ).localCheckpoint(eager=True)
     n_total = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    if undirected:
+        ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
+    else:
+        ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+            "node", "is_sink", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
     for _ in range(n_iters):
         contrib = (
             ranks.join(e, ranks.node == e.src)
@@ -104,7 +112,7 @@ def pagerank(
         in_sums = contrib.groupBy("node").agg(
             F.sum("c").cast("double").alias("in_sum")
         )
-        if dangling is None:
+        if undirected:
             # undirected: in-degree >= 1 everywhere, so the aggregate
             # covers every node and there is no dangling mass — keep
             # the original (oracle-exact) two-term update
@@ -119,13 +127,18 @@ def pagerank(
                 )
             )
         else:
-            # directed: the 1-row dangling-mass aggregate (decimal-exact
-            # like the contribution sums) broadcasts back onto the node
-            # set; nodes with no inbound links keep their (1-d)/N floor
-            # via the left join + coalesce
-            dmass = ranks.join(dangling, on="node", how="left_semi").agg(
+            # directed: the 1-row dangling-mass scalar (decimal-exact
+            # like the contribution sums, so bit-identical to the r7
+            # semi-join shape) is one filtered aggregate over the
+            # checkpointed ranks via the is_sink flag; it broadcasts
+            # back onto the node set, and nodes with no inbound links
+            # keep their (1-d)/N floor via the left join + coalesce
+            dmass = ranks.agg(
                 F.coalesce(
-                    F.sum(F.col("rank").cast(_DEC)).cast("double"), F.lit(0.0)
+                    F.sum(
+                        F.when(F.col("is_sink"), F.col("rank").cast(_DEC))
+                    ).cast("double"),
+                    F.lit(0.0),
                 ).alias("dm")
             )
             ranks = (
@@ -134,6 +147,7 @@ def pagerank(
                 .crossJoin(F.broadcast(dmass))
                 .select(
                     "node",
+                    "is_sink",
                     (
                         (F.lit(1.0) - F.lit(damping)) / F.col("n")
                         + F.lit(damping)
@@ -148,4 +162,4 @@ def pagerank(
                 # per iteration
                 .localCheckpoint(eager=True)
             )
-    return ranks
+    return ranks.select("node", "rank")

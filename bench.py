@@ -114,6 +114,11 @@ HEADLINE = [
     "text_perplexity",
     "corpus_dsir",
     "corpus_merge",
+    # added r8 (set 62 -> 64): the hub-skew stress pair — identical
+    # join and oracle, measured with and without explicit salting (the
+    # one 100x-scale behavior the suite asserted but never timed)
+    "op_skew_join_plain",
+    "op_skew_join_salted",
 ]
 
 # The frozen r3-era comparison subset (the exact query keys BENCH_r03

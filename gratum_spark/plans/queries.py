@@ -1716,6 +1716,86 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def _skewed_join_left(spark, sf):
+    """Deliberately hub-skewed join input (r7 verdict task 4): lineitem
+    replicated 4× with HALF of all rows remapped onto custkey 1 and the
+    other half spread over custkeys 2..101 — one key holds 50% of a
+    ~2.4M-row (sf0.1) left side, the pathological shape salting exists
+    for. Deterministic (keys derive from l_orderkey), so the same SQL
+    oracle covers both the plain and the salted variant."""
+    li = T(spark, sf, "lineitem").df
+    return (
+        li.select("l_orderkey", "l_extendedprice")
+        .withColumn("_rep", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey") % 100 + 2)
+            .cast("long")
+            .alias("k"),
+            "l_extendedprice",
+        )
+    )
+
+
+def _skew_result(joined) -> DataFrame:
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dsum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def op_skew_join_plain(spark, sf) -> DataFrame:
+    """Skew-stress baseline: the hub-skewed join WITHOUT salting. The
+    `merge` hint pins a sort-merge join because at bench scale AQE
+    would broadcast the (tiny) customer side and hide the skew the
+    stress exists to measure — at 100 TB both sides are shuffle-joined
+    and the hot key's partition is a real straggler. At sf0.1 the hot
+    partition (~1.2M rows) sits BELOW AQE's 256 MB skew-split
+    threshold, so this variant honestly shows the single-task
+    straggler; at production scale AQE's split would engage and the
+    two variants converge (spark.sql.adaptive.skewJoin is on in
+    session.py)."""
+    left = _skewed_join_left(spark, sf)
+    cust = T(spark, sf, "customer").df.select(
+        F.col("c_custkey").cast("long").alias("k"), "c_mktsegment"
+    )
+    return _skew_result(left.hint("merge").join(cust, on="k"))
+
+
+def op_skew_join_salted(spark, sf) -> DataFrame:
+    """Skew-stress mitigation: the SAME hub-skewed join through
+    salted_join (operators/joins.py) — the hot key spreads over 16
+    shards, so no reducer sees more than ~1/16 of the hot rows. The
+    result is salt-independent, so the shared oracle proves the
+    mitigation end-to-end; bench compares this time against
+    op_skew_join_plain (SCALE_TREND.md records the pair)."""
+    left = _skewed_join_left(spark, sf)
+    cust = T(spark, sf, "customer").df.select(
+        F.col("c_custkey").cast("long").alias("k"), "c_mktsegment"
+    )
+    return _skew_result(joins.salted_join(left.hint("merge"), cust, on="k", n_salts=16))
+
+
+ORACLE_SKEW_JOIN = f"""
+WITH lrep AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem CROSS JOIN generate_series(1, 4)
+),
+sk AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey % 100 + 2 END AS k,
+         l_extendedprice
+  FROM lrep
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+       ROUND({DSUM.format('l_extendedprice')}, 2) AS total
+FROM sk JOIN customer ON k = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def op_set_ops(spark, sf) -> DataFrame:
     """True multiset set operators (beyond-reference — gratum has no
     except/intersect set semantics, SURVEY §2.5): EXCEPT ALL and
@@ -3850,6 +3930,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
     "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    # -- NEW in r8 (r7 verdict task 4): the hub-skew stress pair —
+    #    same join, same oracle; bench records plain-vs-salted times
+    "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
+    "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
     "op_inject": (op_inject, ORACLE_INJECT),

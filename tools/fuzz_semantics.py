@@ -817,8 +817,43 @@ def fuzz_duplicate_spans(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+def _with_checkpoint_dir(base_fn):
+    """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
+    same trials with a checkpoint dir set on the SparkContext, so
+    consistency_checkpoint (gratum_spark/pipeline.py) takes the
+    replayable persist().checkpoint() branch — the real-cluster path —
+    instead of localCheckpoint. Gives the cluster branch the same
+    N×2-seed fuzz breadth the local branch has had since r5 (it was
+    pytest-covered exactly once before this)."""
+
+    def run(spark, n, seed):
+        import shutil
+
+        sc = spark.sparkContext
+        prev = sc.getCheckpointDir()
+        tmp = tempfile.mkdtemp(prefix="fuzz-reliable-ckpt-")
+        sc.setCheckpointDir(tmp)
+        try:
+            return base_fn(spark, n, seed)
+        finally:
+            if prev is not None:
+                sc.setCheckpointDir(prev)
+            else:
+                # there is no public unset; clear the Scala-side Option so
+                # later campaigns in the same session keep exercising the
+                # localCheckpoint default
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                    sc._jvm.scala.Option.empty()
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return run
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
+    "fill_down_ckpt": (_with_checkpoint_dir(fuzz_fill_down), 25),
+    "prefix_sum_ckpt": (_with_checkpoint_dir(fuzz_prefix_sum), 15),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),

@@ -266,21 +266,32 @@ def ivf_topk(
 
     Probe ranking uses the SAME inner-product metric that ``_assign``
     uses to place vectors into lists (FAISS-style metric consistency:
-    the probed cells are the ones the query itself would land in).
-    This makes self-retrieval a guarantee, not a heuristic: a query
-    vector that is in the corpus has its own list as the #1 probed
-    list at any n_probe >= 1 — the structural invariant the driver
-    checks in ann_ivf_planted. (The earlier cosine-ranked probe could,
-    on adversarial centroid norms, rank the query's own cell outside
-    the probe set.) Exact scoring WITHIN the probed lists is still
+    the probed cells are the ones the query itself would land in). So
+    a query vector that is in the corpus has its own list as the #1
+    probed list at any n_probe >= 1 — the structural invariant the
+    driver checks in ann_ivf_planted. (The earlier cosine-ranked probe
+    could, on adversarial centroid norms, rank the query's own cell
+    outside the probe set entirely.) One caveat keeps this short of a
+    theorem: the probe's driver-side gemv and _assign's executor-side
+    gemm may round a dot product differently in the last ulp, so two
+    NEAR-TIED centroids could order differently between the two paths
+    — which is why ann_ivf_planted probes 3 of 8 lists rather than 1
+    (a last-ulp flip moves the assigned cell to probe rank 2, still
+    inside the set). Exact scoring WITHIN the probed lists is still
     cosine.
     """
     cents = centroids.orderBy("list_id").collect()
-    list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
-    cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
-    q = np.array(list(query), dtype=np.float64)
-    order = np.argsort(-(cmat @ q), kind="stable")[:n_probe]
-    probe_ids = [int(x) for x in list_ids[order]]
+    if not cents:
+        # empty index (empty/fully-filtered corpus): degrade to an empty
+        # top-k like the pre-r8 sort-based ranking did, don't crash the
+        # matmul on a zero-row centroid matrix
+        probe_ids: list[int] = []
+    else:
+        list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
+        cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
+        q = np.array(list(query), dtype=np.float64)
+        order = np.argsort(-(cmat @ q), kind="stable")[:n_probe]
+        probe_ids = [int(x) for x in list_ids[order]]
     # the candidate id set is (n_probe/n_lists) × CORPUS rows — unbounded,
     # so no broadcast hint on the semi-join: AQE broadcasts it only when
     # the probed lists are actually small. (Against a stored index the

@@ -585,12 +585,25 @@ def lm_score_from_counts(
             F.sum("m").alias("n_bigrams"),
             # the weighted sum runs in decimal so it is exact and
             # order-independent (a plain double sum flipped the 6dp
-            # rounding on ~1% of docs between engines); the single
-            # double division after it is deterministic
-            (
-                F.sum(nll.cast("decimal(28,6)") * F.col("m")).cast("double")
-                / F.sum("m")
-            ).alias("__avg__"),
+            # rounding on ~1% of docs between engines); ×1e6 turns the
+            # scale-6 decimal into exact integer micro-nats
+            (F.sum(nll.cast("decimal(28,6)") * F.col("m")) * 1000000)
+            .cast("long")
+            .alias("__nmicro__"),
+        )
+        # the average must come out bit-identical on every engine, and a
+        # double division rounded to 6dp is NOT: one doc in 5000 at
+        # sf0.1 landed on a round-half tie and flipped the last digit
+        # between engines (r8). (2N+m) div (2m) is round-half-up of N/m
+        # in exact integer arithmetic (nll terms are >0: the smoothed
+        # bigram probability is strictly < 1), so the 6dp average is an
+        # integer everywhere and /1e6 yields the identical double
+        .withColumn(
+            "__avg__",
+            F.expr(
+                "cast((2 * __nmicro__ + n_bigrams) div (2 * n_bigrams) as double)"
+            )
+            / F.lit(1000000.0),
         )
     )
     base = df.select(F.col(id_col).alias("id"))

@@ -1638,14 +1638,16 @@ FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL ORDER BY a
 def ann_ivf_planted(spark, sf) -> DataFrame:
     """Structural partial-probe IVF check (r7 verdict task 2): a query
     vector that IS a corpus vector must return itself at rank 1 from
-    the probe. Guaranteed, not data-dependent: ivf_topk ranks lists by
+    the probe. Structural, not data-dependent: ivf_topk ranks lists by
     the SAME inner-product metric _assign uses to build them (see the
     metric-consistency note in operators/similarity.py), so the
-    query's own list is always the #1 probed list, the query vector is
-    always a candidate, and cosine(v, v) = 1.0 is the maximum — rank 1
-    under the (cosine desc, id asc) tie-break. Covers the one IVF path
-    with no driver row (single-query ivf_topk at n_probe < n_lists;
-    the full-probe paths are value-checked in ann_ivf_full_probe /
+    query's own list is the #1 probed list — up to a last-ulp gemv/gemm
+    rounding difference on near-tied centroids, absorbed here by
+    probing 3 of the 8 lists — the query vector is a candidate, and
+    cosine(v, v) = 1.0 is the maximum, hence rank 1 under the
+    (cosine desc, id asc) tie-break. Covers the one IVF path with no
+    driver row (single-query ivf_topk at n_probe < n_lists; the
+    full-probe paths are value-checked in ann_ivf_full_probe /
     ann_recall_exact)."""
     from functools import reduce as _reduce
 
@@ -3167,17 +3169,24 @@ dbg AS (SELECT doc_id, bg, w1, COUNT(*) AS m FROM bgs GROUP BY 1,2,3),
 scored AS (
   SELECT dbg.doc_id,
          SUM(dbg.m) AS n_bigrams,
+         -- scale-6 decimal sum ×1e6 = exact integer micro-nats
          CAST(SUM(dbg.m * CAST(ROUND(-ln( (CAST(bi.cb AS DOUBLE) + 0.5)
                                 / (CAST(uni.cw AS DOUBLE) + 0.5*vv.v) ), 6)
-                               AS DECIMAL(28,6))) AS DOUBLE)
-           / SUM(dbg.m) AS avg0
+                               AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS nmicro
   FROM dbg JOIN bi USING (bg) JOIN uni ON uni.tok = dbg.w1 CROSS JOIN vv
-  GROUP BY 1)
+  GROUP BY 1),
+-- (2N+m) // (2m) = round-half-up of N/m in exact integer arithmetic —
+-- the engine-portable 6dp average (a double division rounded to 6dp
+-- flipped a round-half tie on 1 doc in 5000 at sf0.1)
+sc2 AS (
+  SELECT doc_id, n_bigrams,
+         CAST((2*nmicro + n_bigrams) // (2*n_bigrams) AS DOUBLE) / 1000000.0 AS avg0
+  FROM scored)
 SELECT w.doc_id AS id,
        CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        ROUND(s.avg0, 6) AS avg_nll,
        ROUND(exp(ROUND(s.avg0, 6)), 6) AS ppl
-FROM w LEFT JOIN scored s USING (doc_id) ORDER BY id
+FROM w LEFT JOIN sc2 s USING (doc_id) ORDER BY id
 """
 
 
@@ -3808,7 +3817,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # hash-specific queries have an oracle-checked structural sibling).
     # Rotated OUT to free the 15 slots: the long-stable streaming trio
     # (stream_tumbling/stateful/session — green r2..r7), op_fill_down
-    # (green r2..r7 + fuzz 25×2), and ten 2-3×-green r6 rows
+    # (green r2..r7 + fuzz 25×2), and eleven 2-3×-green r6 rows
     # (dedup_rewrite/semantic/keep_best, corpus_mixture, text_bm25/
     # tfidf/chunks, op_filter_closure/intersect_flag/reduce/group_rows);
     # every family keeps an in-window representative (streaming via

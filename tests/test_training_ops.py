@@ -154,7 +154,11 @@ def test_ivf_probe_metric_matches_assignment(spark):
     vector's own list is always the #1 probed list and self-retrieval
     holds at n_probe=1 — the invariant the ann_ivf_planted driver
     oracle relies on. Adversarial centroid norms would break a
-    cosine-ranked probe here; pin the aligned behavior."""
+    cosine-ranked probe here; pin the aligned behavior. (n_probe=1 is
+    the strict form: it additionally assumes the driver-side gemv and
+    executor-side gemm agree on the argmax, which random gaussian data
+    satisfies — centroid dots here are never last-ulp near-ties; the
+    driver oracle itself probes 3 lists to absorb that case.)"""
     rng = np.random.RandomState(11)
     vecs = rng.randn(120, 8).astype("float32")
     df = spark.createDataFrame(
@@ -170,6 +174,17 @@ def test_ivf_probe_metric_matches_assignment(spark):
         ).collect()
         # n_probe=1 probes exactly the query's own cell -> self at rank 1
         assert [r["vec_id"] for r in top1] == [qid], (qid, assigned[qid])
+
+
+def test_ivf_topk_empty_index_returns_empty(spark):
+    """An empty centroid table (empty/fully-filtered corpus) must yield
+    an empty top-k, not a numpy shape error in the probe ranking (r8
+    review regression guard)."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    empty_assign = spark.createDataFrame([], "vec_id long, list_id long")
+    empty_cents = spark.createDataFrame([], "list_id long, centroid array<double>")
+    out = similarity.ivf_topk(df, empty_assign, empty_cents, [1.0, 0.0], k=5, n_probe=2)
+    assert out.count() == 0
 
 
 def test_text_analysis(spark):

@@ -817,6 +817,160 @@ def fuzz_duplicate_spans(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+def fuzz_perplexity(spark, n: int, seed: int) -> list[str]:
+    """lm_score vs a sequential add-0.5-smoothed bigram model: exact
+    n_bigrams and row accounting, avg_nll/ppl within 2e-6 (per-term
+    nll rounds to 6dp on the engine, and JVM vs libm log can differ in
+    the last ulp at a round boundary, so one term may flip by 1e-6 —
+    the tolerance admits that, while any real defect in smoothing,
+    model joins, short-doc handling, or the micro-nat average lands
+    orders of magnitude outside it). Would have caught the r8
+    round-half-tie divergence as a hard engine-vs-model mismatch had
+    the engine's own rounding been wrong rather than engine-specific."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gratum_spark.operators import text as _text
+
+    failures = []
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for t in range(n):
+        rng = random.Random(seed * 742_019 + t)
+        corpus = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+            for d in range(rng.randint(1, 14))
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        out = {
+            r["id"]: r
+            for r in _text.lm_score(docs, "doc_id", "text", alpha=0.5).collect()
+        }
+
+        toks = {d: (s.split(" ") if s else [""]) for d, s in corpus}
+        cw: dict[str, int] = {}
+        cb: dict[tuple[str, str], int] = {}
+        for ws in toks.values():
+            for w in ws:
+                cw[w] = cw.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                cb[(a, b)] = cb.get((a, b), 0) + 1
+        v = float(len(cw))
+        ok = True
+        for d, ws in toks.items():
+            bigrams = list(zip(ws, ws[1:]))
+            r = out.get(d)
+            if r is None:
+                failures.append(f"perplexity trial={t} seed={seed}: doc {d} missing")
+                ok = False
+                break
+            if r["n_bigrams"] != len(bigrams):
+                failures.append(
+                    f"perplexity trial={t} seed={seed} doc={d}: n_bigrams "
+                    f"{r['n_bigrams']} != {len(bigrams)}"
+                )
+                ok = False
+                break
+            if not bigrams:
+                if r["avg_nll"] is not None or r["ppl"] is not None:
+                    failures.append(
+                        f"perplexity trial={t} seed={seed} doc={d}: short doc "
+                        f"must score null, got {r['avg_nll']}"
+                    )
+                    ok = False
+                    break
+                continue
+            nmicro = 0
+            for a, b in bigrams:
+                p = (cb[(a, b)] + 0.5) / (cw[a] + 0.5 * v)
+                term = Decimal(repr(-math.log(p))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                nmicro += int(term * 1_000_000)
+            m = len(bigrams)
+            avg = ((2 * nmicro + m) // (2 * m)) / 1e6
+            if abs(r["avg_nll"] - avg) > 2e-6:
+                failures.append(
+                    f"perplexity trial={t} seed={seed} doc={d}: avg_nll "
+                    f"{r['avg_nll']} != ref {avg}"
+                )
+                ok = False
+                break
+            if abs(r["ppl"] - math.exp(avg)) > 2e-4:
+                failures.append(
+                    f"perplexity trial={t} seed={seed} doc={d}: ppl "
+                    f"{r['ppl']} != ref {math.exp(avg)}"
+                )
+                ok = False
+                break
+        if not ok:
+            break
+    return failures
+
+
+def fuzz_pagerank(spark, n: int, seed: int) -> list[str]:
+    """pagerank (both modes) vs a sequential power iteration on random
+    SMALL nasty graphs: self-loops, duplicate edges (the engine
+    dedups), hub skew, sinks, zero-in-degree nodes, 2-node cycles.
+    The 1M-edge validation (tools/validate_pagerank.py) covers scale;
+    this covers shape coverage — per-node agreement within 1e-9."""
+    from gratum_spark.operators.graph import pagerank as _pagerank
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 550_321 + t)
+        n_nodes = rng.randint(2, 25)
+        n_edges = rng.randint(1, 60)
+        edges = []
+        for _ in range(n_edges):
+            a = rng.randint(0, n_nodes - 1)
+            if rng.random() < 0.15:
+                b = a  # self-loop
+            elif rng.random() < 0.3:
+                b = 0  # hub skew
+            else:
+                b = rng.randint(0, n_nodes - 1)
+            edges.append((a, b))
+        undirected = bool(rng.getrandbits(1))
+        iters = rng.randint(1, 4)
+        d = 0.85
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in _pagerank(
+                df, damping=d, n_iters=iters, undirected=undirected
+            ).collect()
+        }
+
+        es = set(edges)
+        if undirected:
+            es = es | {(b, a) for a, b in es}
+        nodes = sorted({a for a, _ in es} | {b for _, b in es})
+        outdeg = {u: sum(1 for a, _ in es if a == u) for u in nodes}
+        nn = len(nodes)
+        r = {u: 1.0 / nn for u in nodes}
+        for _ in range(iters):
+            contrib = {u: 0.0 for u in nodes}
+            for a, b in es:
+                contrib[b] += r[a] / outdeg[a]
+            dm = sum(r[u] for u in nodes if outdeg[u] == 0)
+            r = {
+                u: (1 - d) / nn + d * (contrib[u] + dm / nn) for u in nodes
+            }
+        if set(got) != set(nodes):
+            failures.append(
+                f"pagerank trial={t} seed={seed}: node set {sorted(got)} != "
+                f"{nodes} (undirected={undirected})"
+            )
+            break
+        err = max(abs(got[u] - r[u]) for u in nodes)
+        if err > 1e-9:
+            failures.append(
+                f"pagerank trial={t} seed={seed}: max per-node err {err:.2e} "
+                f"(undirected={undirected}, iters={iters})"
+            )
+            break
+    return failures
+
+
 def _with_checkpoint_dir(base_fn):
     """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
     same trials with a checkpoint dir set on the SparkContext, so
@@ -854,6 +1008,8 @@ CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "fill_down_ckpt": (_with_checkpoint_dir(fuzz_fill_down), 25),
     "prefix_sum_ckpt": (_with_checkpoint_dir(fuzz_prefix_sum), 15),
+    "perplexity": (fuzz_perplexity, 20),
+    "pagerank": (fuzz_pagerank, 20),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),

@@ -971,6 +971,125 @@ def fuzz_pagerank(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+def fuzz_asof(spark, n: int, seed: int) -> list[str]:
+    """asof_join vs a sequential per-row scan: backward/forward,
+    allow_exact_matches on/off, unmatched lefts keep nulls, row count
+    preserved, multiple left rows at one ts all match. Right (key, ts)
+    pairs are generated UNIQUE — the documented determinism contract
+    (ties between right rows at the same key+ts are unordered)."""
+    from gratum_spark.operators import joins as _joins
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 311_117 + t)
+        keys = list(range(rng.randint(1, 3)))
+        left = [
+            (rng.choice(keys), rng.randint(0, 20), i)
+            for i in range(rng.randint(0, 14))
+        ]
+        right_pairs = set()
+        while len(right_pairs) < rng.randint(0, 12):
+            right_pairs.add((rng.choice(keys), rng.randint(0, 20)))
+        right = [(k, ts, k * 1000 + ts) for k, ts in right_pairs]
+        direction = rng.choice(["backward", "forward"])
+        exact = bool(rng.getrandbits(1))
+
+        ldf = spark.createDataFrame(left, "k long, ts long, lid long") \
+            if left else spark.createDataFrame([], "k long, ts long, lid long")
+        rdf = spark.createDataFrame(right, "k long, ts long, v long") \
+            if right else spark.createDataFrame([], "k long, ts long, v long")
+        out = {
+            r["lid"]: r["v"]
+            for r in _joins.asof_join(
+                ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+                value_cols=["v"], direction=direction,
+                allow_exact_matches=exact,
+            ).collect()
+        }
+
+        def ref_match(k, ts):
+            if direction == "backward":
+                cand = [(rt, v) for rk, rt, v in right
+                        if rk == k and (rt <= ts if exact else rt < ts)]
+                return max(cand)[1] if cand else None
+            cand = [(rt, v) for rk, rt, v in right
+                    if rk == k and (rt >= ts if exact else rt > ts)]
+            return min(cand)[1] if cand else None
+
+        if len(out) != len(left):
+            failures.append(
+                f"asof trial={t} seed={seed}: {len(out)} rows != {len(left)} "
+                f"lefts ({direction}, exact={exact})"
+            )
+            break
+        bad = [
+            (lid, out[lid], ref_match(k, ts))
+            for k, ts, lid in left
+            if out[lid] != ref_match(k, ts)
+        ]
+        if bad:
+            failures.append(
+                f"asof trial={t} seed={seed} ({direction}, exact={exact}): "
+                f"first mismatch lid={bad[0][0]} got={bad[0][1]} want={bad[0][2]}"
+            )
+            break
+    return failures
+
+
+def fuzz_connected_components(spark, n: int, seed: int) -> list[str]:
+    """connected_components vs a sequential union-find with min-label
+    canonicalization: random sparse/dense graphs with self-loops,
+    duplicate and reversed duplicate edges, multiple components, and
+    path chains (diameter kept well under the max_iter cap). The
+    partition AND the min-reachable-id labels must both match."""
+    from gratum_spark.operators import dedup as _dedup
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 610_613 + t)
+        n_nodes = rng.randint(2, 35)
+        edges = []
+        if rng.random() < 0.3:
+            # adversarial shape: a long path (worst-case diameter)
+            chain = list(range(n_nodes))
+            rng.shuffle(chain)
+            edges += list(zip(chain, chain[1:]))
+        for _ in range(rng.randint(1, 40)):
+            a, b = rng.randint(0, n_nodes - 1), rng.randint(0, n_nodes - 1)
+            edges.append((a, b))
+            if rng.random() < 0.2:
+                edges.append((b, a))  # reversed duplicate
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in _dedup.connected_components(df, "a", "b").collect()
+        }
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups: dict[int, list[int]] = {}
+        for u in parent:
+            groups.setdefault(find(u), []).append(u)
+        want = {u: min(g) for g in groups.values() for u in g}
+        if got != want:
+            diff = {u: (got.get(u), want[u]) for u in want if got.get(u) != want[u]}
+            failures.append(
+                f"cc trial={t} seed={seed}: {len(diff)} label diffs, "
+                f"first {sorted(diff.items())[:3]}"
+            )
+            break
+    return failures
+
+
 def _with_checkpoint_dir(base_fn):
     """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
     same trials with a checkpoint dir set on the SparkContext, so
@@ -1010,6 +1129,8 @@ CAMPAIGNS = {
     "prefix_sum_ckpt": (_with_checkpoint_dir(fuzz_prefix_sum), 15),
     "perplexity": (fuzz_perplexity, 20),
     "pagerank": (fuzz_pagerank, 20),
+    "asof": (fuzz_asof, 25),
+    "connected_components": (fuzz_connected_components, 20),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),

@@ -259,7 +259,7 @@ def main() -> int:
     # r5's headline line with `passes` embedded overflowed that capture,
     # leaving BENCH_r05.json unparseable ("parsed": null). The LAST stdout
     # line must stay compact — headline total, per-query mins (2-decimal),
-    # sf, calibration — under 2000 bytes for the current 62-query set
+    # sf, calibration — under 2000 bytes for the current 64-query set
     # (~1650 bytes; the >1900 fallback below drops per-query detail).
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",

@@ -1090,6 +1090,58 @@ def fuzz_connected_components(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+def fuzz_interval_join(spark, n: int, seed: int) -> list[str]:
+    """interval_join_bucketed vs brute-force [lo, hi) containment:
+    random (including negative) coordinates, exact boundary hits
+    (x == lo in, x == hi out), zero-width intervals, bucket widths both
+    finer and coarser than the intervals. Pins the cell-quantization
+    claim that trunc-toward-zero casting covers every containment pair
+    (trunc is monotone, so lo <= x <= hi implies the interval's cell
+    range covers the point's cell) — a switch to floor/round on ONE
+    side only would break negatives and this campaign would catch it."""
+    from gratum_spark.operators import joins as _joins
+
+    failures = []
+    for t in range(n):
+        rng = random.Random(seed * 133_717 + t)
+        npts, nivs = rng.randint(0, 15), rng.randint(0, 10)
+        ivs = []
+        for i in range(nivs):
+            lo = round(rng.uniform(-30, 30), 1)
+            hi = round(lo + rng.uniform(0, 15), 1)
+            ivs.append((i, lo, hi))
+        pts = []
+        for p in range(npts):
+            if ivs and rng.random() < 0.4:
+                _, lo, hi = rng.choice(ivs)
+                x = rng.choice([lo, hi])  # exact boundary hit
+            else:
+                x = round(rng.uniform(-35, 35), 1)
+            pts.append((p, x))
+        w = rng.choice([0.5, 1.0, 3.0, 10.0])
+        pdf = spark.createDataFrame(pts, "pid long, x double") \
+            if pts else spark.createDataFrame([], "pid long, x double")
+        idf = spark.createDataFrame(ivs, "iid long, lo double, hi double") \
+            if ivs else spark.createDataFrame([], "iid long, lo double, hi double")
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in _joins.interval_join_bucketed(
+                pdf, "x", idf, "lo", "hi", w
+            ).collect()
+        )
+        want = sorted(
+            (p, i) for p, x in pts for i, lo, hi in ivs if lo <= x < hi
+        )
+        if got != want:
+            failures.append(
+                f"interval trial={t} seed={seed} w={w}: "
+                f"missing={sorted(set(want)-set(got))[:3]} "
+                f"extra={sorted(set(got)-set(want))[:3]}"
+            )
+            break
+    return failures
+
+
 def _with_checkpoint_dir(base_fn):
     """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
     same trials with a checkpoint dir set on the SparkContext, so
@@ -1131,6 +1183,7 @@ CAMPAIGNS = {
     "pagerank": (fuzz_pagerank, 20),
     "asof": (fuzz_asof, 25),
     "connected_components": (fuzz_connected_components, 20),
+    "interval_join": (fuzz_interval_join, 25),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),

@@ -44,6 +44,19 @@ mixture         mixture_sample vs an exact (key, epoch) multiset model
 bm25            bm25_topk vs the textbook formula; rank consistency.
 resample        resample_interpolate vs a sequential grid replay
                 (extent, exact hits, interpolation, tail fill).
+duplicate_spans exact-substring span dedup + rewrite vs a sequential
+                window-count/island-merge model.
+perplexity      lm_score vs a sequential smoothed bigram model
+                (micro-nat average, short/empty docs).
+pagerank        both modes vs a sequential power iteration on small
+                nasty graphs (self-loops, hub skew, sinks).
+asof            asof_join vs a per-row scan (backward/forward ×
+                exact-match on/off, unmatched nulls).
+connected_components  vs union-find with min-label canonicalization.
+interval_join   interval_join_bucketed vs brute-force containment.
+fill_down_ckpt / prefix_sum_ckpt  same trials as their base campaigns
+                but with a checkpoint dir set, driving the replayable
+                persist().checkpoint() cluster branch.
 
 On failure the campaign prints the trial seed and the minimal
 input/expected/got triple, and the process exits non-zero.

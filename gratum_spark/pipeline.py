@@ -477,13 +477,20 @@ class Pipeline:
         """Trim whitespace on all string columns (Pipeline.groovy:301-306).
 
         Gratum stringifies every value; we trim only string-typed columns
-        to preserve the typed schema.
+        to preserve the typed schema. The reference calls Java
+        ``String.trim()``, which strips EVERY char <= U+0020 (tabs,
+        newlines, CR, NUL) from both ends — Spark's ``F.trim`` strips
+        only the space character, so a regexp strip (still JVM-side
+        codegen) is used to match the Java contract exactly.
         """
         strings = {f.name for f in self.df.schema.fields if isinstance(f.dataType, StringType)}
+        java_trim = r"^[\x00-\x20]+|[\x00-\x20]+$"
         return self._next(
             self.df.select(
                 *[
-                    F.trim(F.col(c)).alias(c) if c in strings else F.col(c)
+                    F.regexp_replace(F.col(c), java_trim, "").alias(c)
+                    if c in strings
+                    else F.col(c)
                     for c in self.df.columns
                 ]
             )

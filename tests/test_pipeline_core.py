@@ -179,6 +179,27 @@ def test_trim_defaults_replace(spark):
     assert got == [("Z", "keep", "feline"), ("x", "filled", "feline"), ("y", "filled", "dog")]
 
 
+def test_trim_strips_java_whitespace(spark):
+    """Java String.trim() strips every char <= U+0020 — tabs, newlines,
+    CR — not just spaces (Pipeline.groovy:301-306). Spark's F.trim is
+    space-only; the regexp strip must match the Java contract."""
+    rows = [
+        {"a": "\thello\n", "b": "\r\n mixed \t "},
+        {"a": "plain", "b": None},
+        {"a": "\x00nul\x01", "b": "  inner\tkept  "},
+    ]
+    p = sources.from_collection(spark, rows, "a string, b string")
+    got = sorted(
+        [(r["a"], r["b"]) for r in p.trim().df.collect()],
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [
+        ("hello", "mixed"),
+        ("nul", "inner\tkept"),
+        ("plain", None),
+    ]
+
+
 def test_coercions(spark):
     rows = [
         {"n": "12", "d": "1.5", "b": "Y", "dt": "2024-01-02"},

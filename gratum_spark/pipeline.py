@@ -884,13 +884,25 @@ class Pipeline:
 
     def as_boolean(self, column: str) -> "Pipeline":
         """Y/yes/1/T => true; N/no/0/F/null-words => false; else parseBoolean
-        (Pipeline.groovy:733-769). Pure expression — no UDF."""
-        c = F.upper(F.trim(F.col(column).cast("string")))
+        (Pipeline.groovy:733-769). Pure expression — no UDF.
+
+        Matches the reference switch EXACTLY: the recognized literals are
+        case-sensitive ("Yes" is true but "yES" falls through), values are
+        NOT trimmed (" Y " falls through), and the fallthrough is
+        ``Boolean.parseBoolean`` — true iff the value equals "true"
+        case-insensitively. Null/"" skip the switch in the reference
+        (Groovy ``if (value)``) and keep their original value; the typed
+        boolean column here maps both to null instead.
+        """
+        c = F.col(column).cast("string")
         parsed = (
-            F.when(c.isin("Y", "YES", "1", "T", "TRUE"), F.lit(True))
-            .when(c.isin("N", "NO", "0", "F", "FALSE", "NULL", "NONE", "NIL"), F.lit(False))
-            .when(c.isNull() | (c == ""), F.lit(None).cast("boolean"))
-            .otherwise(F.lit(False))  # Boolean.parseBoolean: anything else is false
+            F.when(c.isNull() | (c == ""), F.lit(None).cast("boolean"))
+            .when(c.isin("Y", "y", "yes", "YES", "Yes", "1", "T", "t"), F.lit(True))
+            .when(
+                c.isin("n", "N", "NO", "no", "No", "0", "F", "f", "null", "Null", "NULL"),
+                F.lit(False),
+            )
+            .otherwise(F.lower(c) == "true")  # Boolean.parseBoolean
         )
         return self._next(self.df.withColumn(column, parsed))
 

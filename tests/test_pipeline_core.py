@@ -222,6 +222,27 @@ def test_coercions(spark):
     assert dts == ["2024-01-02", "2024-01-15"]
 
 
+def test_as_boolean_reference_truth_table(spark):
+    """Pins the reference's exact case-sensitive switch + parseBoolean
+    fallthrough (Pipeline.groovy:733-769): "Yes" is listed, "yES" is not
+    (parseBoolean => false); untrimmed " Y " falls through to false;
+    "TRUE"/"True" hit parseBoolean's case-insensitive match."""
+    cases = [
+        ("Y", True), ("y", True), ("yes", True), ("Yes", True), ("YES", True),
+        ("1", True), ("T", True), ("t", True),
+        ("TRUE", True), ("True", True), ("true", True),
+        ("N", False), ("no", False), ("No", False), ("0", False),
+        ("F", False), ("f", False), ("null", False), ("NULL", False),
+        ("yES", False), (" Y ", False), ("FALSE", False), ("maybe", False),
+        (None, None), ("", None),
+    ]
+    rows = [{"i": i, "b": v} for i, (v, _) in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "i long, b string")
+    got = {r["i"]: r["b"] for r in p.as_boolean("b").df.collect()}
+    for i, (v, want) in enumerate(cases):
+        assert got[i] == want, f"as_boolean({v!r}) = {got[i]}, want {want}"
+
+
 def test_as_date_rejects(spark):
     p = sources.from_collection(spark, [{"dt": "not-a-date"}], "dt string")
     stat = p.as_date("dt", "yyyy-MM-dd").go()

@@ -858,7 +858,9 @@ class Pipeline:
         input but null output) rejects; null/empty passes through as null.
         (reference: asInt Pipeline.groovy:716-726, asDouble 699-709)"""
         src = F.col(column)
-        had_value = src.isNotNull() & (F.trim(src.cast("string")) != "")
+        # Groovy `if (value)` skips only null/"" — a whitespace-only
+        # string is truthy, hits the parser, throws, and REJECTS.
+        had_value = src.isNotNull() & (src.cast("string") != "")
         marked = self.df.withColumn("__parsed__", parsed)
         bad = had_value & F.col("__parsed__").isNull()
         kept = (
@@ -876,10 +878,20 @@ class Pipeline:
 
     def as_int(self, column: str) -> "Pipeline":
         """Parse as long (gratum Integer; long for 100 TB key spaces).
-        try_cast keeps ANSI mode crash-free; failures reject INVALID_FORMAT."""
-        return self._coerce(column, F.col(column).try_cast("long"), "Int")
+        try_cast keeps ANSI mode crash-free; failures reject INVALID_FORMAT.
+
+        ``Integer.parseInt`` accepts ONLY ``[+-]?digits`` — no decimal
+        point, no exponent, and unlike Spark's string-to-number cast no
+        surrounding whitespace — so a regex guard rejects what Java
+        would throw on (" 12 ", "12.5") before the cast."""
+        src = F.col(column).cast("string")
+        parsed = F.when(src.rlike(r"^[+-]?[0-9]+$"), src.try_cast("long"))
+        return self._coerce(column, parsed, "Int")
 
     def as_double(self, column: str) -> "Pipeline":
+        """``Double.parseDouble`` DOES ignore surrounding whitespace and
+        accepts exponents — Spark's try_cast("double") matches it on
+        every form the reference's tests exercise."""
         return self._coerce(column, F.col(column).try_cast("double"), "Double")
 
     def as_boolean(self, column: str) -> "Pipeline":

@@ -222,6 +222,29 @@ def test_coercions(spark):
     assert dts == ["2024-01-02", "2024-01-15"]
 
 
+def test_as_int_java_parse_contract(spark):
+    """Integer.parseInt accepts only [+-]?digits: " 12 " and "12.5"
+    throw (reject INVALID_FORMAT), "+7" parses, whitespace-only is
+    Groovy-truthy so it hits the parser and rejects, null/"" skip
+    (Pipeline.groovy:716-726)."""
+    rows = [
+        {"i": 0, "n": "12"}, {"i": 1, "n": " 12 "}, {"i": 2, "n": "12.5"},
+        {"i": 3, "n": "+7"}, {"i": 4, "n": "   "}, {"i": 5, "n": None},
+        {"i": 6, "n": ""},
+    ]
+    p = sources.from_collection(spark, rows, "i long, n string")
+    stepped = p.as_int("n")
+    stat = stepped.go()
+    assert stat.loaded == 4  # 12, +7, null, ""
+    assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 3
+    got = {r["i"]: r["n"] for r in stepped.df.collect()}
+    assert got == {0: 12, 3: 7, 5: None, 6: None}
+    # parseDouble DOES ignore whitespace and accepts exponents
+    stat_d = p.as_double("n").go()
+    assert stat_d.loaded == 6  # only "   " rejects
+    assert stat_d.rejections_for(RejectionCategory.INVALID_FORMAT) == 1
+
+
 def test_as_boolean_reference_truth_table(spark):
     """Pins the reference's exact case-sensitive switch + parseBoolean
     fallthrough (Pipeline.groovy:733-769): "Yes" is listed, "yES" is not

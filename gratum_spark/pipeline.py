@@ -843,12 +843,21 @@ class Pipeline:
         )
 
     def replace_values(self, column: str, mapping: Mapping[str, Any]) -> "Pipeline":
-        """Dictionary value substitution (Pipeline.groovy:1163-1171)."""
+        """Dictionary value substitution (Pipeline.groovy:1163-1171).
+
+        The reference assigns ``values[v] ?: row[column]`` — Groovy's
+        elvis — so a FALSY replacement value (null, "", 0, false) keeps
+        the original value rather than overwriting it. Falsy entries are
+        therefore dropped from the mapping up front."""
         col = F.col(column)
         out = None
         for k, v in mapping.items():
+            if not v:  # Groovy elvis: falsy replacement keeps the original
+                continue
             cond = col == F.lit(k)
             out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+        if out is None:
+            return self._next(self.df)
         return self._next(self.df.withColumn(column, out.otherwise(col)))
 
     # ------------------------------------------------------------- coercions

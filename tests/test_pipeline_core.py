@@ -222,6 +222,24 @@ def test_coercions(spark):
     assert dts == ["2024-01-02", "2024-01-15"]
 
 
+def test_replace_values_falsy_replacement_keeps_original(spark):
+    """Pipeline.groovy:1163-1171 assigns `values[v] ?: row[column]` —
+    the Groovy elvis means mapping a key to ""/null/0 keeps the
+    ORIGINAL value instead of blanking it."""
+    rows = [{"c": "cat"}, {"c": "dog"}, {"c": "fox"}]
+    p = sources.from_collection(spark, rows, "c string")
+    out = sorted(
+        r["c"]
+        for r in p.replace_values(
+            "c", {"cat": "feline", "dog": "", "fox": None}
+        ).df.collect()
+    )
+    assert out == ["dog", "feline", "fox"]
+    # all-falsy mapping is a no-op, not a crash
+    out2 = sorted(r["c"] for r in p.replace_values("c", {"cat": None}).df.collect())
+    assert out2 == ["cat", "dog", "fox"]
+
+
 def test_as_int_java_parse_contract(spark):
     """Integer.parseInt accepts only [+-]?digits: " 12 " and "12.5"
     throw (reject INVALID_FORMAT), "+7" parses, whitespace-only is

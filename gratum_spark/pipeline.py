@@ -929,7 +929,15 @@ class Pipeline:
 
     def as_date(self, column: str, *formats: str) -> "Pipeline":
         """Try formats in order, first wins; unparsable rejects INVALID_FORMAT
-        (Pipeline.groovy:779-798). Formats are Spark datetime patterns."""
+        (Pipeline.groovy:779-798). Formats are Spark datetime patterns.
+
+        Deliberate divergence: the reference's ``SimpleDateFormat`` is
+        LENIENT by default — it rolls overflow dates ("2024-02-31" parses
+        as 2024-03-02) and ignores trailing junk after the pattern.
+        Spark's ``try_to_timestamp`` is strict; both behaviors the
+        leniency would accept are rejected here as INVALID_FORMAT, which
+        is the widely-expected semantics and what the reference's own
+        tests exercise."""
         fmts = list(formats) or ["yyyy-MM-dd"]
         parsed = F.coalesce(
             *[F.try_to_timestamp(F.col(column).cast("string"), F.lit(f)) for f in fmts]

@@ -892,9 +892,12 @@ class Pipeline:
         ``Integer.parseInt`` accepts ONLY ``[+-]?digits`` — no decimal
         point, no exponent, and unlike Spark's string-to-number cast no
         surrounding whitespace — so a regex guard rejects what Java
-        would throw on (" 12 ", "12.5") before the cast."""
+        would throw on (" 12 ", "12.5") before the cast. The guard is
+        ``\\z``-anchored: Java regex ``$`` matches BEFORE a final
+        newline, so ``"12\\n"`` would pass a ``$`` anchor and then be
+        whitespace-trimmed to 12 by the cast — parseInt throws on it."""
         src = F.col(column).cast("string")
-        parsed = F.when(src.rlike(r"^[+-]?[0-9]+$"), src.try_cast("long"))
+        parsed = F.when(src.rlike(r"^[+-]?[0-9]+\z"), src.try_cast("long"))
         return self._coerce(column, parsed, "Int")
 
     def as_double(self, column: str) -> "Pipeline":

@@ -257,6 +257,16 @@ def test_as_int_java_parse_contract(spark):
     assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 3
     got = {r["i"]: r["n"] for r in stepped.df.collect()}
     assert got == {0: 12, 3: 7, 5: None, 6: None}
+    # Java regex `$` matches BEFORE a final newline, so "12\n" passes a
+    # $-anchored guard and the cast trims it to 12 — parseInt throws on
+    # it. The \z anchor pins the reject.
+    nl = sources.from_collection(
+        spark, [{"i": 0, "n": "12\n"}, {"i": 1, "n": "\n12"}],
+        "i long, n string",
+    ).as_int("n")
+    nl_stat = nl.go()
+    assert nl_stat.loaded == 0
+    assert nl_stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 2
     # parseDouble DOES ignore whitespace and accepts exponents
     stat_d = p.as_double("n").go()
     assert stat_d.loaded == 6  # only "   " rejects

@@ -54,6 +54,12 @@ asof            asof_join vs a per-row scan (backward/forward ×
                 exact-match on/off, unmatched nulls).
 connected_components  vs union-find with min-label canonicalization.
 interval_join   interval_join_bucketed vs brute-force containment.
+coercions       trim / as_boolean / replace_values / defaults /
+                as_int / as_double / as_date vs the reference truth
+                tables (Java parse contracts, case-sensitive boolean
+                switch, Groovy elvis substitution, <= U+0020 trim,
+                strict date resolution) with LoadStatistic
+                loaded/rejected accounting.
 fill_down_ckpt / prefix_sum_ckpt  same trials as their base campaigns
                 but with a checkpoint dir set, driving the replayable
                 persist().checkpoint() cluster branch.
@@ -1155,6 +1161,214 @@ def fuzz_interval_join(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+# ---------------------------------------------------------------- coercions
+
+# strings exercising every branch of the scalar-coercion truth tables:
+# Java parse contracts (whitespace, signs, overflow, newline-anchor),
+# the case-sensitive asBoolean switch, Java String.trim's <= U+0020
+# sweep (NBSP is NOT whitespace to it), strict date resolution.
+COERCE_POOL = [
+    None, "", "  ", "\t", "\n",
+    "12", "+7", "-13", "007", "0", "-0", "9223372036854775807",
+    "9223372036854775808", " 12 ", "12 ", " 12", "12.5", "1e3",
+    "12abc", "abc", "+", "-", "--5", "12\n", "\n12", "\t42", "0x1F",
+    "Y", "y", "yes", "YES", "Yes", "yES", "1", "T", "t",
+    "n", "N", "NO", "no", "No", "F", "f", "null", "Null", "NULL",
+    "true", "TRUE", "tRuE", "false", "False", " Y ", "maybe",
+    "1.5", " 2.5 ", "-0.25", "3.0e-2", "1.", ".5", "3,14", "1..2",
+    " 2.5", "2024-02-29", "2023-02-29", "2024-02-31", "2024-1-5",
+    "2024-02-29 x", "02/29/2024", "13/01/2024", "2024-12-31",
+    "\x00a\x00", " nb ", "a\rb", " both ", "tab\there",
+]
+
+_LONG_MIN, _LONG_MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+def _java_trim(s):
+    """Java String.trim: strip every char <= U+0020 from both ends."""
+    if s is None:
+        return None
+    start, end = 0, len(s)
+    while start < end and ord(s[start]) <= 0x20:
+        start += 1
+    while end > start and ord(s[end - 1]) <= 0x20:
+        end -= 1
+    return s[start:end]
+
+
+def _model_as_int(s):
+    """(kept, value): Integer.parseInt contract — [+-]?digits only, no
+    surrounding whitespace (incl. a trailing newline), overflow throws;
+    null/"" skip the parser and stay null."""
+    import re as _re2
+
+    if s is None or s == "":
+        return True, None
+    if not _re2.fullmatch(r"[+-]?[0-9]+", s):
+        return False, None
+    v = int(s)
+    if not _LONG_MIN <= v <= _LONG_MAX:
+        return False, None
+    return True, v
+
+
+def _model_as_double(s):
+    """Double.parseDouble on the plain decimal/exponent forms in the
+    pool (parseDouble itself trims chars <= U+0020; NBSP is not
+    trimmed). Special literals / hex floats / f-suffix are excluded
+    from COERCE_POOL — documented engine divergence territory."""
+    import re as _re2
+
+    if s is None or s == "":
+        return True, None
+    t = _java_trim(s)
+    if not _re2.fullmatch(r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?", t):
+        return False, None
+    return True, float(t)
+
+
+_BOOL_TRUE = {"Y", "y", "yes", "YES", "Yes", "1", "T", "t"}
+_BOOL_FALSE = {"n", "N", "NO", "no", "No", "0", "F", "f", "null", "Null", "NULL"}
+
+
+def _model_as_boolean(s):
+    """The reference's case-sensitive switch, untrimmed, with
+    Boolean.parseBoolean fallthrough; null/"" map to null."""
+    if s is None or s == "":
+        return None
+    if s in _BOOL_TRUE:
+        return True
+    if s in _BOOL_FALSE:
+        return False
+    return s.lower() == "true"
+
+
+def _model_as_date(s, fmts):
+    """(kept, value): strict resolution, zero-padded fields, full-string
+    match, first format wins; null/"" stay null."""
+    import datetime as _dt
+    import re as _re2
+
+    if s is None or s == "":
+        return True, None
+    shapes = {
+        "yyyy-MM-dd": (r"(\d{4})-(\d{2})-(\d{2})", (1, 2, 3)),
+        "MM/dd/yyyy": (r"(\d{2})/(\d{2})/(\d{4})", (3, 1, 2)),
+    }
+    for f in fmts:
+        pat, (gy, gm, gd) = shapes[f]
+        m = _re2.fullmatch(pat, s)
+        if not m:
+            continue
+        try:
+            return True, _dt.date(int(m.group(gy)), int(m.group(gm)), int(m.group(gd)))
+        except ValueError:
+            continue
+    return False, None
+
+
+def fuzz_coercions(spark, n: int, seed: int) -> list[str]:
+    """Scalar coercion + substitution ops vs the reference truth tables
+    (the r8 semantics-audit surface): trim, as_boolean, replace_values,
+    default_values/defaults_by on every trial; one reject-accounted
+    coercion (as_int / as_double / as_date) per trial with
+    LoadStatistic loaded/rejected checks."""
+    from gratum_spark import sources
+
+    failures = []
+    fmts = ["yyyy-MM-dd", "MM/dd/yyyy"]
+    for t in range(n):
+        rng = random.Random(seed * 700_003 + t)
+        size = rng.randint(1, 40)
+        rows = [
+            {"i": i, "s": rng.choice(COERCE_POOL), "s2": rng.choice(COERCE_POOL)}
+            for i in range(size)
+        ]
+        p = sources.from_collection(
+            spark, rows, "i long, s string, s2 string", name="fzc", ordered=True
+        )
+
+        # trim: Java String.trim on every string column
+        got = sorted(
+            (r["i"], r["s"], r["s2"]) for r in p.trim().df.collect()
+        )
+        want = sorted(
+            (r["i"], _java_trim(r["s"]), _java_trim(r["s2"])) for r in rows
+        )
+        if got != want:
+            failures.append(
+                f"trim trial={t} seed={seed}: first diff "
+                f"{next((a, b) for a, b in zip(got, want) if a != b)}"
+            )
+            break
+
+        # as_boolean: truth table, no rejects
+        bgot = sorted((r["i"], r["s"]) for r in p.as_boolean("s").df.collect())
+        bwant = sorted((r["i"], _model_as_boolean(r["s"])) for r in rows)
+        if bgot != bwant:
+            failures.append(
+                f"as_boolean trial={t} seed={seed}: first diff "
+                f"{next((a, b) for a, b in zip(bgot, bwant) if a != b)}"
+            )
+            break
+
+        # replace_values: Groovy elvis — falsy replacements keep original
+        keys = [k for k in rng.sample(COERCE_POOL, 6) if k is not None]
+        mapping = {k: rng.choice([None, "", "X", "0", "zzz"]) for k in keys}
+        rgot = sorted((r["i"], r["s"]) for r in p.replace_values("s", mapping).df.collect())
+        live = {k: v for k, v in mapping.items() if v}
+        rwant = sorted(
+            (r["i"], live.get(r["s"], r["s"]) if r["s"] is not None else None)
+            for r in rows
+        )
+        if rgot != rwant:
+            failures.append(
+                f"replace_values trial={t} seed={seed} mapping={mapping!r}: "
+                f"first diff {next((a, b) for a, b in zip(rgot, rwant) if a != b)}"
+            )
+            break
+
+        # default_values / defaults_by: string falsy = null or ""
+        dgot = sorted((r["i"], r["s"]) for r in p.default_values({"s": "D"}).df.collect())
+        dwant = sorted(
+            (r["i"], r["s"] if r["s"] not in (None, "") else "D") for r in rows
+        )
+        bygot = sorted((r["i"], r["s"]) for r in p.defaults_by({"s": "s2"}).df.collect())
+        bywant = sorted(
+            (r["i"], r["s"] if r["s"] not in (None, "") else r["s2"]) for r in rows
+        )
+        if dgot != dwant or bygot != bywant:
+            failures.append(
+                f"defaults trial={t} seed={seed}: "
+                f"default_values diff={dgot != dwant} defaults_by diff={bygot != bywant}"
+            )
+            break
+
+        # one reject-accounted coercion per trial
+        which = rng.choice(["int", "double", "date"])
+        if which == "int":
+            stepped, model = p.as_int("s"), _model_as_int
+        elif which == "double":
+            stepped, model = p.as_double("s"), _model_as_double
+        else:
+            stepped, model = p.as_date("s", *fmts), (
+                lambda v: _model_as_date(v, fmts)
+            )
+        stat = stepped.go()
+        cgot = sorted((r["i"], r["s"]) for r in stepped.df.collect())
+        modeled = [(r["i"], model(r["s"])) for r in rows]
+        cwant = sorted((i, v) for i, (kept, v) in modeled if kept)
+        n_rej = sum(1 for _, (kept, _v) in modeled if not kept)
+        if cgot != cwant or stat.loaded != len(cwant) or stat.rejected != n_rej:
+            failures.append(
+                f"as_{which} trial={t} seed={seed}: loaded={stat.loaded}/"
+                f"{len(cwant)} rejected={stat.rejected}/{n_rej} first diff "
+                f"{next(((a, b) for a, b in zip(cgot, cwant) if a != b), None)}"
+            )
+            break
+    return failures
+
+
 def _with_checkpoint_dir(base_fn):
     """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
     same trials with a checkpoint dir set on the SparkContext, so
@@ -1208,6 +1422,7 @@ CAMPAIGNS = {
     "bm25": (fuzz_bm25, 20),
     "resample": (fuzz_resample, 25),
     "duplicate_spans": (fuzz_duplicate_spans, 20),
+    "coercions": (fuzz_coercions, 25),
 }
 
 

@@ -902,9 +902,20 @@ class Pipeline:
 
     def as_double(self, column: str) -> "Pipeline":
         """``Double.parseDouble`` DOES ignore surrounding whitespace and
-        accepts exponents — Spark's try_cast("double") matches it on
-        every form the reference's tests exercise."""
-        return self._coerce(column, F.col(column).try_cast("double"), "Double")
+        accepts exponents, ``f``/``d`` suffixes and hex floats —
+        Spark's try_cast("double") matches it on all of those. The one
+        place Spark is MORE lenient is special literals: it accepts
+        "inf" / "nan" / any-case "INFINITY", where the Java grammar
+        takes only case-sensitive ``[+-]?(NaN|Infinity)`` — those
+        extras are guarded back to INVALID_FORMAT rejects."""
+        src = F.col(column).cast("string")
+        stripped = F.regexp_replace(src, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+        lenient_special = F.lower(stripped).isin(
+            "inf", "+inf", "-inf", "nan", "+nan", "-nan",
+            "infinity", "+infinity", "-infinity",
+        ) & ~stripped.rlike(r"^[+-]?(NaN|Infinity)\z")
+        parsed = F.when(~lenient_special, src.try_cast("double"))
+        return self._coerce(column, parsed, "Double")
 
     def as_boolean(self, column: str) -> "Pipeline":
         """Y/yes/1/T => true; N/no/0/F/null-words => false; else parseBoolean

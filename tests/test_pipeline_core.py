@@ -273,6 +273,33 @@ def test_as_int_java_parse_contract(spark):
     assert stat_d.rejections_for(RejectionCategory.INVALID_FORMAT) == 1
 
 
+def test_as_double_java_special_literals(spark):
+    """Double.parseDouble takes only case-sensitive [+-]?(NaN|Infinity)
+    — "inf"/"nan"/"INFINITY" throw. Spark's cast is case-insensitive
+    and accepts the short "inf" forms, so as_double guards those back
+    to INVALID_FORMAT rejects; f/d suffixes and hex floats are part of
+    the Java grammar and stay accepted."""
+    import math
+
+    rows = [
+        {"i": 0, "n": "Infinity"}, {"i": 1, "n": "-Infinity"},
+        {"i": 2, "n": "NaN"}, {"i": 3, "n": "-NaN"}, {"i": 4, "n": " NaN "},
+        {"i": 5, "n": "inf"}, {"i": 6, "n": "nan"}, {"i": 7, "n": "INFINITY"},
+        {"i": 8, "n": "Nan"}, {"i": 9, "n": "-inf"},
+        {"i": 10, "n": "1.5f"}, {"i": 11, "n": "2.5d"}, {"i": 12, "n": "0x1p3"},
+        {"i": 13, "n": "0x1F"},
+    ]
+    p = sources.from_collection(spark, rows, "i long, n string")
+    stepped = p.as_double("n")
+    stat = stepped.go()
+    assert stat.loaded == 8  # 0-4 (Java literals) + suffix/hex forms
+    assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 6
+    got = {r["i"]: r["n"] for r in stepped.df.collect()}
+    assert got[0] == math.inf and got[1] == -math.inf
+    assert math.isnan(got[2]) and math.isnan(got[3]) and math.isnan(got[4])
+    assert got[10] == 1.5 and got[11] == 2.5 and got[12] == 8.0
+
+
 def test_as_boolean_reference_truth_table(spark):
     """Pins the reference's exact case-sensitive switch + parseBoolean
     fallthrough (Pipeline.groovy:733-769): "Yes" is listed, "yES" is not

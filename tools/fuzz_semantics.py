@@ -1176,7 +1176,10 @@ COERCE_POOL = [
     "n", "N", "NO", "no", "No", "F", "f", "null", "Null", "NULL",
     "true", "TRUE", "tRuE", "false", "False", " Y ", "maybe",
     "1.5", " 2.5 ", "-0.25", "3.0e-2", "1.", ".5", "3,14", "1..2",
-    " 2.5", "2024-02-29", "2023-02-29", "2024-02-31", "2024-1-5",
+    " 2.5", "Infinity", "-Infinity", "+Infinity", "NaN", "-NaN",
+    "inf", "-inf", "nan", "INFINITY", "Nan", "1.5f", "1.5F", "2.5d",
+    "3e2f", "0x1p3", "0x.8p1", "0x1p", "5.e3",
+    "2024-02-29", "2023-02-29", "2024-02-31", "2024-1-5",
     "2024-02-29 x", "02/29/2024", "13/01/2024", "2024-12-31",
     "\x00a\x00", " nb ", "a\rb", " both ", "tab\there",
 ]
@@ -1213,18 +1216,32 @@ def _model_as_int(s):
 
 
 def _model_as_double(s):
-    """Double.parseDouble on the plain decimal/exponent forms in the
-    pool (parseDouble itself trims chars <= U+0020; NBSP is not
-    trimmed). Special literals / hex floats / f-suffix are excluded
-    from COERCE_POOL — documented engine divergence territory."""
+    """Full Double.parseDouble grammar: chars <= U+0020 trimmed (NBSP
+    is not), case-sensitive [+-]?(NaN|Infinity) special literals,
+    decimal/exponent with optional f/F/d/D suffix, hex floats with a
+    REQUIRED binary exponent. "inf"/"nan"/"INFINITY" throw in Java —
+    the engine guards Spark's more-lenient special literals back to
+    rejects."""
     import re as _re2
 
     if s is None or s == "":
         return True, None
     t = _java_trim(s)
-    if not _re2.fullmatch(r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?", t):
-        return False, None
-    return True, float(t)
+    if _re2.fullmatch(r"[+-]?(NaN|Infinity)", t):
+        return True, float(t)
+    m = _re2.fullmatch(
+        r"([+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?)[fFdD]?", t
+    )
+    if m:
+        return True, float(m.group(1))
+    m = _re2.fullmatch(
+        r"([+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+        r"[pP][+-]?[0-9]+)[fFdD]?",
+        t,
+    )
+    if m:
+        return True, float.fromhex(m.group(1))
+    return False, None
 
 
 _BOOL_TRUE = {"Y", "y", "yes", "YES", "Yes", "1", "T", "t"}
@@ -1355,9 +1372,13 @@ def fuzz_coercions(spark, n: int, seed: int) -> list[str]:
                 lambda v: _model_as_date(v, fmts)
             )
         stat = stepped.go()
-        cgot = sorted((r["i"], r["s"]) for r in stepped.df.collect())
+
+        def _nn(v):  # NaN-aware compare: nan != nan would fail the tuple eq
+            return "NaN" if isinstance(v, float) and math.isnan(v) else v
+
+        cgot = sorted((r["i"], _nn(r["s"])) for r in stepped.df.collect())
         modeled = [(r["i"], model(r["s"])) for r in rows]
-        cwant = sorted((i, v) for i, (kept, v) in modeled if kept)
+        cwant = sorted((i, _nn(v)) for i, (kept, v) in modeled if kept)
         n_rej = sum(1 for _, (kept, _v) in modeled if not kept)
         if cgot != cwant or stat.loaded != len(cwant) or stat.rejected != n_rej:
             failures.append(

@@ -334,23 +334,34 @@ def ivf_topk_many(
     (qid, id, cosine).
     """
     cents = centroids.orderBy("list_id").collect()
-    list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
-    cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
+    if not cents:
+        # empty index (empty/fully-filtered corpus): zero probe pairs →
+        # empty top-k through the normal plan, instead of a numpy shape
+        # error on the zero-row centroid matmul (mirror of ivf_topk's
+        # guard; same downstream schema as the non-empty path)
+        probes = queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+            F.lit(0).cast("long").alias("list_id"),
+        ).limit(0)
+    else:
+        list_ids = np.array([r["list_id"] for r in cents], dtype=np.int64)
+        cmat = np.array([list(r["centroid"]) for r in cents], dtype=np.float64)
 
-    @F.pandas_udf("array<long>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        # rank lists by the ASSIGNMENT metric (raw inner product, same
-        # as _assign) so a corpus vector's own list is always probed
-        # first — see ivf_topk's docstring on metric consistency
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        order = np.argsort(-(mat @ cmat.T), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([list(list_ids[row]) for row in order])
+        @F.pandas_udf("array<long>")
+        def probe_lists(vecs: pd.Series) -> pd.Series:
+            # rank lists by the ASSIGNMENT metric (raw inner product, same
+            # as _assign) so a corpus vector's own list is always probed
+            # first — see ivf_topk's docstring on metric consistency
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            order = np.argsort(-(mat @ cmat.T), axis=1, kind="stable")[:, :n_probe]
+            return pd.Series([list(list_ids[row]) for row in order])
 
-    probes = queries.select(
-        F.col(query_id_col).alias("qid"),
-        F.col(query_vec_col).alias("qv"),
-        F.explode(probe_lists(F.col(query_vec_col))).alias("list_id"),
-    )
+        probes = queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+            F.explode(probe_lists(F.col(query_vec_col))).alias("list_id"),
+        )
     candidates = assignments.join(
         F.broadcast(probes.select("qid", "list_id")), on="list_id"
     ).select("qid", id_col)

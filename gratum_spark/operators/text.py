@@ -597,13 +597,19 @@ def lm_score_from_counts(
         # between engines (r8). (2N+m) div (2m) is round-half-up of N/m
         # in exact integer arithmetic (nll terms are >0: the smoothed
         # bigram probability is strictly < 1), so the 6dp average is an
-        # integer everywhere and /1e6 yields the identical double
+        # integer everywhere and /1e6 yields the identical double.
+        # n_bigrams >= 1 by construction (groups exist only for docs
+        # that emitted a bigram), but guard anyway: a zero-count group
+        # must yield null, not an ANSI DIVIDE_BY_ZERO
         .withColumn(
             "__avg__",
-            F.expr(
-                "cast((2 * __nmicro__ + n_bigrams) div (2 * n_bigrams) as double)"
-            )
-            / F.lit(1000000.0),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr(
+                    "cast((2 * __nmicro__ + n_bigrams) div (2 * n_bigrams) as double)"
+                )
+                / F.lit(1000000.0),
+            ),
         )
     )
     base = df.select(F.col(id_col).alias("id"))

@@ -895,7 +895,15 @@ class Pipeline:
         would throw on (" 12 ", "12.5") before the cast. The guard is
         ``\\z``-anchored: Java regex ``$`` matches BEFORE a final
         newline, so ``"12\\n"`` would pass a ``$`` anchor and then be
-        whitespace-trimmed to 12 by the cast — parseInt throws on it."""
+        whitespace-trimmed to 12 by the cast — parseInt throws on it.
+
+        Two knowing divergences from ``Integer.parseInt``: (1) ASCII
+        digits only — Java's ``Character.digit`` also accepts Unicode
+        digit blocks (e.g. Arabic-Indic \\u0660-\\u0669), which this
+        guard rejects as INVALID_FORMAT; (2) the result is a 64-bit
+        long, so values in (2^31, 2^63) parse instead of throwing —
+        deliberate for 100 TB key spaces (fuzzed in
+        tools/fuzz_semantics.py `coercions` within the int32 domain)."""
         src = F.col(column).cast("string")
         parsed = F.when(src.rlike(r"^[+-]?[0-9]+\z"), src.try_cast("long"))
         return self._coerce(column, parsed, "Int")

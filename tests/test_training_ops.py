@@ -185,6 +185,16 @@ def test_ivf_topk_empty_index_returns_empty(spark):
     empty_cents = spark.createDataFrame([], "list_id long, centroid array<double>")
     out = similarity.ivf_topk(df, empty_assign, empty_cents, [1.0, 0.0], k=5, n_probe=2)
     assert out.count() == 0
+    # batched variant: a non-empty query set against the empty index must
+    # also degrade to an empty top-k (r9 advice — the guard was ivf_topk-only)
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    out_many = similarity.ivf_topk_many(
+        df, empty_assign, empty_cents, qdf, k=5, n_probe=2
+    )
+    assert out_many.columns == ["qid", "vec_id", "cosine"]
+    assert out_many.count() == 0
 
 
 def test_text_analysis(spark):

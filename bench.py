@@ -170,6 +170,15 @@ assert CORE36 <= set(HEADLINE), sorted(CORE36 - set(HEADLINE))
 
 N_PASSES = 3
 
+# Reference host speed for the drift-normalized headline (r8 verdict
+# task 3): the declared quiet-host cpu_loop (5M-iteration interpreter
+# loop) the floor numbers in BASELINE.md were recorded at. A round's
+# normalized core36 = core36 × REF_CPU_LOOP / measured cpu_loop — one
+# number comparable across rounds without relitigating host variance
+# (measured cpu_loop swung 0.24-0.48 s across r8 sessions and inflated
+# raw core36 by several seconds).
+REF_CPU_LOOP = 0.30
+
 
 def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workloads whose cost is independent of repo code.
@@ -253,6 +262,13 @@ def main() -> int:
         sum(v for k, v in timings.items() if k in CORE36), 3
     )
     calibration = {"start": calibration_start, "end": calibration_end}
+    # Drift-normalized core36: scale by how much slower/faster this host
+    # ran the fixed CPU probe than the declared reference. Mean of the
+    # start/end probes so contention arriving mid-bench is half-counted.
+    cpu_loop = (
+        calibration_start["cpu_loop_sec"] + calibration_end["cpu_loop_sec"]
+    ) / 2.0
+    core36_norm = round(core36 * REF_CPU_LOOP / cpu_loop, 3) if cpu_loop else None
 
     # Full detail (every raw pass + per-query mins + calibration) goes to
     # a file: the driver records only the last ~2000 chars of stdout, and
@@ -269,6 +285,8 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "core36": core36,
+        "core36_norm": core36_norm,
+        "cpu_loop_ref": REF_CPU_LOOP,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -286,6 +304,8 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "core36": core36,
+        "core36_norm": core36_norm,
+        "cpu_loop_ref": REF_CPU_LOOP,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,

@@ -3807,32 +3807,81 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ================= r8 driver window (first 50 entries) =================
-    # r8 rotation (r7 verdict task 1): rotated IN — the two queries whose
-    # plans changed in r7's broadcast de-hinting (dedup_ngram,
-    # ann_ivf_full_probe — driver evidence predates the plan change), the
-    # eleven oldest-evidence §2 queries (last driver-checked r5/r6), and
-    # the two NEW planted structural oracles (r7 verdict task 2:
-    # dedup_embedding_planted, ann_ivf_planted — after these, all five
-    # hash-specific queries have an oracle-checked structural sibling).
-    # Rotated OUT to free the 15 slots: the long-stable streaming trio
-    # (stream_tumbling/stateful/session — green r2..r7), op_fill_down
-    # (green r2..r7 + fuzz 25×2), and eleven 2-3×-green r6 rows
-    # (dedup_rewrite/semantic/keep_best, corpus_mixture, text_bm25/
-    # tfidf/chunks, op_filter_closure/intersect_flag/reduce/group_rows);
-    # every family keeps an in-window representative (streaming via
-    # stream_dedup_keys/interval_join/dedup_counts, dedup via the planted
-    # pair + minhash_verified + incremental + spans, text via perplexity/
-    # pmi/rerank/hybrid/model_score/pack, filters via op_filter_regex +
-    # op_filter_map, aggregation via q1 + op_reduce lineage in pytest).
+    # ================= r9 driver window (first 50 entries) =================
+    # r9 rotation (r8 verdict task 1): the freshness round. Rotated IN —
+    # the hub-skew stress pair (op_skew_join_plain/salted: in catalog +
+    # bench since r8, oracle-SQL'd, but ZERO driver rows) and 45 of the
+    # 46 queries whose latest driver evidence predates r7 (last checked
+    # r5/r6 — the whole "rotated out in earlier rounds" block). Rotated
+    # OUT to free the slots: every non-anchor r8-window row — all 47 were
+    # green in CORRECTNESS_r08 (many double-green r7+r8), so their
+    # evidence is the freshest in the catalog. The single deferral is
+    # dedup_exact (last driver row r5, but judge-local oracle re-run
+    # passed in the r8 session — rotate it in r10); after r9, it is the
+    # only catalog query whose driver row predates r7.
     # -- headline TPC-H anchors (never rotated)
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
-    # -- core operator representatives
+    # -- never driver-checked: the r8 skew stress pair (lead the window)
+    "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
+    "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
+    # -- stale-evidence §2 operators (last driver rows r5/r6)
+    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "op_cube": (op_cube, ORACLE_CUBE),
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
+    "op_pivot": (op_pivot, ORACLE_PIVOT),
+    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
+    "op_inject": (op_inject, ORACLE_INJECT),
+    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
+    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
+    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
+    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
+    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
+    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
+    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
+    "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
+    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
+    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
+    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    # -- stale-evidence text / dedup / ANN / corpus queries (r5/r6 rows)
+    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_lang_id": (text_lang_id, _lang_oracle()),
+    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
+    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
+    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
+    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
+    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
+    # ---- 50-entry driver window boundary ----
+    # -- the single r9 deferral (r5 driver row; judge-local pass in the
+    #    r8 session) — rotate in r10
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    # -- rotated OUT in r9: the whole non-anchor r8 window, every row
+    #    green in CORRECTNESS_r08 (see the rotation note above; all stay
+    #    bench/pytest-covered)
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    # -- first-green in r7, kept for a second consecutive driver row
     "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
     "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
     "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
@@ -3844,12 +3893,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
     "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
     "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
-    # -- rotated IN for r8: plan changed by r7 de-hinting; the r5/r6
-    #    driver rows predate the current plans
     "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
     "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
-    # -- rotated IN for r8: oldest-evidence §2 queries (last driver rows
-    #    r5/r6; re-oracling them beats re-confirming 3×-green rows)
     "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
@@ -3861,15 +3906,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
     "op_add_step": (op_add_step, ORACLE_ADD_STEP),
     "op_coerce": (op_coerce, ORACLE_COERCE),
-    # -- NEW in r8 (r7 verdict task 2): planted structural oracles for
-    #    the last two hash-specific families without one
     "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
     "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
-    # -- streaming representatives (watermarked family)
     "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
     "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    # -- LLM-data-pipeline representatives (each family keeps a row)
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
     "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
@@ -3881,15 +3922,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
     "op_anti_join": (op_anti_join, ORACLE_ANTI),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    # -- r7 structural oracles, kept for a second consecutive driver row
     "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
     "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
     "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
     "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
     "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
-    # ---- 50-entry driver window boundary ----
-    # -- rotated OUT in r8 (see the rotation note above; all remain
-    #    bench/pytest-covered and were green on their latest driver row)
+    # -- rotated out in r8 (green through r7; families stay in-window)
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
     "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
     "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
@@ -3905,60 +3943,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
     "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    # -- rotated out in earlier rounds (families stay in-window; all
-    #    green on their latest driver row, still bench/pytest-covered)
-    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
-    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
-    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
-    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
-    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
-    "op_asof_join": (op_asof_join, ORACLE_ASOF),
-    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
-    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
-    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
-    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
-    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
-    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
-    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
-    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
-    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
-    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
-    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
-    "text_lang_id": (text_lang_id, _lang_oracle()),
-    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
-    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
-    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
-    "text_repetition": (text_repetition, ORACLE_REPETITION),
-    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
-    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
-    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
-    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
-    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
-    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
-    # -- NEW in r8 (r7 verdict task 4): the hub-skew stress pair —
-    #    same join, same oracle; bench records plain-vs-salted times
-    "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
-    "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
-    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
-    "op_inject": (op_inject, ORACLE_INJECT),
-    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
-    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    "op_rollup": (op_rollup, ORACLE_ROLLUP),
-    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
-    "op_cube": (op_cube, ORACLE_CUBE),
-    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
-    "op_pivot": (op_pivot, ORACLE_PIVOT),
-    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
-    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
-    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
-    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
-    # -- hash-specific queries with no SQL-expressible oracle (each now
-    #    has an oracle-checked structural sibling: dedup_minhash_planted,
+    # -- hash-specific queries with no SQL-expressible oracle (each has
+    #    an oracle-checked structural sibling: dedup_minhash_planted,
     #    dedup_simhash_planted, dedup_embedding_planted, ann_ivf_planted,
     #    ann_recall_exact)
     "dedup_minhash": (dedup_minhash, None),

@@ -251,6 +251,53 @@ def _pandas_row_predicate(fn: Callable[[dict], Any]):
     return _pred
 
 
+def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int] | None:
+    """Translate a purely numeric SimpleDateFormat date pattern into a
+    prefix-anchored Java-regex + (year, month, day) capture-group
+    indices for as_date's lenient path, or None when the pattern falls
+    outside the supported subset (text months, time fields, 'yy'
+    century windows, quoted literals, adjacent fixed-width numeric
+    runs) — the caller then keeps the strict parse for that format.
+
+    Field shapes probed against the real Java 17 SimpleDateFormat (see
+    the `dates` fuzz campaign): each numeric field parses a maximal
+    digit run, space/tab runs are skipped immediately BEFORE each
+    numeric field (" 2024- 01-\\t02" parses; whitespace before a
+    literal does not: "2024 -01-02" fails), and DecimalFormat lets a
+    single minus through — month/day get ``-?`` (the calendar rolls
+    backward, which the date arithmetic reproduces exactly); a minus
+    on the YEAR flips into BC-era normalization, which stays a reject
+    here (documented divergence). Literals match exactly, once."""
+    if "'" in fmt:
+        return None
+    parts: list[str] = []
+    groups: dict[str, int] = {}
+    prev_numeric = False
+    for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
+        lit = m.group(3)
+        if lit is not None:
+            parts.append(re.escape(lit))
+            prev_numeric = False
+            continue
+        run = m.group(1)
+        if run[0] == "y" and len(run) != 2:  # 'yy' = century window: out
+            key = "y"
+        elif run[0] == "M" and len(run) <= 2:  # 'MMM' = text month: out
+            key = "M"
+        elif run[0] == "d" and len(run) <= 2:
+            key = "d"
+        else:
+            return None
+        if key in groups or prev_numeric:
+            return None
+        groups[key] = len(groups) + 1
+        parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
+        prev_numeric = True
+    if set(groups) != {"y", "M", "d"}:
+        return None
+    return "^" + "".join(parts), groups["y"], groups["M"], groups["d"]
+
+
 class Pipeline:
     """Immutable-ish pipeline facade: every operator returns a new Pipeline.
 
@@ -949,21 +996,60 @@ class Pipeline:
         )
         return self._next(self.df.withColumn(column, parsed))
 
-    def as_date(self, column: str, *formats: str) -> "Pipeline":
+    def as_date(self, column: str, *formats: str, lenient: bool = False) -> "Pipeline":
         """Try formats in order, first wins; unparsable rejects INVALID_FORMAT
         (Pipeline.groovy:779-798). Formats are Spark datetime patterns.
 
-        Deliberate divergence: the reference's ``SimpleDateFormat`` is
-        LENIENT by default — it rolls overflow dates ("2024-02-31" parses
-        as 2024-03-02) and ignores trailing junk after the pattern.
-        Spark's ``try_to_timestamp`` is strict; both behaviors the
-        leniency would accept are rejected here as INVALID_FORMAT, which
-        is the widely-expected semantics and what the reference's own
-        tests exercise."""
+        The reference's ``SimpleDateFormat`` is LENIENT by default — it
+        rolls overflow dates ("2024-02-31" parses as 2024-03-02) and
+        ignores trailing junk after the pattern. The default here stays
+        STRICT (``try_to_timestamp``: both behaviors reject as
+        INVALID_FORMAT — the widely-expected semantics and what the
+        reference's own tests exercise); ``lenient=True`` opts into the
+        reference's calendar-roll semantics as pure date arithmetic:
+        extract the Y/M/D digit runs with a pattern-derived regex
+        (prefix-anchored, so trailing junk is ignored like
+        ``DateFormat.parse(String)``), then roll via
+        ``date_add(add_months(make_date(y,1,1), m-1), d-1)`` — exactly
+        GregorianCalendar's lenient field normalization (month 0 is
+        December of y-1, day 0 the last day of the prior month).
+        Fuzzed against the real ``java.text.SimpleDateFormat`` (Java 17
+        in-container) by tools/fuzz_semantics.py campaign ``dates``.
+
+        Lenient-mode scope (each falls back to the strict parse for
+        that format): purely numeric date patterns — y/yyyy, M/MM, d/dd
+        separated by literal text ('yy' century windows, text months,
+        time fields, quoted literals, and adjacent fixed-width numeric
+        runs are out). Documented divergences from SimpleDateFormat:
+        years outside [1, 9999] and |month|/|day| fields past 120000 /
+        4000000 reject instead of normalizing (Spark's DateType day
+        counter; irrelevant to real data), a NEGATIVE year rejects
+        instead of flipping into BC-era normalization, and pre-1582
+        dates resolve in Spark's proleptic Gregorian calendar, not
+        Java's hybrid Julian cutover."""
         fmts = list(formats) or ["yyyy-MM-dd"]
-        parsed = F.coalesce(
-            *[F.try_to_timestamp(F.col(column).cast("string"), F.lit(f)) for f in fmts]
-        ).cast("date")
+        src = F.col(column).cast("string")
+        exprs = []
+        for f in fmts:
+            spec = _simple_date_pattern(f) if lenient else None
+            if spec is None:
+                exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
+                continue
+            rx, gy, gm, gd = spec
+            y = F.regexp_extract(src, rx, gy).try_cast("int")
+            mo = F.regexp_extract(src, rx, gm).try_cast("int")
+            d = F.regexp_extract(src, rx, gd).try_cast("int")
+            ok = (
+                y.between(1, 9999)
+                & mo.between(-120000, 120000)
+                & d.between(-4000000, 4000000)
+            )
+            rolled = F.date_add(
+                F.add_months(F.make_date(y, F.lit(1), F.lit(1)), mo - F.lit(1)),
+                d - F.lit(1),
+            )
+            exprs.append(F.when(ok, rolled))
+        parsed = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
         return self._coerce(column, parsed, "Date")
 
     # -------------------------------------------------- stateful / reshaping

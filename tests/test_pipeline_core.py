@@ -328,6 +328,64 @@ def test_as_date_rejects(spark):
     assert stat.rejections_for(RejectionCategory.INVALID_FORMAT) == 1
 
 
+def test_as_date_lenient_truth_table(spark):
+    """The reference's SimpleDateFormat is lenient: overflow fields roll
+    (GregorianCalendar normalization) and trailing junk after the
+    pattern is ignored. lenient=True reproduces both; strict default
+    rejects them all (Pipeline.groovy:779-798)."""
+    import datetime
+
+    cases = {
+        "2024-02-31": datetime.date(2024, 3, 2),   # day overflow rolls
+        "2024-13-01": datetime.date(2025, 1, 1),   # month 13 = Jan y+1
+        "2024-00-15": datetime.date(2023, 12, 15), # month 0 = Dec y-1
+        "2024-01-00": datetime.date(2023, 12, 31), # day 0 = prior day
+        "2024-2-3": datetime.date(2024, 2, 3),     # 1-digit fields parse
+        "2024-02-31T10:00": datetime.date(2024, 3, 2),  # trailing junk
+        "1999-12-365": datetime.date(2000, 11, 29),     # big day run
+        # whitespace before a numeric field is skipped (probed against
+        # Java 17 SimpleDateFormat; before a literal it is NOT)
+        " 2024-01-01": datetime.date(2024, 1, 1),
+        "2024- \t01- 02": datetime.date(2024, 1, 2),
+        "2024 -01-02": None,
+        # single minus flows into the calendar roll for month/day...
+        "2024--1-02": datetime.date(2023, 11, 2),
+        # ...but a negative YEAR (Java: BC-era normalization) rejects
+        "-2024-01-02": None,
+        "junk": None,
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    lenient = p.as_date("dt", "yyyy-MM-dd", lenient=True)
+    got = {r["id"]: r["dt"] for r in lenient.df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        if want is not None:
+            assert got[i] == want, (val, got.get(i), want)
+        else:
+            assert i not in got, (val, got.get(i))
+    stat = lenient.go()
+    n_kept = sum(1 for v in cases.values() if v is not None)
+    assert stat.loaded == n_kept
+    assert (
+        stat.rejections_for(RejectionCategory.INVALID_FORMAT)
+        == len(cases) - n_kept
+    )
+    # strict default: every lenient-only shape rejects (verified: Spark's
+    # try_to_timestamp also rejects unpadded "2024-2-3" under MM/dd).
+    # One exception: Spark's formatter itself accepts a signed year, so
+    # "-2024-01-02" parses STRICTLY (proleptic year -2024) — pre-existing
+    # strict-mode Spark behavior, not part of the lenient path.
+    strict = p.as_date("dt", "yyyy-MM-dd").go()
+    assert strict.loaded == 1
+    assert (
+        strict.rejections_for(RejectionCategory.INVALID_FORMAT) == len(cases) - 1
+    )
+    # multi-format first-wins still applies in lenient mode
+    p2 = sources.from_collection(spark, [{"dt": "02/31/2024"}], "dt string")
+    out = p2.as_date("dt", "yyyy-MM-dd", "MM/dd/yyyy", lenient=True).df.collect()
+    assert out[0]["dt"] == datetime.date(2024, 3, 2)
+
+
 def test_sort(people):
     ages = [r["age"] for r in people.sort("age").df.collect()]
     assert ages == sorted(ages)

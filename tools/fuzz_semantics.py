@@ -74,6 +74,7 @@ import argparse
 import math
 import os
 import random
+import re
 import shutil
 import sys
 import tempfile
@@ -1390,6 +1391,218 @@ def fuzz_coercions(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+_JAVA_DATE_ORACLE_SRC = """
+import java.text.ParseException;
+import java.text.SimpleDateFormat;
+import java.util.Base64;
+import java.util.Date;
+import java.util.Scanner;
+
+public class LenientDateOracle {
+    public static void main(String[] args) {
+        Scanner sc = new Scanner(System.in, "UTF-8");
+        SimpleDateFormat out = new SimpleDateFormat("yyyy-MM-dd");
+        Base64.Decoder dec = Base64.getDecoder();
+        while (sc.hasNextLine()) {
+            String line = sc.nextLine();
+            int tab = line.indexOf('\\t');
+            String fmt = new String(dec.decode(line.substring(0, tab)));
+            String val = new String(dec.decode(line.substring(tab + 1)));
+            try {
+                Date parsed = new SimpleDateFormat(fmt).parse(val);
+                System.out.println(out.format(parsed));
+            } catch (ParseException e) {
+                System.out.println("REJECT");
+            }
+        }
+    }
+}
+"""
+
+
+def _date_oracle_dir():
+    """Compile the SimpleDateFormat ground-truth helper once (Java 17 is
+    in the container — the `dates` campaign compares the engine against
+    the REAL reference parser, not a Python model of it)."""
+    import pathlib
+    import subprocess
+
+    d = pathlib.Path(tempfile.gettempdir()) / "gratum_fuzz_java"
+    d.mkdir(exist_ok=True)
+    if not (d / "LenientDateOracle.class").exists():
+        (d / "LenientDateOracle.java").write_text(_JAVA_DATE_ORACLE_SRC)
+        subprocess.run(
+            ["javac", "LenientDateOracle.java"], check=True, cwd=d,
+            capture_output=True,
+        )
+    return d
+
+
+def _java_parse_dates(pairs):
+    """[(fmt, val)] -> [iso-date-str or None] via one JVM invocation of
+    java.text.SimpleDateFormat (lenient default). Base64 framing so
+    values may contain tabs/newlines."""
+    import base64
+    import subprocess
+
+    d = _date_oracle_dir()
+
+    def b64(s):
+        return base64.b64encode(s.encode()).decode()
+
+    inp = "\n".join(f"{b64(f)}\t{b64(v)}" for f, v in pairs)
+    out = subprocess.run(
+        ["java", "LenientDateOracle"], cwd=d, input=inp,
+        capture_output=True, text=True, check=True,
+    )
+    lines = out.stdout.splitlines()
+    assert len(lines) == len(pairs), (len(lines), len(pairs), out.stderr[:500])
+    return [None if ln == "REJECT" else ln for ln in lines]
+
+
+_DATE_FMT_POOL = [
+    ("yyyy-MM-dd",),
+    ("MM/dd/yyyy",),
+    ("d.M.yyyy",),
+    ("yyyy/M/d",),
+    ("yyyy-MM-dd", "MM/dd/yyyy"),
+    ("dd-MM-yyyy", "yyyy-MM-dd"),
+]
+
+
+def _render_date(fmt, y, mo, d, rng):
+    """Render numeric fields into a SimpleDateFormat pattern, padding to
+    the pattern width most of the time (sometimes natural width — the
+    greedy parse accepts both)."""
+    out = []
+    for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
+        if m.group(3) is not None:
+            out.append(m.group(3))
+            continue
+        v = {"y": y, "M": mo, "d": d}[m.group(1)[0]]
+        out.append(str(v).zfill(len(m.group(1)) if rng.random() < 0.7 else 0))
+    return "".join(out)
+
+
+def fuzz_dates(spark, n: int, seed: int) -> list[str]:
+    """as_date(lenient=True) vs the REAL java.text.SimpleDateFormat
+    (r8 verdict task 4): well-formed dates, calendar-overflow fields
+    (month 0/13+, day 0/99/999 — GregorianCalendar lenient roll),
+    trailing junk (ignored by DateFormat.parse), leading junk /
+    wrong separators / non-dates (ParseException -> reject), 1-2
+    format lists with first-wins resolution, plus LoadStatistic
+    loaded/rejected accounting. Generation stays inside the engine's
+    documented lenient scope (years 1600-2999: past the 1582 hybrid-
+    Julian cutover, inside the [1,9999] bound)."""
+    from gratum_spark import sources
+
+    failures = []
+    junk_pool = [None, "", "junk", "12", "----", "  ", "\t", "a-b-c", "99",
+                 "2024", "..", "did 2024-01-01"]
+    for t in range(n):
+        rng = random.Random(seed * 910_099 + t)
+        fmts = rng.choice(_DATE_FMT_POOL)
+        size = rng.randint(20, 50)
+        rows = []
+        for i in range(size):
+            kind = rng.random()
+            if kind < 0.15:
+                v = rng.choice(junk_pool)
+            else:
+                render_fmt = rng.choice(fmts)
+                y = rng.randint(1600, 2999)
+                if kind < 0.55:  # well-formed
+                    mo, d = rng.randint(1, 12), rng.randint(1, 28)
+                else:  # calendar overflow: lenient rolls, strict rejects
+                    mo = rng.choice([0, rng.randint(1, 12), 13, rng.randint(14, 99),
+                                     -rng.randint(1, 24)])
+                    d = rng.choice([0, rng.randint(1, 28), rng.randint(29, 99),
+                                    rng.randint(100, 999), -rng.randint(1, 99)])
+                v = _render_date(render_fmt, y, mo, d, rng)
+                tail = rng.random()
+                if tail < 0.2:
+                    v += rng.choice([" 10:00", "T", "xyz", "\n", " ", "junk"])
+                elif tail < 0.3:
+                    # leading space/tab: Java skips whitespace before a
+                    # numeric field, so these PARSE; "a"/"0" prefixes vary
+                    v = rng.choice([" ", "\t", " \t ", "a", "0"]) + v
+                elif tail < 0.35:
+                    v = v.replace(v[4] if len(v) > 4 and not v[4].isdigit() else "-",
+                                  rng.choice([":", "_"]), 1)
+                elif tail < 0.45:
+                    # whitespace injected after a random separator (skipped
+                    # before the next numeric field) or before one (reject)
+                    seps = [j for j, ch in enumerate(v) if not ch.isdigit()]
+                    if seps:
+                        j = rng.choice(seps)
+                        before = rng.random() < 0.5
+                        v = (v[:j] + " " + v[j:]) if before else (
+                            v[: j + 1] + rng.choice([" ", "\t", "  "]) + v[j + 1:]
+                        )
+            rows.append({"i": i, "s": v})
+
+        # ground truth: first format SimpleDateFormat accepts wins
+        need = [(f, r["s"]) for r in rows if r["s"] not in (None, "")
+                for f in fmts]
+        parsed = dict()
+        if need:
+            res = _java_parse_dates(need)
+            for (f, v), got in zip(need, res):
+                parsed.setdefault(v, {})[f] = got
+
+        # Which formats the ENGINE attempts is its documented lenient
+        # scope (field-extraction regex + year/month/day bounds — e.g. a
+        # minus on the year is a documented reject where Java rolls into
+        # BC-era normalization). WITHIN that scope Java is the ground
+        # truth for the calendar arithmetic, and an engine-regex match
+        # that SimpleDateFormat rejects is flagged as a bug.
+        from gratum_spark.pipeline import _simple_date_pattern
+
+        specs = [(f, _simple_date_pattern(f)) for f in fmts]
+
+        def model(v):
+            if v in (None, ""):
+                return True, None
+            for f, spec in specs:
+                rx, gy, gm, gd = spec
+                m = re.match(rx, v)  # \t escape reads the same in Python/Java regex
+                if not m:
+                    continue
+                y, mo, d = int(m.group(gy)), int(m.group(gm)), int(m.group(gd))
+                if not (1 <= y <= 9999 and abs(mo) <= 120000
+                        and abs(d) <= 4000000):
+                    continue
+                jav = parsed[v][f]
+                if jav is None:
+                    return False, f"ENGINE-ONLY-MATCH fmt={f}"
+                return True, jav
+            return False, None
+
+        p = sources.from_collection(
+            spark, rows, "i long, s string", name="fzd", ordered=True
+        )
+        stepped = p.as_date("s", *fmts, lenient=True)
+        stat = stepped.go()
+        cgot = sorted(
+            (r["i"], r["s"].isoformat() if r["s"] is not None else None)
+            for r in stepped.df.collect()
+        )
+        modeled = [(r["i"], model(r["s"])) for r in rows]
+        cwant = sorted((i, v) for i, (kept, v) in modeled if kept)
+        n_rej = sum(1 for _, (kept, _v) in modeled if not kept)
+        if cgot != cwant or stat.loaded != len(cwant) or stat.rejected != n_rej:
+            diff = next(((a, b) for a, b in zip(cgot, cwant) if a != b), None)
+            vals = {r["i"]: r["s"] for r in rows}
+            bad_val = vals.get(diff[0][0]) if diff else None
+            failures.append(
+                f"dates trial={t} seed={seed} fmts={fmts}: loaded="
+                f"{stat.loaded}/{len(cwant)} rejected={stat.rejected}/{n_rej} "
+                f"first diff {diff} input={bad_val!r}"
+            )
+            break
+    return failures
+
+
 def _with_checkpoint_dir(base_fn):
     """Reliable-checkpoint campaign variant (r7 verdict task 5): run the
     same trials with a checkpoint dir set on the SparkContext, so
@@ -1444,6 +1657,7 @@ CAMPAIGNS = {
     "resample": (fuzz_resample, 25),
     "duplicate_spans": (fuzz_duplicate_spans, 20),
     "coercions": (fuzz_coercions, 25),
+    "dates": (fuzz_dates, 20),
 }
 
 

@@ -293,6 +293,191 @@ def fuzz_csv_roundtrip(spark, n: int, seed: int) -> list[str]:
     return failures
 
 
+def fuzz_csv_splits(spark, n: int, seed: int) -> list[str]:
+    """Multi-split CSV reads (r8 verdict task 5): csv_roundtrip writes
+    1-25-row files, which never exercises the splittable read across
+    MULTIPLE FilePartitions. Here each trial writes 100s-of-KB-to-MB
+    files and forces tiny spark.sql.files.maxPartitionBytes so block
+    boundaries land mid-record. Three shapes, round-robin:
+
+    * split — quoted commas/quotes but NO embedded newlines: the sniffer
+      must prove multiLine=False and the scan must actually run
+      multi-partition, with every record (including ones straddling a
+      block boundary) surviving byte-for-byte;
+    * embedded — a >1 MiB file WITH newlines inside quoted fields: too
+      big for the driver-side sniff, so the DISTRIBUTED odd-quote-line
+      check must flip the read to multiLine single-split;
+    * noescape — the escaping=False raw-line path over a multi-file dir
+      with several splits per file: the offset-anchored per-file header
+      drop must remove exactly one header per file while keeping planted
+      mid-file lines that look exactly like the header."""
+    import csv as _csv
+
+    from gratum_spark import sources
+
+    norm = lambda v: None if v in (None, "") else str(v)  # noqa: E731
+    failures = []
+    tmp = tempfile.mkdtemp(prefix="fuzz_csvsplit_")
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        for t in range(n):
+            rng = random.Random(seed * 510_017 + t)
+            shape = ("split", "embedded", "noescape")[t % 3]
+            path = os.path.join(tmp, f"t{t}")
+            os.makedirs(path)
+            conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(rng.choice([32, 64, 128]) * 1024),
+            )
+            conf.set("spark.sql.files.openCostInBytes", "0")
+
+            if shape in ("split", "embedded"):
+                nrows = rng.randint(3000, 6000)
+                fill_len = (180, 240) if shape == "embedded" else (60, 160)
+                pool = ["plain", "with,comma", 'with "quote"', 'q" mid',
+                        "", "x" * rng.randint(1, 40)]
+                if shape == "embedded":
+                    pool += ["line1\nline2", "a\n\nb", ',"\n,']
+                rows = [
+                    (
+                        i,
+                        rng.choice(pool),
+                        "".join(
+                            rng.choice('abcdefgh," ')
+                            for _ in range(rng.randint(*fill_len))
+                        ),
+                    )
+                    for i in range(nrows)
+                ]
+                nfiles = 1 if shape == "embedded" else rng.randint(1, 3)
+                per = (len(rows) + nfiles - 1) // nfiles
+                for fi in range(nfiles):
+                    with open(os.path.join(path, f"part{fi}.csv"), "w",
+                              newline="") as fh:
+                        w = _csv.writer(fh, lineterminator="\n")
+                        w.writerow(["id", "a", "filler"])
+                        w.writerows(rows[fi * per:(fi + 1) * per])
+                if shape == "embedded":
+                    # must exceed the driver-side sniff window (1 MiB) so
+                    # the DISTRIBUTED odd-quote path decides — top up with
+                    # extra rows until it does
+                    f0 = os.path.join(path, "part0.csv")
+                    with open(f0, "a", newline="") as fh:
+                        w = _csv.writer(fh, lineterminator="\n")
+                        while os.path.getsize(f0) <= 1_048_576:
+                            extra = (len(rows), rng.choice(pool),
+                                     "pad," * 60)
+                            w.writerow(extra)
+                            rows.append(extra)
+                            fh.flush()
+                    nrows = len(rows)
+                pl = sources.csv(spark, path, schema="id long, a string, filler string")
+                nparts = pl.df.rdd.getNumPartitions()
+                if shape == "split" and nparts < 2:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed}: splittable read "
+                        f"ran {nparts} partition(s) — boundary never exercised"
+                    )
+                    break
+                back = {r["id"]: r for r in pl.df.collect()}
+                if len(back) != nrows:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed} shape={shape}: "
+                        f"{nrows} rows in, {len(back)} out ({nparts} parts)"
+                    )
+                    break
+                bad = next(
+                    (
+                        (i, c, rows[i][j], back[i][c])
+                        for i, _a, _f in rows
+                        for j, c in ((1, "a"), (2, "filler"))
+                        if norm(rows[i][j]) != norm(back[i][c])
+                    ),
+                    None,
+                )
+                if bad:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed} shape={shape} "
+                        f"id={bad[0]} col={bad[1]}: wrote {bad[2]!r} read {bad[3]!r}"
+                    )
+                    break
+            else:  # noescape: raw-line path, per-file positional header drop
+                nrows = rng.randint(4000, 8000)
+                safe = "abcdefghij0123456789_ "
+                rows = [
+                    (
+                        i,
+                        rng.choice(["a", "id", "val",  # == header tokens
+                                    "".join(rng.choice(safe) for _ in range(12))]),
+                        "".join(rng.choice(safe) for _ in range(rng.randint(20, 60))),
+                    )
+                    for i in range(nrows)
+                ]
+                nfiles = rng.randint(2, 4)
+                per = (len(rows) + nfiles - 1) // nfiles
+                n_planted = 0
+                for fi in range(nfiles):
+                    chunk = rows[fi * per:(fi + 1) * per]
+                    with open(os.path.join(path, f"f{fi}.csv"), "w") as fh:
+                        fh.write("id,a,b\n")
+                        for j, (i, a, b) in enumerate(chunk):
+                            fh.write(f"{i},{a},{b}\n")
+                            # plant lines IDENTICAL to the header mid-file:
+                            # the positional drop must keep them
+                            if rng.random() < 0.001 or (j == len(chunk) // 2):
+                                fh.write("id,a,b\n")
+                                n_planted += 1
+                pl = sources.csv(spark, path, escaping=False)
+                # the pipeline DF ends in a per-file window (shuffled, so
+                # its getNumPartitions reflects AQE, not the scan) — prove
+                # the SCAN actually split by counting distinct file blocks
+                # under the same conf
+                nparts = (
+                    spark.read.text(path)
+                    .select("_metadata.file_path", "_metadata.file_block_start")
+                    .distinct()
+                    .count()
+                )
+                got = pl.df.collect()
+                headerish = sum(1 for r in got if r["id"] == "id")
+                back = {int(r["id"]): r for r in got if r["id"] != "id"}
+                if nparts < nfiles + 1:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed} noescape: only "
+                        f"{nparts} file blocks for {nfiles} files — splits "
+                        f"never crossed a file"
+                    )
+                    break
+                if headerish != n_planted or len(back) != nrows:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed} noescape: "
+                        f"{len(back)}/{nrows} rows, {headerish}/{n_planted} "
+                        f"planted header-lookalikes ({nparts} parts)"
+                    )
+                    break
+                bad = next(
+                    (
+                        (i, rows[i][1], rows[i][2], back[i]["a"], back[i]["b"])
+                        for i, _a, _b in rows
+                        if (rows[i][1], rows[i][2]) != (back[i]["a"], back[i]["b"])
+                    ),
+                    None,
+                )
+                if bad:
+                    failures.append(
+                        f"csv_splits trial={t} seed={seed} noescape id={bad[0]}: "
+                        f"wrote {bad[1:3]!r} read {bad[3:]!r}"
+                    )
+                    break
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
 def fuzz_jsonl_roundtrip(spark, n: int, seed: int) -> list[str]:
     from gratum_spark import sources
 
@@ -1647,6 +1832,7 @@ CAMPAIGNS = {
     "interval_join": (fuzz_interval_join, 25),
     "flatten_window": (fuzz_flatten_window, 25),
     "csv_roundtrip": (fuzz_csv_roundtrip, 15),
+    "csv_splits": (fuzz_csv_splits, 6),
     "jsonl_roundtrip": (fuzz_jsonl_roundtrip, 15),
     "unique_filter": (fuzz_unique_filter, 20),
     "join": (fuzz_join, 20),

@@ -3815,14 +3815,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # r5/r6 — the whole "rotated out in earlier rounds" block). Rotated
     # OUT to free the slots: every non-anchor r8-window row — all 47 were
     # green in CORRECTNESS_r08 (many double-green r7+r8), so their
-    # evidence is the freshest in the catalog. The single deferral is
-    # dedup_exact (last driver row r5, but judge-local oracle re-run
-    # passed in the r8 session — rotate it in r10); after r9, it is the
-    # only catalog query whose driver row predates r7.
-    # -- headline TPC-H anchors (never rotated)
+    # evidence is the freshest in the catalog — plus, for one round,
+    # the q5_region_revenue anchor (8 consecutive green rows, family
+    # still covered in-window by q1+q3): its slot goes to dedup_exact
+    # (last driver row r5) so that after r9 NO catalog query's driver
+    # evidence predates r7 — the r8 verdict's explicit done-criterion.
+    # -- headline TPC-H anchors
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
-    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     # -- never driver-checked: the r8 skew stress pair (lead the window)
     "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
     "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
@@ -3871,12 +3871,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
     "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
     # ---- 50-entry driver window boundary ----
-    # -- the single r9 deferral (r5 driver row; judge-local pass in the
-    #    r8 session) — rotate in r10
-    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    # -- out for one round only (see rotation note): re-anchor in r10
+    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     # -- rotated OUT in r9: the whole non-anchor r8 window, every row
     #    green in CORRECTNESS_r08 (see the rotation note above; all stay
     #    bench/pytest-covered)

@@ -33,7 +33,14 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DataType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DataType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .rejections import (
     REJECT_CATEGORY,
@@ -296,6 +303,117 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int] | None:
     if set(groups) != {"y", "M", "d"}:
         return None
     return "^" + "".join(parts), groups["y"], groups["M"], groups["d"]
+
+
+_GREGORIAN_CUTOVER_JDN = 2299161  # 1582-10-15 (Gregorian), Java's default
+_JDN_EPOCH = 2440588  # 1970-01-01 (Gregorian)
+_JDN_YEAR1_JULIAN = 1721424  # 0001-01-01 (Julian label)
+_JDN_YEAR9999_MAX = 5373484  # 9999-12-31 (Gregorian label)
+
+
+@F.pandas_udf(LongType())
+def _hybrid_lenient_epoch_days(
+    y: pd.Series, mo: pd.Series, d: pd.Series
+) -> pd.Series:
+    """Java GregorianCalendar lenient field resolution -> proleptic
+    epoch days (null = out of lenient scope), for as_date's lenient
+    path. Arrow-batched, all-numpy int64 — deliberately NOT a Column
+    tree: the hybrid-calendar CASE cascade repeats its subtrees dozens
+    of times once Catalyst inlines the aliases back into the
+    kept/reject Filters, and the single resulting boolean expression
+    cannot be method-split, so generated Java blows Janino's 64 KB
+    limit and every action logs a codegen ERROR before falling back to
+    interpreted mode (measured; logical-plan staging doesn't help —
+    whole-stage codegen fuses the Projects again). One opaque
+    vectorized node keeps every surrounding stage codegen'd.
+
+    Reproduces SimpleDateFormat's default hybrid Julian/Gregorian
+    calendar EXACTLY — probed against the real Java 17 parser on 11k+
+    field combinations (tools/fuzz_semantics.py campaign ``dates`` and
+    its cutover-dense calibration sweep): months normalize first
+    (month 0 = December of y-1, 13 = January of y+1), then the day
+    offset is day arithmetic from the 1st; computeTime picks the
+    calendar system by the RAW year field and the resulting instant —
+    year < 1582 resolves purely Julian (even when the roll lands past
+    the cutover), year >= 1582 resolves Gregorian unless the instant
+    falls before 1582-10-15, in which case it re-resolves Julian (this
+    also swallows the ten skipped labels Oct 5-14 1582, exactly like
+    Java). Formatting picks the calendar back by the instant alone:
+    labels are Gregorian from the cutover (proleptic DateType is
+    label-exact there, so epoch days = fd - epoch JDN) and Julian
+    before it (label recovered from exact 1461-day 4-year blocks
+    anchored at Julian 0001-01-01, then re-encoded as the proleptic
+    epoch days of that LABEL).
+
+    Out-of-scope -> null (the format falls through, then
+    INVALID_FORMAT): null/unparsed fields, input year outside
+    [1, 9999], |month| > 120000, |day| > 4000000 (bounds keep the
+    int64 arithmetic far from overflow; Java would keep normalizing),
+    a resulting year outside [1, 9999] (Spark DateType label bound),
+    and the Julian leap days Feb 29 of centurial non-multiple-of-400
+    years (~11 labels in 1500 years) which proleptic-Gregorian
+    DateType cannot represent.
+    """
+    import numpy as np
+
+    yv = y.to_numpy(dtype="float64", na_value=np.nan)
+    mov = mo.to_numpy(dtype="float64", na_value=np.nan)
+    dv = d.to_numpy(dtype="float64", na_value=np.nan)
+    ok = (
+        ~np.isnan(yv) & ~np.isnan(mov) & ~np.isnan(dv)
+        & (yv >= 1) & (yv <= 9999)
+        & (np.abs(mov) <= 120000) & (np.abs(dv) <= 4000000)
+    )
+    yi = np.nan_to_num(yv, nan=2000.0).astype(np.int64)
+    moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
+    di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
+
+    def greg_fd(yy, mm, dd):
+        # Julian day number of proleptic-Gregorian (yy, mm, dd)
+        a = (mm <= 2).astype(np.int64)
+        y2 = yy + 4800 - a
+        m2 = mm + 12 * a - 3
+        return (
+            (153 * m2 + 2) // 5 + 365 * y2 + y2 // 4
+            - y2 // 100 + y2 // 400 + dd - 32045
+        )
+
+    # lenient field normalization: months first, then day offset from the 1st
+    ny = yi + (moi - 1) // 12
+    mi = (moi - 1) % 12 + 1
+    a = (mi <= 2).astype(np.int64)
+    y2 = ny + 4800 - a
+    m2 = mi + 12 * a - 3
+    base = (153 * m2 + 2) // 5 + 365 * y2 + y2 // 4 + di
+    gfd = base - y2 // 100 + y2 // 400 - 32045
+    jfd = base - 32083
+    fd = np.where(
+        yi < 1582, jfd, np.where(gfd >= _GREGORIAN_CUTOVER_JDN, gfd, jfd)
+    )
+
+    # Gregorian-era labels: DateType is label-exact, epoch offset directly
+    ed_greg = fd - _JDN_EPOCH
+    # Julian-era labels: recover (year, day-of-year) from 4-year blocks
+    days = fd - _JDN_YEAR1_JULIAN
+    q4 = days // 1461
+    r = days % 1461
+    y0 = np.where(r < 365, 0, np.where(r < 730, 1, np.where(r < 1095, 2, 3)))
+    doy = r - y0 * 365
+    ry = 1 + 4 * q4 + y0
+    centurial = (ry % 100 == 0) & (ry % 400 != 0)
+    # proleptic layout differs from Julian only at/after the (Julian-only)
+    # Feb 29 of centurial non-/400 years: that label itself is
+    # unrepresentable, later ones sit one proleptic day earlier
+    bad_leap = centurial & (doy == 59)
+    adj_doy = doy - (centurial & (doy > 59)).astype(np.int64)
+    ed_julian = greg_fd(ry, np.int64(1), np.int64(1)) - _JDN_EPOCH + adj_doy
+
+    in_greg = (fd >= _GREGORIAN_CUTOVER_JDN) & (fd <= _JDN_YEAR9999_MAX)
+    in_julian = (fd < _GREGORIAN_CUTOVER_JDN) & (fd >= _JDN_YEAR1_JULIAN)
+    ok &= (in_greg | in_julian) & ~(in_julian & bad_leap)
+    out = pd.Series(np.where(in_greg, ed_greg, ed_julian), dtype="Int64")
+    out[~ok] = None
+    return out
 
 
 class Pipeline:
@@ -1006,27 +1124,31 @@ class Pipeline:
         STRICT (``try_to_timestamp``: both behaviors reject as
         INVALID_FORMAT — the widely-expected semantics and what the
         reference's own tests exercise); ``lenient=True`` opts into the
-        reference's calendar-roll semantics as pure date arithmetic:
-        extract the Y/M/D digit runs with a pattern-derived regex
-        (prefix-anchored, so trailing junk is ignored like
-        ``DateFormat.parse(String)``), then roll via
-        ``date_add(add_months(make_date(y,1,1), m-1), d-1)`` — exactly
-        GregorianCalendar's lenient field normalization (month 0 is
-        December of y-1, day 0 the last day of the prior month).
-        Fuzzed against the real ``java.text.SimpleDateFormat`` (Java 17
-        in-container) by tools/fuzz_semantics.py campaign ``dates``.
+        reference's calendar-roll semantics: extract the Y/M/D digit
+        runs with a pattern-derived regex (prefix-anchored, so trailing
+        junk is ignored like ``DateFormat.parse(String)``), then
+        resolve the fields through the Arrow-vectorized
+        ``_hybrid_lenient_epoch_days`` — GregorianCalendar's lenient
+        normalization (month 0 is December of y-1, day 0 the last day
+        of the prior month) on Java's hybrid Julian/Gregorian calendar,
+        including the 1582-10-15 cutover. Fuzzed against the real
+        ``java.text.SimpleDateFormat`` (Java 17 in-container) by
+        tools/fuzz_semantics.py campaign ``dates``.
 
         Lenient-mode scope (each falls back to the strict parse for
         that format): purely numeric date patterns — y/yyyy, M/MM, d/dd
         separated by literal text ('yy' century windows, text months,
         time fields, quoted literals, and adjacent fixed-width numeric
         runs are out). Documented divergences from SimpleDateFormat:
-        years outside [1, 9999] and |month|/|day| fields past 120000 /
-        4000000 reject instead of normalizing (Spark's DateType day
-        counter; irrelevant to real data), a NEGATIVE year rejects
-        instead of flipping into BC-era normalization, and pre-1582
-        dates resolve in Spark's proleptic Gregorian calendar, not
-        Java's hybrid Julian cutover."""
+        input years outside [1, 9999] and |month|/|day| fields past
+        120000 / 4000000 reject instead of normalizing, as do results
+        whose year leaves [1, 9999] (Spark's DateType label bound;
+        irrelevant to real data), a NEGATIVE year rejects instead of
+        flipping into BC-era normalization, and the Julian leap days
+        Feb 29 of centurial non-multiple-of-400 years (unrepresentable
+        in proleptic DateType) reject."""
+        import datetime
+
         fmts = list(formats) or ["yyyy-MM-dd"]
         src = F.col(column).cast("string")
         exprs = []
@@ -1036,19 +1158,14 @@ class Pipeline:
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
             rx, gy, gm, gd = spec
-            y = F.regexp_extract(src, rx, gy).try_cast("int")
-            mo = F.regexp_extract(src, rx, gm).try_cast("int")
-            d = F.regexp_extract(src, rx, gd).try_cast("int")
-            ok = (
-                y.between(1, 9999)
-                & mo.between(-120000, 120000)
-                & d.between(-4000000, 4000000)
+            ed = _hybrid_lenient_epoch_days(
+                F.regexp_extract(src, rx, gy).try_cast("long"),
+                F.regexp_extract(src, rx, gm).try_cast("long"),
+                F.regexp_extract(src, rx, gd).try_cast("long"),
             )
-            rolled = F.date_add(
-                F.add_months(F.make_date(y, F.lit(1), F.lit(1)), mo - F.lit(1)),
-                d - F.lit(1),
+            exprs.append(
+                F.date_add(F.lit(datetime.date(1970, 1, 1)), ed.cast("int"))
             )
-            exprs.append(F.when(ok, rolled))
         parsed = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
         return self._coerce(column, parsed, "Date")
 

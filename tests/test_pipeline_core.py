@@ -353,6 +353,18 @@ def test_as_date_lenient_truth_table(spark):
         # ...but a negative YEAR (Java: BC-era normalization) rejects
         "-2024-01-02": None,
         "junk": None,
+        # hybrid Julian/Gregorian cutover semantics (every expected value
+        # below probed against the real Java 17 SimpleDateFormat):
+        "1582-10-04": datetime.date(1582, 10, 4),    # last Julian label
+        "1582-10-15": datetime.date(1582, 10, 15),   # first Gregorian label
+        "1582-10-10": datetime.date(1582, 10, 20),   # gap label rolls forward
+        "1582-09-35": datetime.date(1582, 10, 15),   # day roll across cutover
+        "1500-10-30000": datetime.date(1582, 11, 29),  # raw year < 1582: Julian fd kept past cutover
+        "1584--15--308": datetime.date(1581, 10, 27),  # backward roll re-resolves Julian
+        "1200-02-29": datetime.date(1200, 2, 29),    # centurial /400: leap in both calendars
+        "0304-02-29": datetime.date(304, 2, 29),     # Julian leap = proleptic leap
+        "0300-02-29": None,   # Julian-only leap day: unrepresentable in DateType
+        "1500-03-01": datetime.date(1500, 3, 1),     # label preserved in centurial year
     }
     rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
     p = sources.from_collection(spark, rows, "id long, dt string")
@@ -372,13 +384,15 @@ def test_as_date_lenient_truth_table(spark):
     )
     # strict default: every lenient-only shape rejects (verified: Spark's
     # try_to_timestamp also rejects unpadded "2024-2-3" under MM/dd).
-    # One exception: Spark's formatter itself accepts a signed year, so
+    # Exceptions: Spark's formatter itself accepts a signed year, so
     # "-2024-01-02" parses STRICTLY (proleptic year -2024) — pre-existing
-    # strict-mode Spark behavior, not part of the lenient path.
+    # strict-mode Spark behavior, not part of the lenient path — and the
+    # six cutover-era cases that are well-formed proleptic labels
+    # (1582-10-04/15/10, 1200-02-29, 0304-02-29, 1500-03-01).
     strict = p.as_date("dt", "yyyy-MM-dd").go()
-    assert strict.loaded == 1
+    assert strict.loaded == 7
     assert (
-        strict.rejections_for(RejectionCategory.INVALID_FORMAT) == len(cases) - 1
+        strict.rejections_for(RejectionCategory.INVALID_FORMAT) == len(cases) - 7
     )
     # multi-format first-wins still applies in lenient mode
     p2 = sources.from_collection(spark, [{"dt": "02/31/2024"}], "dt string")

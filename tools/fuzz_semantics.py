@@ -1645,6 +1645,43 @@ def _java_parse_dates(pairs):
     return [None if ln == "REJECT" else ln for ln in lines]
 
 
+def _py_hybrid_label(y, mo, d):
+    """Python mirror of gratum_spark.pipeline._hybrid_lenient_date:
+    GregorianCalendar lenient field resolution on Java's hybrid
+    Julian/Gregorian calendar, returning the (year, month, day) LABEL.
+    The campaign uses it only to decide the engine's documented
+    fallthrough scope (result-year bound, unrepresentable Julian leap
+    days); inside scope the REAL Java parser stays the ground truth and
+    any disagreement with this arithmetic fails the trial loudly."""
+    cut = 2299161  # 1582-10-15 Gregorian
+    ny = y + (mo - 1) // 12
+    mi = (mo - 1) % 12 + 1
+    a = 1 if mi <= 2 else 0
+    y2 = ny + 4800 - a
+    m2 = mi + 12 * a - 3
+    base = (153 * m2 + 2) // 5 + 365 * y2 + y2 // 4 + d
+    gfd = base - y2 // 100 + y2 // 400 - 32045
+    jfd = base - 32083
+    if y < 1582:
+        fd = jfd  # raw-year branch: pure Julian even past the cutover
+    else:
+        fd = gfd if gfd >= cut else jfd
+    if fd >= cut:
+        a2 = fd + 32044
+        b = (4 * a2 + 3) // 146097
+        c = a2 - 146097 * b // 4
+    else:
+        b = 0
+        c = fd + 32082
+    d2 = (4 * c + 3) // 1461
+    e = c - 1461 * d2 // 4
+    m2r = (5 * e + 2) // 153
+    rd = e - (153 * m2r + 2) // 5 + 1
+    rm = m2r + 3 - 12 * (m2r // 10)
+    ry = 100 * b + d2 - 4800 + m2r // 10
+    return ry, rm, rd
+
+
 _DATE_FMT_POOL = [
     ("yyyy-MM-dd",),
     ("MM/dd/yyyy",),
@@ -1676,9 +1713,11 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
     trailing junk (ignored by DateFormat.parse), leading junk /
     wrong separators / non-dates (ParseException -> reject), 1-2
     format lists with first-wins resolution, plus LoadStatistic
-    loaded/rejected accounting. Generation stays inside the engine's
-    documented lenient scope (years 1600-2999: past the 1582 hybrid-
-    Julian cutover, inside the [1,9999] bound)."""
+    loaded/rejected accounting. Year generation mixes the modern range
+    with pre-1582 / cutover-dense years: the engine resolves fields on
+    Java's hybrid Julian/Gregorian calendar (pipeline's
+    _hybrid_lenient_date), so the Julian era and the 1582-10-15
+    cutover are in scope, not carved out."""
     from gratum_spark import sources
 
     failures = []
@@ -1695,7 +1734,13 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                 v = rng.choice(junk_pool)
             else:
                 render_fmt = rng.choice(fmts)
-                y = rng.randint(1600, 2999)
+                yk = rng.random()
+                if yk < 0.6:
+                    y = rng.randint(1600, 2999)
+                elif yk < 0.8:
+                    y = rng.randint(1, 1599)  # Julian era
+                else:
+                    y = rng.randint(1575, 1590)  # cutover-dense
                 if kind < 0.55:  # well-formed
                     mo, d = rng.randint(1, 12), rng.randint(1, 28)
                 else:  # calendar overflow: lenient rolls, strict rejects
@@ -1760,6 +1805,18 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                 jav = parsed[v][f]
                 if jav is None:
                     return False, f"ENGINE-ONLY-MATCH fmt={f}"
+                ry, rm, rd = _py_hybrid_label(y, mo, d)
+                if not (1 <= ry <= 9999) or (
+                    rm == 2 and rd == 29 and ry % 100 == 0 and ry % 400 != 0
+                ):
+                    # documented engine fallthrough: result-year bound /
+                    # Julian leap label proleptic DateType can't hold
+                    continue
+                # in scope, Java is ground truth — the arithmetic model
+                # must agree with it or the trial fails loudly
+                label = f"{ry:04d}-{rm:02d}-{rd:02d}"
+                if jav != label:
+                    return True, f"MODEL-JAVA-MISMATCH {label} != {jav}"
                 return True, jav
             return False, None
 

@@ -1646,7 +1646,7 @@ def _java_parse_dates(pairs):
 
 
 def _py_hybrid_label(y, mo, d):
-    """Python mirror of gratum_spark.pipeline._hybrid_lenient_date:
+    """Python mirror of gratum_spark.pipeline._hybrid_lenient_epoch_days:
     GregorianCalendar lenient field resolution on Java's hybrid
     Julian/Gregorian calendar, returning the (year, month, day) LABEL.
     The campaign uses it only to decide the engine's documented
@@ -1716,7 +1716,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
     loaded/rejected accounting. Year generation mixes the modern range
     with pre-1582 / cutover-dense years: the engine resolves fields on
     Java's hybrid Julian/Gregorian calendar (pipeline's
-    _hybrid_lenient_date), so the Julian era and the 1582-10-15
+    _hybrid_lenient_epoch_days), so the Julian era and the 1582-10-15
     cutover are in scope, not carved out."""
     from gratum_spark import sources
 

@@ -180,18 +180,23 @@ N_PASSES = 3
 REF_CPU_LOOP = 0.30
 
 
+def _cpu_probe() -> float:
+    """The fixed 5M-iteration interpreter loop — the host-speed unit the
+    normalized headline divides by."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workloads whose cost is independent of repo code.
     Ratios between rounds normalize query timings against host speed."""
     t0 = time.perf_counter()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     scan_sec = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc += i * i
-    cpu_sec = round(time.perf_counter() - t0, 3)
-    return {"lineitem_count_sec": scan_sec, "cpu_loop_sec": cpu_sec}
+    return {"lineitem_count_sec": scan_sec, "cpu_loop_sec": _cpu_probe()}
 
 
 def main() -> int:
@@ -242,6 +247,14 @@ def main() -> int:
     # raw pass is recorded so contention shows up as cross-pass spread.
     passes: list[dict[str, float]] = []
     timings: dict[str, float] = {}
+    # Interleaved host-speed probes: two point probes (start/end) missed
+    # a measured bursty-load window entirely (r9: a 36-minute watcher read
+    # cpu_loop 0.46-0.76 while the bench's own endpoint probes landed
+    # 0.25-0.27 and every untouched query ran a uniform ~1.09x slower than
+    # the prior record). Probing at every pass boundary makes the
+    # normalization divisor reflect the load the queries actually ran
+    # under, at ~1s total overhead (timed separately from the queries).
+    cpu_probes = [calibration_start["cpu_loop_sec"]]
     for _ in range(N_PASSES):
         this_pass: dict[str, float] = {}
         for name in HEADLINE:
@@ -249,8 +262,10 @@ def main() -> int:
             this_pass[name] = dt
             timings[name] = min(timings.get(name, dt), dt)
         passes.append(this_pass)
+        cpu_probes.append(_cpu_probe())
 
     calibration_end = _calibrate(spark, sf_dir)
+    cpu_probes.append(calibration_end["cpu_loop_sec"])
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: the full headline set grows every
@@ -263,11 +278,10 @@ def main() -> int:
     )
     calibration = {"start": calibration_start, "end": calibration_end}
     # Drift-normalized core36: scale by how much slower/faster this host
-    # ran the fixed CPU probe than the declared reference. Mean of the
-    # start/end probes so contention arriving mid-bench is half-counted.
-    cpu_loop = (
-        calibration_start["cpu_loop_sec"] + calibration_end["cpu_loop_sec"]
-    ) / 2.0
+    # ran the fixed CPU probe than the declared reference. Mean over ALL
+    # probes (start + every pass boundary + end) so bursty contention
+    # mid-bench is counted in proportion to how long it overlapped the run.
+    cpu_loop = sum(cpu_probes) / len(cpu_probes)
     core36_norm = round(core36 * REF_CPU_LOOP / cpu_loop, 3) if cpu_loop else None
 
     # Full detail (every raw pass + per-query mins + calibration) goes to
@@ -291,6 +305,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "calibration": calibration,
+        "cpu_probes": cpu_probes,
+        "cpu_loop_mean": round(cpu_loop, 3),
         "passes": passes,
     }
     try:
@@ -310,6 +326,7 @@ def main() -> int:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "calibration": calibration,
+        "cpu_loop_mean": round(cpu_loop, 3),
     }
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:

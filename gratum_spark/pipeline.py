@@ -1194,7 +1194,24 @@ class Pipeline:
         The reference's in-memory sort is STABLE (Groovy list sort);
         Spark's distributed sort is not — so when the pipeline carries a
         row-order stamp it is appended as the final tie-breaker, making
-        equal-key rows come out in source order every run."""
+        equal-key rows come out in source order every run.
+
+        The reference's sort RE-ORDERS THE STREAM: every downstream
+        order-dependent step (``limit`` first-n, ``unique`` first-wins,
+        ``fill_down_by``, ``flatten_window``, ``exchange``) sees rows in
+        SORTED order. So a stamped pipeline re-stamps ``_row_order``
+        after the sort with ``monotonically_increasing_id`` evaluated on
+        top of the global sort — partition-major, hence order-isomorphic
+        to the sort (Catalyst pins the nondeterministic expression above
+        the Sort, so it cannot be reordered past it). Without the
+        re-stamp, ``sort(x).limit(n)`` silently returned the first n in
+        SOURCE order instead of the top n (caught by the chain fuzz
+        campaign's design review, pinned in
+        test_sort_reorders_downstream_ops). The re-stamp has the same
+        determinism class as the unstamped-source fallback stamp: stable
+        for a fixed range-boundary configuration (boundaries are
+        computed from a fixed per-plan seed, so re-evaluations within a
+        session agree)."""
         exprs = []
         for c in columns:
             if isinstance(c, tuple):
@@ -1202,9 +1219,18 @@ class Pipeline:
                 exprs.append(F.col(name).desc() if order.lower().startswith("desc") else F.col(name).asc())
             else:
                 exprs.append(F.col(c).asc())
-        if ROW_ORDER in self.df.columns:
+        stamped = ROW_ORDER in self.df.columns
+        if stamped:
             exprs.append(F.col(ROW_ORDER).asc())
         ordered = self.df.orderBy(*exprs)
+        if stamped:
+            ordered = ordered.withColumn(
+                ROW_ORDER,
+                F.struct(
+                    F.lit("").alias("f"),
+                    F.monotonically_increasing_id().alias("i"),
+                ),
+            )
         if after_file is not None or file is not None or not downstream:
             import tempfile
 

@@ -619,6 +619,43 @@ def test_sort_is_stable_on_stamped_sources(spark):
     assert out == list(range(50))
 
 
+def test_sort_reorders_downstream_ops(spark):
+    """The reference's sort re-orders the STREAM: downstream
+    order-dependent steps see sorted order, not source order. On a
+    stamped source, sort(x).limit(n) must be the top n by x (was
+    silently first-n by SOURCE order before the r9 re-stamp fix), and
+    unique() after sort must first-win in sorted order."""
+    from gratum_spark import sources
+
+    rows = [{"i": i, "v": (7 * i) % 10} for i in range(10)]
+    p = sources.from_collection(spark, rows, "i long, v long", ordered=True)
+    top3 = [(r["i"], r["v"]) for r in p.sort(("v", "desc")).limit(3).df.collect()]
+    assert top3 == [(7, 9), (4, 8), (1, 7)]
+    # reject accounting consistent with the sorted split
+    stat = p.sort(("v", "desc")).limit(3, halt=False).go()
+    assert stat.loaded == 3 and stat.rejected == 7
+
+    rows2 = [
+        {"i": 0, "k": "a", "v": 5},
+        {"i": 1, "k": "a", "v": 9},
+        {"i": 2, "k": "b", "v": 1},
+        {"i": 3, "k": "b", "v": 7},
+    ]
+    p2 = sources.from_collection(spark, rows2, "i long, k string, v long", ordered=True)
+    u = sorted((r["k"], r["i"]) for r in p2.sort(("v", "desc")).unique("k").df.collect())
+    assert u == [("a", 1), ("b", 3)]
+
+    # chained sorts: the second sort's ties break by the FIRST sort's
+    # order (a stable stream sort over the re-ordered stream)
+    rows3 = [
+        {"i": 0, "a": 2, "b": 1},
+        {"i": 1, "a": 1, "b": 1},
+        {"i": 2, "a": 1, "b": 0},
+    ]
+    p3 = sources.from_collection(spark, rows3, "i long, a long, b long", ordered=True)
+    assert [r["i"] for r in p3.sort("a").sort("b").df.collect()] == [2, 1, 0]
+
+
 def test_concat_mixed_sources_keeps_play_order(spark, sf_dir):
     """concat of a parquet-stamped pipeline with a collection-stamped
     one must union (the stamps share one struct shape) and preserve the

@@ -1878,6 +1878,167 @@ def _with_checkpoint_dir(base_fn):
     return run
 
 
+def fuzz_chain(spark, n: int, seed: int) -> list[str]:
+    """Random OPERATOR CHAINS (2-5 steps) vs a sequential Groovy-semantics
+    model — the composition axis the per-operator campaigns can't cover:
+    reject accounting ACCUMULATED across multiple rejecting steps, play
+    order flowing through a re-ordering sort into downstream
+    order-dependent ops (limit first-n, unique first-wins — the r9 sort
+    re-stamp fix), schema type change mid-chain (as_int flips s to long,
+    changing trim's column set and default_values' falsy rule), and the
+    kept/reject split staying a consistent partition of the input under
+    all of it. Final kept rows, LoadStatistic loaded/rejected, and
+    per-category reject counts must all match the model."""
+    from collections import Counter
+
+    from gratum_spark import sources
+
+    failures = []
+    k_pool = [None, "", "a", "b", "c", "0", " a", "D", "X"]
+    v_pool = [None, 0, 1, 2, 3, -5, 7]
+
+    def _sort_key(col, default):
+        def keyf(r):
+            val = r[col]
+            return (val is not None, default if val is None else val)
+        return keyf
+
+    for t in range(n):
+        rng = random.Random(seed * 1_100_003 + t)
+        size = rng.randint(1, 40)
+        rows = [
+            {
+                "i": i,
+                "s": rng.choice(COERCE_POOL),
+                "k": rng.choice(k_pool),
+                "v": rng.choice(v_pool),
+            }
+            for i in range(size)
+        ]
+        p = sources.from_collection(
+            spark, rows, "i long, s string, k string, v long",
+            name="fzchain", ordered=True,
+        )
+        model = [dict(r) for r in rows]
+        rej: Counter = Counter()
+        s_is_string = True
+        applied: list[str] = []
+        ops = ["filter", "unique", "sort", "limit", "trim",
+               "defaults", "replace", "as_int", "set"]
+        for _ in range(rng.randint(2, 5)):
+            op = rng.choice(ops)
+            if op == "filter":
+                lit = rng.choice(["a", "b", "c", "0"])
+                p = p.filter({"k": lit})
+                kept = [r for r in model if r["k"] == lit]
+                rej["IGNORE_ROW"] += len(model) - len(kept)
+                model = kept
+                applied.append(f"filter(k={lit})")
+            elif op == "unique":
+                p = p.unique("k")
+                seen, kept = set(), []
+                for r in model:
+                    if r["k"] not in seen:
+                        seen.add(r["k"])
+                        kept.append(r)
+                rej["IGNORE_ROW"] += len(model) - len(kept)
+                model = kept
+                applied.append("unique(k)")
+            elif op == "sort":
+                col = rng.choice(["v", "k", "i"])
+                desc = rng.random() < 0.5
+                p = p.sort((col, "desc") if desc else col)
+                default = "" if col == "k" else 0
+                # asc: nulls first (Groovy null <=> x == -1, Spark asc
+                # default); desc: nulls last; stable both ways
+                model = sorted(model, key=_sort_key(col, default), reverse=desc)
+                applied.append(f"sort({col},{'desc' if desc else 'asc'})")
+            elif op == "limit":
+                nn = rng.randint(0, size + 2)
+                halt = rng.random() < 0.5
+                p = p.limit(nn, halt=halt)
+                dropped = max(0, len(model) - nn)
+                model = model[:nn]
+                if not halt:
+                    rej["IGNORE_ROW"] += dropped
+                applied.append(f"limit({nn},halt={halt})")
+            elif op == "trim":
+                p = p.trim()
+                for r in model:
+                    if s_is_string:
+                        r["s"] = _java_trim(r["s"])
+                    r["k"] = _java_trim(r["k"])
+                applied.append("trim")
+            elif op == "defaults":
+                if rng.random() < 0.5:
+                    p = p.default_values({"k": "D"})
+                    for r in model:
+                        if r["k"] in (None, ""):
+                            r["k"] = "D"
+                    applied.append("defaults(k)")
+                else:
+                    p = p.default_values({"v": 7})
+                    for r in model:
+                        if r["v"] in (None, 0):
+                            r["v"] = 7
+                    applied.append("defaults(v)")
+            elif op == "replace":
+                keys = rng.sample([x for x in k_pool if x is not None], 3)
+                mapping = {x: rng.choice([None, "", "X", "0"]) for x in keys}
+                p = p.replace_values("k", mapping)
+                live = {a: b for a, b in mapping.items() if b}
+                for r in model:
+                    if r["k"] is not None and r["k"] in live:
+                        r["k"] = live[r["k"]]
+                applied.append(f"replace(k,{mapping!r})")
+            elif op == "as_int":
+                if not s_is_string:
+                    continue
+                p = p.as_int("s")
+                kept = []
+                for r in model:
+                    ok, val = _model_as_int(r["s"])
+                    if ok:
+                        r["s"] = val
+                        kept.append(r)
+                rej["INVALID_FORMAT"] += len(model) - len(kept)
+                model = kept
+                s_is_string = False
+                applied.append("as_int(s)")
+            elif op == "set":
+                p = p.set_field("k", "Z")
+                for r in model:
+                    r["k"] = "Z"
+                applied.append("set(k=Z)")
+
+        stat = p.go()
+        got = sorted(
+            ({c: row[c] for c in ("i", "s", "k", "v")} for row in p.df.collect()),
+            key=lambda r: r["i"],
+        )
+        want = sorted(model, key=lambda r: r["i"])
+        cat_ok = all(
+            stat.rejections_for(cat) == cnt for cat, cnt in rej.items()
+        )
+        if (
+            got != want
+            or stat.loaded != len(model)
+            or stat.rejected != sum(rej.values())
+            or not cat_ok
+        ):
+            diff = next(
+                ((a, b) for a, b in zip(got, want) if a != b),
+                (len(got), len(want)),
+            )
+            failures.append(
+                f"chain trial={t} seed={seed} ops={applied}: first diff "
+                f"{diff} loaded={stat.loaded}/{len(model)} "
+                f"rejected={stat.rejected}/{sum(rej.values())} cat_ok={cat_ok}"
+            )
+            break
+    return failures
+
+
 CAMPAIGNS = {
     "fill_down": (fuzz_fill_down, 25),
     "fill_down_ckpt": (_with_checkpoint_dir(fuzz_fill_down), 25),
@@ -1901,6 +2062,7 @@ CAMPAIGNS = {
     "duplicate_spans": (fuzz_duplicate_spans, 20),
     "coercions": (fuzz_coercions, 25),
     "dates": (fuzz_dates, 20),
+    "chain": (fuzz_chain, 25),
 }
 
 

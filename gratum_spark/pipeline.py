@@ -1466,6 +1466,13 @@ class Pipeline:
                 f"or raise max_rows= explicitly if the driver can hold it."
             )
         rows = [r.asDict(recursive=True) for r in capped]
+        # the reference feeds the closure rows in STREAM order, and the
+        # closure sees only payload columns — iterate by the stamp, then
+        # strip it from the dicts handed to fn
+        if ROW_ORDER in self.df.columns:
+            rows.sort(key=lambda r: tuple(r[ROW_ORDER].values()))
+            for r in rows:
+                r.pop(ROW_ORDER, None)
         dfs: list[DataFrame] = []
         extra_rejects: list[DataFrame] = []
         for r in rows:
@@ -2008,11 +2015,27 @@ class GroupedPipeline:
 
     def rows(self) -> Pipeline:
         """Grouped rows as array-of-structs per key — the distributed form
-        of gratum's per-key row lists."""
+        of gratum's per-key row lists.
+
+        The reference appends rows to each key's list in STREAM order
+        (arrival order; sorted order after a sort). collect_list alone
+        gives shuffle-arrival order, so on a stamped pipeline each list
+        is rebuilt in play order via sort_array over (stamp, payload)
+        structs — struct comparison is lexicographic, the stamp is
+        field 1 and unique, so the sort is total and the payload never
+        participates in the comparison."""
         payload = [c for c in self.parent.df.columns if c not in self.columns and c != ROW_ORDER]
-        df = self.parent.df.groupBy(*self.columns).agg(
-            F.collect_list(F.struct(*payload)).alias("rows")
-        )
+        item = F.struct(*payload)
+        if ROW_ORDER in self.parent.df.columns:
+            tagged = F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ROW_ORDER).alias("o"), item.alias("r"))
+                )
+            )
+            rows_col = F.transform(tagged, lambda x: x["r"]).alias("rows")
+        else:
+            rows_col = F.collect_list(item).alias("rows")
+        df = self.parent.df.groupBy(*self.columns).agg(rows_col)
         return self.parent._next(df)
 
     def as_tree(self, max_rows: int = 100_000) -> dict:

@@ -477,6 +477,38 @@ def test_exchange(spark, hobbies):
     assert ids.exchange(expand).go().loaded == 4
 
 
+def test_group_rows_and_exchange_follow_play_order(spark):
+    """The reference builds per-key row lists in STREAM order and feeds
+    exchange closures rows in stream order with payload-only dicts —
+    including the re-ordered stream after a sort (r9 play-order fixes)."""
+    from gratum_spark import sources
+
+    rows = [
+        {"i": 0, "k": "a", "v": 5},
+        {"i": 1, "k": "a", "v": 9},
+        {"i": 2, "k": "b", "v": 1},
+        {"i": 3, "k": "a", "v": 7},
+    ]
+    p = sources.from_collection(spark, rows, "i long, k string, v long", ordered=True)
+    by_k = {r["k"]: [x["i"] for x in r["rows"]] for r in p.group_by("k").rows().df.collect()}
+    assert by_k == {"a": [0, 1, 3], "b": [2]}  # source order within key
+    sorted_by_k = {
+        r["k"]: [x["i"] for x in r["rows"]]
+        for r in p.sort(("v", "desc")).group_by("k").rows().df.collect()
+    }
+    assert sorted_by_k == {"a": [1, 3, 0], "b": [2]}  # v desc within key
+
+    seen = []
+
+    def fn(row):
+        seen.append(dict(row))
+        return spark.createDataFrame([(row["i"],)], "i long")
+
+    p.sort(("v", "desc")).exchange(fn).df.collect()
+    assert sorted(seen[0].keys()) == ["i", "k", "v"]  # no _row_order leak
+    assert [d["i"] for d in seen] == [1, 3, 0, 2]  # sorted play order
+
+
 def test_exchange_max_rows_cap(spark, hobbies):
     # r5 verdict #6: exchange is driver-side by reference semantics; a
     # data-sized input must raise (naming the distributed alternative)

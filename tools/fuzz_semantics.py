@@ -1924,7 +1924,8 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
         s_is_string = True
         applied: list[str] = []
         ops = ["filter", "unique", "sort", "limit", "trim",
-               "defaults", "replace", "as_int", "set"]
+               "defaults", "replace", "as_int", "as_double", "set",
+               "fill_down"]
         for _ in range(rng.randint(2, 5)):
             op = rng.choice(ops)
             if op == "filter":
@@ -2005,6 +2006,28 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                 model = kept
                 s_is_string = False
                 applied.append("as_int(s)")
+            elif op == "as_double":
+                if not s_is_string:
+                    continue
+                p = p.as_double("s")
+                kept = []
+                for r in model:
+                    ok, val = _model_as_double(r["s"])
+                    if ok:
+                        r["s"] = val
+                        kept.append(r)
+                rej["INVALID_FORMAT"] += len(model) - len(kept)
+                model = kept
+                s_is_string = False
+                applied.append("as_double(s)")
+            elif op == "fill_down":
+                # no-key form: ONE run over the whole play order; fills
+                # EVERY Groovy-falsy cell in every column (incl. i=0)
+                p = p.fill_down_by()
+                model = _seq_fill(
+                    model, ["i", "s", "k", "v"], [0] * len(model)
+                )
+                applied.append("fill_down")
             elif op == "set":
                 p = p.set_field("k", "Z")
                 for r in model:
@@ -2012,11 +2035,17 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                 applied.append("set(k=Z)")
 
         stat = p.go()
-        got = sorted(
-            ({c: row[c] for c in ("i", "s", "k", "v")} for row in p.df.collect()),
-            key=lambda r: r["i"],
-        )
-        want = sorted(model, key=lambda r: r["i"])
+
+        def _norm(r):
+            # NaN breaks equality; fill_down can duplicate the identity
+            # column, so the sort key is the full normalized tuple
+            return tuple(
+                "<NaN>" if isinstance(v, float) and v != v else v
+                for v in (r["i"], r["s"], r["k"], r["v"])
+            )
+
+        got = sorted((_norm(row) for row in p.df.collect()), key=repr)
+        want = sorted((_norm(r) for r in model), key=repr)
         cat_ok = all(
             stat.rejections_for(cat) == cnt for cat, cnt in rej.items()
         )

@@ -101,6 +101,32 @@ def stamp_row_order(df: DataFrame) -> DataFrame:
     )
 
 
+# join()'s size-aware broadcast default: hint only when the right
+# side's optimizer-estimated size is under this cap (overridable per
+# session via the conf key). 256 MB sits comfortably inside executor
+# memory on a real cluster and far beyond any right side the reference
+# could cache in a single-node HashMap.
+BROADCAST_CAP_CONF = "spark.gratum.join.autoBroadcastCap"
+_BROADCAST_CAP_DEFAULT = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated size of a DataFrame's plan, driver-side only
+    (runs analysis + optimization, never a job). None when stats are
+    unavailable or the estimate is the unknown sentinel (Long.MaxValue-
+    scale), so callers fall back to AQE instead of trusting garbage."""
+    try:
+        # py4j converts the scala.math.BigInt to a Python int directly
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Catalyst reports defaultSizeInBytes (Long.MaxValue) when it has no
+    # idea; anything in that region means "unknown", not "huge".
+    if size < 0 or size >= (1 << 62):
+        return None
+    return size
+
+
 def _is_regex(v: Any) -> bool:
     return isinstance(v, re.Pattern)
 
@@ -1574,10 +1600,20 @@ class Pipeline:
             right-side duplicate is dropped.
 
         Physical: one left-outer join + matched-flag split (no second
-        join for the rejects). ``broadcast=True`` (default when the right
-        side is a Pipeline, mirroring gratum's fully-cached right side)
-        hints BroadcastHashJoin; pass False for two big tables and let
-        AQE pick shuffled hash / sort-merge with skew handling.
+        join for the rejects). Broadcast policy: ``broadcast=True``
+        always hints BroadcastHashJoin and ``broadcast=False`` never
+        does (AQE then picks shuffled hash / sort-merge with skew
+        handling). The default (None) is SIZE-AWARE: when the right
+        side is a Pipeline its optimizer-estimated plan size is read
+        driver-side (no job) and the hint applies only under the cap —
+        gratum fully caches the right side in memory
+        (Pipeline.groovy:386-397), so at gratum-scale inputs the hint
+        remains the common-case outcome, but a big right side no longer
+        inherits an OOM-at-100× broadcast by default. Cap = conf
+        ``spark.gratum.join.autoBroadcastCap`` (bytes, default 256 MB —
+        comfortably inside executor memory on a real cluster, well past
+        any right side the reference could hold driver-side). Unknown
+        size (stats unavailable) falls to AQE, never to a blind hint.
         """
         right_df = other.df if isinstance(other, Pipeline) else other
         pairs = self._normalize_on(on)
@@ -1591,7 +1627,15 @@ class Pipeline:
         renames = {rk: f"__rk_{i}__" for i, rk in enumerate(rkeys)}
         right_clean = right_clean.withColumnsRenamed(renames)
         right_clean = right_clean.withColumn("__matched__", F.lit(True))
-        if broadcast or (broadcast is None and isinstance(other, Pipeline)):
+        if broadcast is None and isinstance(other, Pipeline):
+            size = _plan_size_bytes(right_clean)
+            cap = int(
+                right_clean.sparkSession.conf.get(
+                    BROADCAST_CAP_CONF, str(_BROADCAST_CAP_DEFAULT)
+                )
+            )
+            broadcast = size is not None and size <= cap
+        if broadcast:
             right_clean = F.broadcast(right_clean)
 
         cond = None
@@ -2020,17 +2064,22 @@ class GroupedPipeline:
         The reference appends rows to each key's list in STREAM order
         (arrival order; sorted order after a sort). collect_list alone
         gives shuffle-arrival order, so on a stamped pipeline each list
-        is rebuilt in play order via sort_array over (stamp, payload)
-        structs — struct comparison is lexicographic, the stamp is
-        field 1 and unique, so the sort is total and the payload never
-        participates in the comparison."""
+        is rebuilt in play order via a comparator-based array_sort over
+        (stamp, payload) structs. The comparator reads ONLY the stamp
+        field (unique, so the sort is total): unlike sort_array, this
+        never asks the payload to be orderable, so map-typed payload
+        columns (which sources' schema sanitization can produce) sort
+        fine."""
         payload = [c for c in self.parent.df.columns if c not in self.columns and c != ROW_ORDER]
         item = F.struct(*payload)
         if ROW_ORDER in self.parent.df.columns:
-            tagged = F.sort_array(
+            tagged = F.array_sort(
                 F.collect_list(
                     F.struct(F.col(ROW_ORDER).alias("o"), item.alias("r"))
-                )
+                ),
+                lambda a, b: F.when(a["o"] < b["o"], F.lit(-1))
+                .when(a["o"] > b["o"], F.lit(1))
+                .otherwise(F.lit(0)),
             )
             rows_col = F.transform(tagged, lambda x: x["r"]).alias("rows")
         else:

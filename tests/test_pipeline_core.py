@@ -509,6 +509,29 @@ def test_group_rows_and_exchange_follow_play_order(spark):
     assert [d["i"] for d in seen] == [1, 3, 0, 2]  # sorted play order
 
 
+def test_group_rows_map_payload_on_stamped_pipeline(spark):
+    """Play-order rows() must not require the payload to be orderable:
+    a map-typed payload column (MapType survives sources' schema
+    sanitization) sorts by the stamp alone via the comparator form of
+    array_sort — plain sort_array over the (stamp, payload) struct
+    raised AnalysisException here."""
+    from gratum_spark import sources
+
+    rows = [
+        {"k": "a", "m": {"x": 2}},
+        {"k": "b", "m": {"y": 1}},
+        {"k": "a", "m": {"z": 3}},
+    ]
+    p = sources.from_collection(
+        spark, rows, "k string, m map<string,long>", ordered=True
+    )
+    got = {
+        r["k"]: [dict(x["m"]) for x in r["rows"]]
+        for r in p.group_by("k").rows().df.collect()
+    }
+    assert got == {"a": [{"x": 2}, {"z": 3}], "b": [{"y": 1}]}
+
+
 def test_exchange_max_rows_cap(spark, hobbies):
     # r5 verdict #6: exchange is driver-side by reference semantics; a
     # data-sized input must raise (naming the distributed alternative)

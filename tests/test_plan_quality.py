@@ -600,6 +600,42 @@ def _no_size_based_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_join_default_broadcast_is_size_aware(spark, sf):
+    """join()'s default hint must be conditional on the right side's
+    estimated size: a small right Pipeline still broadcasts (gratum
+    parity — the reference caches the whole right side), but one past
+    the cap falls to AQE/sort-merge instead of inheriting an
+    OOM-at-100× broadcast. broadcast=True/False stay absolute
+    overrides. Size-estimation broadcasts are disabled so the only
+    BroadcastHashJoin that can appear is the engine's own hint."""
+    from gratum_spark.pipeline import BROADCAST_CAP_CONF
+
+    left = table(spark, sf, "orders")
+    right = table(spark, sf, "customer")
+    with _no_size_based_broadcast(spark):
+        # default + small right side → hinted broadcast
+        plan = plan_of(left.join(right, {"o_custkey": "c_custkey"}).df)
+        assert "BroadcastHashJoin" in plan
+        # default + right side past the cap → no hint, sort-merge
+        spark.conf.set(BROADCAST_CAP_CONF, "1")
+        try:
+            plan = plan_of(left.join(right, {"o_custkey": "c_custkey"}).df)
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan
+            # explicit True overrides the cap
+            plan = plan_of(
+                left.join(right, {"o_custkey": "c_custkey"}, broadcast=True).df
+            )
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.conf.unset(BROADCAST_CAP_CONF)
+        # explicit False never hints even for a tiny right side
+        plan = plan_of(
+            left.join(right, {"o_custkey": "c_custkey"}, broadcast=False).df
+        )
+        assert "BroadcastHashJoin" not in plan
+
+
 def test_ngram_jaccard_never_hints_per_doc_sizes(spark, sf):
     """ngram_jaccard_pairs' na/nb tables hold one row PER DOCUMENT —
     a broadcast hint there is a multi-hundred-GB driver ship at 10 B

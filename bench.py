@@ -190,6 +190,31 @@ def _cpu_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _cpu_probe_par(n: int = 8) -> float:
+    """N copies of the same 5M-iteration loop in concurrent FORKED
+    processes (the GIL serializes threads); wall time until all N exit.
+    A single-thread probe under-senses contention against 32-thread
+    stage tails (it gets one fair core-share; the bench's 32 threads
+    lose 32). This multi-core variant is RECORDED ALONGSIDE the
+    single-thread series (r9 verdict task 3) so r11 can compare their
+    drift sensitivity before deciding which divides the normalized
+    headline. Children run pure arithmetic and os._exit — no JVM/py4j
+    state is touched post-fork."""
+    t0 = time.perf_counter()
+    pids = []
+    for _ in range(n):
+        pid = os.fork()
+        if pid == 0:
+            acc = 0
+            for i in range(5_000_000):
+                acc += i * i
+            os._exit(0)
+        pids.append(pid)
+    for pid in pids:
+        os.waitpid(pid, 0)
+    return round(time.perf_counter() - t0, 3)
+
+
 def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workloads whose cost is independent of repo code.
     Ratios between rounds normalize query timings against host speed."""
@@ -255,17 +280,23 @@ def main() -> int:
     # normalization divisor reflect the load the queries actually ran
     # under, at ~1s total overhead (timed separately from the queries).
     cpu_probes = [calibration_start["cpu_loop_sec"]]
+    cpu_probes_par = [_cpu_probe_par()]
+    pass_walls: list[float] = []
     for _ in range(N_PASSES):
         this_pass: dict[str, float] = {}
+        t_pass = time.perf_counter()
         for name in HEADLINE:
             dt = run_once(name, sf_dir)
             this_pass[name] = dt
             timings[name] = min(timings.get(name, dt), dt)
+        pass_walls.append(round(time.perf_counter() - t_pass, 3))
         passes.append(this_pass)
         cpu_probes.append(_cpu_probe())
+        cpu_probes_par.append(_cpu_probe_par())
 
     calibration_end = _calibrate(spark, sf_dir)
     cpu_probes.append(calibration_end["cpu_loop_sec"])
+    cpu_probes_par.append(_cpu_probe_par())
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: the full headline set grows every
@@ -278,10 +309,27 @@ def main() -> int:
     )
     calibration = {"start": calibration_start, "end": calibration_end}
     # Drift-normalized core36: scale by how much slower/faster this host
-    # ran the fixed CPU probe than the declared reference. Mean over ALL
-    # probes (start + every pass boundary + end) so bursty contention
-    # mid-bench is counted in proportion to how long it overlapped the run.
-    cpu_loop = sum(cpu_probes) / len(cpu_probes)
+    # ran the fixed CPU probe than the declared reference. The divisor is
+    # the PASS-WALL-WEIGHTED mean of the boundary probes (r9 ADVICE): a
+    # point probe samples one instant, so with an unweighted mean a load
+    # burst inside one long pass counts the same as one inside a short
+    # pass. Each pass's load estimate is the mean of its two bracketing
+    # probes, weighted by that pass's wall time; the end-calibration
+    # probe is recorded but not weighted (its instant duplicates the
+    # post-final-pass boundary). The unweighted mean is kept alongside
+    # for round-over-round continuity — on a steady host they agree.
+    cpu_loop_mean = sum(cpu_probes) / len(cpu_probes)
+    wall_total = sum(pass_walls)
+    if wall_total and len(cpu_probes) >= N_PASSES + 1:
+        cpu_loop = (
+            sum(
+                w * (cpu_probes[i] + cpu_probes[i + 1]) / 2
+                for i, w in enumerate(pass_walls)
+            )
+            / wall_total
+        )
+    else:
+        cpu_loop = cpu_loop_mean
     core36_norm = round(core36 * REF_CPU_LOOP / cpu_loop, 3) if cpu_loop else None
 
     # Full detail (every raw pass + per-query mins + calibration) goes to
@@ -306,7 +354,10 @@ def main() -> int:
         "sf": sf_val,
         "calibration": calibration,
         "cpu_probes": cpu_probes,
-        "cpu_loop_mean": round(cpu_loop, 3),
+        "cpu_probes_par": cpu_probes_par,
+        "pass_walls": pass_walls,
+        "cpu_loop_mean": round(cpu_loop_mean, 3),
+        "cpu_loop_wmean": round(cpu_loop, 3),
         "passes": passes,
     }
     try:
@@ -326,7 +377,8 @@ def main() -> int:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "calibration": calibration,
-        "cpu_loop_mean": round(cpu_loop, 3),
+        "cpu_loop_mean": round(cpu_loop_mean, 3),
+        "cpu_loop_wmean": round(cpu_loop, 3),
     }
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:

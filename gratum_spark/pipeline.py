@@ -284,13 +284,55 @@ def _pandas_row_predicate(fn: Callable[[dict], Any]):
     return _pred
 
 
-def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int] | None:
-    """Translate a purely numeric SimpleDateFormat date pattern into a
-    prefix-anchored Java-regex + (year, month, day) capture-group
-    indices for as_date's lenient path, or None when the pattern falls
-    outside the supported subset (text months, time fields, 'yy'
-    century windows, quoted literals, adjacent fixed-width numeric
-    runs) — the caller then keeps the strict parse for that format.
+# English month names for lenient text-month parsing (MMM/MMMM) —
+# DateFormatSymbols order: full names before short so the regex's
+# first-match mirrors SimpleDateFormat's full-then-short matchString
+# calls; "May" is its own short form. (?i:) = case-insensitive, scoped
+# to the names only — identical semantics in Java regex (regexp_extract)
+# and Python 3.11 re (the fuzz model re-runs the same pattern).
+_MONTH_FULL = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+_MONTH_SHORT = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+_MONTH_NAME_ALT = "(?i:" + "|".join(
+    _MONTH_FULL + [s for s in _MONTH_SHORT if s not in _MONTH_FULL]
+) + ")"
+MONTH_NAME_TO_NUM = {
+    **{n.lower(): i + 1 for i, n in enumerate(_MONTH_FULL)},
+    **{n.lower(): i + 1 for i, n in enumerate(_MONTH_SHORT)},
+}
+
+
+def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
+    """Translate a SimpleDateFormat date pattern (numeric fields, plus
+    English text months) into a prefix-anchored Java-regex + (year,
+    month, day) capture-group indices + a flag saying whether the month
+    group captures a month NAME rather than digits, for as_date's
+    lenient path — or None when the pattern falls outside the supported
+    subset (time fields, 'yy' century windows, quoted literals,
+    adjacent fixed-width numeric runs) — the caller then keeps the
+    strict parse for that format.
+
+    Text months (M-run of length >= 3, r10): SimpleDateFormat's
+    matchString behaviors probed against the real Java 17 parser and
+    reproduced — case-INSENSITIVE (regionMatches(true, ...); "june"/
+    "JUNE" parse), full names tried before short names (subParse tries
+    getMonths() then getShortMonths(); the regex lists full-name
+    alternatives first — no month name is a prefix of another within
+    either list, and regex backtracking from full to short can never
+    rescue a parse Java rejects because the divergent suffix is always
+    alphabetic while the element after a month is always a non-alpha
+    literal or a digit run), NO whitespace skip before the name
+    (probed: "2024- Jan-05" REJECTS under yyyy-MMM-dd where
+    "2024- 01-05" parses under yyyy-MM-dd — the numeric-field skip
+    does not apply to text fields), adjacency with numeric runs is
+    fine in both directions ("05Jan2024", "June15" probed), and
+    locale-English names only (the `dates` fuzz campaign pins the Java
+    oracle to Locale.ENGLISH to match).
 
     Field shapes probed against the real Java 17 SimpleDateFormat (see
     the `dates` fuzz campaign): each numeric field parses a maximal
@@ -305,6 +347,7 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int] | None:
         return None
     parts: list[str] = []
     groups: dict[str, int] = {}
+    month_text = False
     prev_numeric = False
     for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
         lit = m.group(3)
@@ -315,20 +358,27 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int] | None:
         run = m.group(1)
         if run[0] == "y" and len(run) != 2:  # 'yy' = century window: out
             key = "y"
-        elif run[0] == "M" and len(run) <= 2:  # 'MMM' = text month: out
+        elif run[0] == "M":
             key = "M"
+            if len(run) >= 3:  # text month (MMM/MMMM parse identically)
+                month_text = True
         elif run[0] == "d" and len(run) <= 2:
             key = "d"
         else:
             return None
-        if key in groups or prev_numeric:
+        if key in groups or (prev_numeric and not (key == "M" and month_text)):
             return None
         groups[key] = len(groups) + 1
-        parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
-        prev_numeric = True
+        if key == "M" and month_text:
+            # no whitespace skip before a text field (probed; see above)
+            parts.append("(" + _MONTH_NAME_ALT + ")")
+            prev_numeric = False  # a digit run can follow a name
+        else:
+            parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
+            prev_numeric = True
     if set(groups) != {"y", "M", "d"}:
         return None
-    return "^" + "".join(parts), groups["y"], groups["M"], groups["d"]
+    return "^" + "".join(parts), groups["y"], groups["M"], groups["d"], month_text
 
 
 _GREGORIAN_CUTOVER_JDN = 2299161  # 1582-10-15 (Gregorian), Java's default
@@ -1162,10 +1212,13 @@ class Pipeline:
         tools/fuzz_semantics.py campaign ``dates``.
 
         Lenient-mode scope (each falls back to the strict parse for
-        that format): purely numeric date patterns — y/yyyy, M/MM, d/dd
-        separated by literal text ('yy' century windows, text months,
-        time fields, quoted literals, and adjacent fixed-width numeric
-        runs are out). Documented divergences from SimpleDateFormat:
+        that format): numeric date patterns — y/yyyy, M/MM, d/dd
+        separated by literal text — plus English text months
+        (MMM/MMMM, case-insensitive, full or short names, matching
+        SimpleDateFormat's Locale.ENGLISH matchString — r10). Still
+        out: 'yy' century windows, time fields, quoted literals, and
+        adjacent fixed-width numeric runs. Documented divergences from
+        SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing, as do results
         whose year leaves [1, 9999] (Spark's DateType label bound;
@@ -1183,10 +1236,26 @@ class Pipeline:
             if spec is None:
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
-            rx, gy, gm, gd = spec
+            rx, gy, gm, gd, m_text = spec
+            if m_text:
+                # text month: captured NAME -> 1..12 via a literal map
+                # (try_element_at: a missing/empty key is null -> reject
+                # even under ANSI, where plain element_at would throw)
+                name_map = F.create_map(
+                    *[
+                        x
+                        for k, v in MONTH_NAME_TO_NUM.items()
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                )
+                month = F.try_element_at(
+                    name_map, F.lower(F.regexp_extract(src, rx, gm))
+                ).cast("long")
+            else:
+                month = F.regexp_extract(src, rx, gm).try_cast("long")
             ed = _hybrid_lenient_epoch_days(
                 F.regexp_extract(src, rx, gy).try_cast("long"),
-                F.regexp_extract(src, rx, gm).try_cast("long"),
+                month,
                 F.regexp_extract(src, rx, gd).try_cast("long"),
             )
             exprs.append(

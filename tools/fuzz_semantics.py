@@ -1581,6 +1581,7 @@ import java.text.ParseException;
 import java.text.SimpleDateFormat;
 import java.util.Base64;
 import java.util.Date;
+import java.util.Locale;
 import java.util.Scanner;
 
 public class LenientDateOracle {
@@ -1594,7 +1595,9 @@ public class LenientDateOracle {
             String fmt = new String(dec.decode(line.substring(0, tab)));
             String val = new String(dec.decode(line.substring(tab + 1)));
             try {
-                Date parsed = new SimpleDateFormat(fmt).parse(val);
+                // Locale pinned: the engine's text-month table is the
+                // English DateFormatSymbols, independent of host locale
+                Date parsed = new SimpleDateFormat(fmt, Locale.ENGLISH).parse(val);
                 System.out.println(out.format(parsed));
             } catch (ParseException e) {
                 System.out.println("REJECT");
@@ -1614,8 +1617,13 @@ def _date_oracle_dir():
 
     d = pathlib.Path(tempfile.gettempdir()) / "gratum_fuzz_java"
     d.mkdir(exist_ok=True)
-    if not (d / "LenientDateOracle.class").exists():
-        (d / "LenientDateOracle.java").write_text(_JAVA_DATE_ORACLE_SRC)
+    src = d / "LenientDateOracle.java"
+    # recompile when the embedded source changed (e.g. the r10 locale
+    # pin), not only when the class is missing — a stale cached oracle
+    # silently tests the wrong semantics
+    stale = not src.exists() or src.read_text() != _JAVA_DATE_ORACLE_SRC
+    if stale or not (d / "LenientDateOracle.class").exists():
+        src.write_text(_JAVA_DATE_ORACLE_SRC)
         subprocess.run(
             ["javac", "LenientDateOracle.java"], check=True, cwd=d,
             capture_output=True,
@@ -1689,20 +1697,53 @@ _DATE_FMT_POOL = [
     ("yyyy/M/d",),
     ("yyyy-MM-dd", "MM/dd/yyyy"),
     ("dd-MM-yyyy", "yyyy-MM-dd"),
+    # text months (r10): every format here must stay inside the engine's
+    # lenient scope (_simple_date_pattern non-None) — the model treats a
+    # None spec as "this format never lenient-matches", which is only
+    # safe because generation never produces strings the STRICT parser
+    # would accept for an out-of-scope format
+    ("yyyy-MMM-dd",),
+    ("MMM d, yyyy",),
+    ("dd MMMM yyyy",),
+    ("yyyy-MMM-dd", "yyyy-MM-dd"),
+    ("MMMM d yyyy", "MM/dd/yyyy"),
 ]
+
+_MONTH_RENDER = {
+    1: ("Jan", "January"), 2: ("Feb", "February"), 3: ("Mar", "March"),
+    4: ("Apr", "April"), 5: ("May", "May"), 6: ("Jun", "June"),
+    7: ("Jul", "July"), 8: ("Aug", "August"), 9: ("Sep", "September"),
+    10: ("Oct", "October"), 11: ("Nov", "November"), 12: ("Dec", "December"),
+}
 
 
 def _render_date(fmt, y, mo, d, rng):
-    """Render numeric fields into a SimpleDateFormat pattern, padding to
-    the pattern width most of the time (sometimes natural width — the
-    greedy parse accepts both)."""
+    """Render fields into a SimpleDateFormat pattern, padding numeric
+    fields to the pattern width most of the time (sometimes natural
+    width — the greedy parse accepts both). A text-month run (MMM+)
+    renders a short/full English name in mixed case when the month is
+    in 1..12 — and sometimes a name even for MMMM vs MMM (Java parses
+    both forms for any count>=3) — else the raw number (which BOTH the
+    engine and Java reject in a text slot; a still-valid trial)."""
     out = []
     for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
         if m.group(3) is not None:
             out.append(m.group(3))
             continue
-        v = {"y": y, "M": mo, "d": d}[m.group(1)[0]]
-        out.append(str(v).zfill(len(m.group(1)) if rng.random() < 0.7 else 0))
+        run = m.group(1)
+        if run[0] == "M" and len(run) >= 3 and 1 <= mo <= 12:
+            name = _MONTH_RENDER[mo][rng.random() < 0.5]
+            c = rng.random()
+            if c < 0.2:
+                name = name.upper()
+            elif c < 0.4:
+                name = name.lower()
+            elif c < 0.5:
+                name = name[0].lower() + name[1:]
+            out.append(name)
+            continue
+        v = {"y": y, "M": mo, "d": d}[run[0]]
+        out.append(str(v).zfill(len(run) if rng.random() < 0.7 else 0))
     return "".join(out)
 
 
@@ -1786,7 +1827,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
         # BC-era normalization). WITHIN that scope Java is the ground
         # truth for the calendar arithmetic, and an engine-regex match
         # that SimpleDateFormat rejects is flagged as a bug.
-        from gratum_spark.pipeline import _simple_date_pattern
+        from gratum_spark.pipeline import MONTH_NAME_TO_NUM, _simple_date_pattern
 
         specs = [(f, _simple_date_pattern(f)) for f in fmts]
 
@@ -1794,11 +1835,24 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
             if v in (None, ""):
                 return True, None
             for f, spec in specs:
-                rx, gy, gm, gd = spec
+                if spec is None:
+                    # out of lenient scope: the ENGINE falls back to the
+                    # strict parse for this format. Generation never
+                    # produces strict-parseable strings for such formats
+                    # (pool guard above), so modeling it as "no match"
+                    # is sound — guarded here so a future pool addition
+                    # fails a trial loudly instead of crashing the
+                    # campaign on tuple unpack (r9 ADVICE)
+                    continue
+                rx, gy, gm, gd, m_text = spec
                 m = re.match(rx, v)  # \t escape reads the same in Python/Java regex
                 if not m:
                     continue
-                y, mo, d = int(m.group(gy)), int(m.group(gm)), int(m.group(gd))
+                if m_text:
+                    mo = MONTH_NAME_TO_NUM[m.group(gm).lower()]
+                else:
+                    mo = int(m.group(gm))
+                y, d = int(m.group(gy)), int(m.group(gd))
                 if not (1 <= y <= 9999 and abs(mo) <= 120000
                         and abs(d) <= 4000000):
                     continue

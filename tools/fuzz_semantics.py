@@ -1941,8 +1941,15 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
     re-stamp fix), schema type change mid-chain (as_int flips s to long,
     changing trim's column set and default_values' falsy rule), and the
     kept/reject split staying a consistent partition of the input under
-    all of it. Final kept rows, LoadStatistic loaded/rejected, and
-    per-category reject counts must all match the model."""
+    all of it. r10 widens the step pool with the remaining
+    order-dependent ops as chain LINKS: flatten_window (first-of-run
+    over consecutive k, consuming and re-emitting play order), join
+    (unmatched-left rejects accumulate mid-chain; the left stamp
+    survives the 1-1 join), concat (appends a second stamped source —
+    play order is left-then-right), and a grouped rows() TERMINAL that
+    checks per-key lists come out in final play order. Final kept rows,
+    LoadStatistic loaded/rejected, and per-category reject counts must
+    all match the model."""
     from collections import Counter
 
     from gratum_spark import sources
@@ -1979,7 +1986,8 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
         applied: list[str] = []
         ops = ["filter", "unique", "sort", "limit", "trim",
                "defaults", "replace", "as_int", "as_double", "set",
-               "fill_down"]
+               "fill_down", "flatten", "join", "concat"]
+        next_i = size  # id source for concat'd rows
         for _ in range(rng.randint(2, 5)):
             op = rng.choice(ops)
             if op == "filter":
@@ -2087,6 +2095,90 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                 for r in model:
                     r["k"] = "Z"
                 applied.append("set(k=Z)")
+            elif op == "flatten":
+                # first row of each run of consecutive equal k (null-safe
+                # equality: consecutive Nones are ONE run). The fn sees
+                # every column incl. the stamp, so head(1) re-emits the
+                # surviving row's own play-order stamp and downstream
+                # order-dependent steps keep working.
+                p = p.flatten_window("k", lambda pdf: pdf.head(1))
+                kept, sentinel = [], object()
+                prev = sentinel
+                for r in model:
+                    if prev is sentinel or r["k"] != prev:
+                        kept.append(r)
+                    prev = r["k"]
+                model = kept
+                applied.append("flatten(k)")
+            elif op == "join":
+                # 1-1 inner join on k against a small unique-key lookup;
+                # unmatched left rows (incl. k=None — SQL null equality)
+                # reject IGNORE_ROW mid-chain
+                univ = [x for x in k_pool if x is not None] + ["Z", "D", "X"]
+                rkeys = rng.sample(sorted(set(univ)), rng.randint(1, 6))
+                rrows = [{"k2": x, "w": j} for j, x in enumerate(rkeys)]
+                rp = sources.from_collection(
+                    spark, rrows, "k2 string, w long", name="fzchain_r",
+                    ordered=True,
+                )
+                p = p.join(rp, on={"k": "k2"})
+                kept = [r for r in model
+                        if r["k"] is not None and r["k"] in rkeys]
+                rej["IGNORE_ROW"] += len(model) - len(kept)
+                model = kept
+                applied.append(f"join(k in {rkeys})")
+            elif op == "concat":
+                if not s_is_string:
+                    continue  # both sides must share the source schema
+                extra_n = rng.randint(0, 10)
+                xrows = [
+                    {
+                        "i": next_i + j,
+                        "s": rng.choice(COERCE_POOL),
+                        "k": rng.choice(k_pool),
+                        "v": rng.choice(v_pool),
+                    }
+                    for j in range(extra_n)
+                ]
+                next_i += extra_n
+                xp = sources.from_collection(
+                    spark, xrows, "i long, s string, k string, v long",
+                    name="fzchain_x", ordered=True,
+                )
+                p = p.concat(xp)
+                model = model + [dict(r) for r in xrows]
+                applied.append(f"concat(+{extra_n})")
+
+        # terminal grouped-rows check (~1 in 4 trials): per-key lists
+        # must come out in FINAL play order — the r9 grouped-rows()
+        # play-order contract, composed after an arbitrary chain
+        if rng.random() < 0.25:
+            gp = p.group_by("k").rows()
+
+            def _nrm(v):
+                return "<NaN>" if isinstance(v, float) and v != v else v
+
+            ggot = {
+                _nrm(r["k"]): [
+                    (_nrm(x["i"]), _nrm(x["s"]), _nrm(x["v"]))
+                    for x in r["rows"]
+                ]
+                for r in gp.df.collect()
+            }
+            gwant: dict = {}
+            for r in model:
+                gwant.setdefault(_nrm(r["k"]), []).append(
+                    (_nrm(r["i"]), _nrm(r["s"]), _nrm(r["v"]))
+                )
+            if ggot != gwant:
+                dk = next((k for k in gwant if ggot.get(k) != gwant[k]),
+                          next(iter(ggot), None))
+                failures.append(
+                    f"chain trial={t} seed={seed} ops={applied}+rows(): "
+                    f"key={dk!r} got={ggot.get(dk)} want={gwant.get(dk)}"
+                )
+                break
+            continue  # grouped terminal replaces the row-level compare
 
         stat = p.go()
 

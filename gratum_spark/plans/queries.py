@@ -3807,26 +3807,81 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ================= r9 driver window (first 50 entries) =================
-    # r9 rotation (r8 verdict task 1): the freshness round. Rotated IN —
-    # the hub-skew stress pair (op_skew_join_plain/salted: in catalog +
-    # bench since r8, oracle-SQL'd, but ZERO driver rows) and 45 of the
-    # 46 queries whose latest driver evidence predates r7 (last checked
-    # r5/r6 — the whole "rotated out in earlier rounds" block). Rotated
-    # OUT to free the slots: every non-anchor r8-window row — all 47 were
-    # green in CORRECTNESS_r08 (many double-green r7+r8), so their
-    # evidence is the freshest in the catalog — plus, for one round,
-    # the q5_region_revenue anchor (8 consecutive green rows, family
-    # still covered in-window by q1+q3): its slot goes to dedup_exact
-    # (last driver row r5) so that after r9 NO catalog query's driver
-    # evidence predates r7 — the r8 verdict's explicit done-criterion.
-    # -- headline TPC-H anchors
+    # ================= r10 driver window (first 50 entries) ================
+    # r10 rotation (r9 verdict task 1): q5_region_revenue re-anchors after
+    # deliberately sitting out exactly one round (its r8 slot went to
+    # dedup_exact), followed by the 15 queries whose latest driver row was
+    # r7 and 34 of the 48 r8-evidence rows rotated out in r9 — leading
+    # with the operators whose CODE changed this round (as_date text
+    # months; join's size-aware broadcast default; the play-order family
+    # op_coerce/op_unique/op_concat). After this window goes green, no
+    # catalog query's driver evidence predates r8. Rotated OUT: the whole
+    # r9 window (all 50 green in CORRECTNESS_r09 — the freshest evidence
+    # in the catalog) plus 13 r8-evidence rows that also carry r9
+    # judge-local re-runs (op_reject_accounting, graph_pagerank,
+    # text_perplexity, pipeline_curation, dedup_minhash_verified) or are
+    # stable planted-structural/stream siblings of in-window queries.
+    # -- re-anchored headline query
+    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
+    # -- latest driver row r7 (the oldest evidence in the catalog)
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
+    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
+    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
+    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
+    "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
+    "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
+    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
+    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
+    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
+    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
+    # -- r8-evidence rows whose code changed in r10
+    "op_as_date": (op_as_date, ORACLE_AS_DATE),
+    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
+    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
+    "op_coerce": (op_coerce, ORACLE_COERCE),
+    "op_unique": (op_unique, ORACLE_UNIQUE),
+    "op_concat": (op_concat, ORACLE_CONCAT),
+    # -- r8-evidence refresh
+    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    "op_replace": (op_replace, ORACLE_REPLACE),
+    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
+    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
+    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
+    "op_anti_join": (op_anti_join, ORACLE_ANTI),
+    "op_semi_join": (op_semi_join, ORACLE_SEMI),
+    "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
+    "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
+    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
+    "text_pack": (text_pack, ORACLE_TEXT_PACK),
+    "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
+    "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
+    "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
+    "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
+    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
+    "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
+    "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
+    "dedup_incremental": (dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
+    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
+    "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
+    "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
+    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
+    "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
+    # ---- 50-entry driver window boundary ----
+    # -- r9-evidence rows (the freshest in the catalog; all stay
+    #    bench/pytest-covered)
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_top_orders": (q3_top_orders, ORACLE_Q3),
-    # -- never driver-checked: the r8 skew stress pair (lead the window)
     "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
     "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
-    # -- stale-evidence §2 operators (last driver rows r5/r6)
     "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
@@ -3854,7 +3909,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
     "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
-    # -- stale-evidence text / dedup / ANN / corpus queries (r5/r6 rows)
     "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
     "text_canary": (text_canary, ORACLE_TEXT_CANARY),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
@@ -3874,75 +3928,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    # ---- 50-entry driver window boundary ----
-    # -- out for one round only (see rotation note): re-anchor in r10
-    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
-    # -- rotated OUT in r9: the whole non-anchor r8 window, every row
-    #    green in CORRECTNESS_r08 (see the rotation note above; all stay
-    #    bench/pytest-covered)
-    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
+    # -- r8-evidence rows left out this round: r9 judge-local re-runs or
+    #    stable planted-structural/stream siblings of in-window queries
     "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
-    "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
-    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
-    "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
-    "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
     "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
-    "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
-    "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
-    "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
-    "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
-    "emb_decontaminate": (emb_decontaminate, ORACLE_EMB_DECONTAMINATE),
-    "dedup_ngram": (dedup_ngram, ORACLE_DEDUP_NGRAM),
-    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
-    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
-    "op_unique": (op_unique, ORACLE_UNIQUE),
-    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
-    "op_concat": (op_concat, ORACLE_CONCAT),
-    "op_as_date": (op_as_date, ORACLE_AS_DATE),
-    "op_replace": (op_replace, ORACLE_REPLACE),
-    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
-    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
-    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
-    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
-    "op_coerce": (op_coerce, ORACLE_COERCE),
-    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
-    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
-    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
-    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
-    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
+    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
     "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
     "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
-    "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
-    "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
-    "dedup_incremental": (dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "text_pack": (text_pack, ORACLE_TEXT_PACK),
-    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
-    "op_anti_join": (op_anti_join, ORACLE_ANTI),
-    "op_semi_join": (op_semi_join, ORACLE_SEMI),
     "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
     "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
+    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
     "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
-    "dedup_spans": (dedup_spans, ORACLE_DEDUP_SPANS),
-    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
-    # -- rotated out in r8 (green through r7; families stay in-window)
-    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_STREAM_TUMBLING),
-    "stream_stateful_counter": (stream_stateful_counter, ORACLE_STREAM_STATEFUL),
-    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
-    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
-    "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
-    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
-    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
-    "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
-    "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
-    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
-    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
-    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
-    "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
+    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
     # -- hash-specific queries with no SQL-expressible oracle (each has
     #    an oracle-checked structural sibling: dedup_minhash_planted,
     #    dedup_simhash_planted, dedup_embedding_planted, ann_ivf_planted,

@@ -191,27 +191,40 @@ def _cpu_probe() -> float:
 
 
 def _cpu_probe_par(n: int = 8) -> float:
-    """N copies of the same 5M-iteration loop in concurrent FORKED
-    processes (the GIL serializes threads); wall time until all N exit.
-    A single-thread probe under-senses contention against 32-thread
-    stage tails (it gets one fair core-share; the bench's 32 threads
-    lose 32). This multi-core variant is RECORDED ALONGSIDE the
+    """N copies of the same 5M-iteration loop in N concurrent FRESH
+    interpreter processes (the GIL serializes threads); wall time until
+    all N exit. A single-thread probe under-senses contention against
+    32-thread stage tails (it gets one fair core-share; the bench's 32
+    threads lose 32). This multi-core variant is RECORDED ALONGSIDE the
     single-thread series (r9 verdict task 3) so r11 can compare their
     drift sensitivity before deciding which divides the normalized
-    headline. Children run pure arithmetic and os._exit — no JVM/py4j
-    state is touched post-fork."""
+    headline.
+
+    Spawn, NOT fork: forking the warmed bench driver copies its page
+    tables, and the cost scales with driver RSS (measured on an idle
+    host: ~0.31 s wall from a small process vs ~0.51 s from a 1.5 GB
+    one — the first r10 record's fork-based series was partly
+    self-inflated by exactly this). Fresh `python3 -S -c` children
+    (subprocess uses vfork+exec: no page-table copy) carry a constant
+    serialized-spawn + interpreter-boot offset instead — measured quiet
+    reference for the whole 8-way probe ≈ 0.62-0.71 s, identical from a
+    small and a 1.5 GB parent — making the series comparable across
+    processes of any size (the quiet-window watcher uses the same spawn
+    form)."""
+    import subprocess
+
+    loop = "acc=0\nfor i in range(5_000_000): acc+=i*i\n"
     t0 = time.perf_counter()
-    pids = []
-    for _ in range(n):
-        pid = os.fork()
-        if pid == 0:
-            acc = 0
-            for i in range(5_000_000):
-                acc += i * i
-            os._exit(0)
-        pids.append(pid)
-    for pid in pids:
-        os.waitpid(pid, 0)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-S", "-c", loop],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n)
+    ]
+    for p in procs:
+        p.wait()
     return round(time.perf_counter() - t0, 3)
 
 

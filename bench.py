@@ -228,6 +228,26 @@ def _cpu_probe_par(n: int = 8) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _weighted_divisor(cpu_probes: list[float], pass_walls: list[float]) -> float:
+    """Pass-wall-weighted mean of the boundary probes (r9 ADVICE): pass i
+    is bracketed by probes[i] and probes[i+1]; its load estimate is their
+    mean, weighted by the pass's wall time. Probes beyond index
+    len(walls) (the end-calibration probe) are recorded but not weighted
+    — their instant duplicates the post-final-pass boundary. Falls back
+    to the plain mean when walls are empty or probes are too few."""
+    if pass_walls and len(cpu_probes) >= len(pass_walls) + 1:
+        total = sum(pass_walls)
+        if total:
+            return (
+                sum(
+                    w * (cpu_probes[i] + cpu_probes[i + 1]) / 2
+                    for i, w in enumerate(pass_walls)
+                )
+                / total
+            )
+    return sum(cpu_probes) / len(cpu_probes) if cpu_probes else 0.0
+
+
 def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workloads whose cost is independent of repo code.
     Ratios between rounds normalize query timings against host speed."""
@@ -332,17 +352,7 @@ def main() -> int:
     # post-final-pass boundary). The unweighted mean is kept alongside
     # for round-over-round continuity — on a steady host they agree.
     cpu_loop_mean = sum(cpu_probes) / len(cpu_probes)
-    wall_total = sum(pass_walls)
-    if wall_total and len(cpu_probes) >= N_PASSES + 1:
-        cpu_loop = (
-            sum(
-                w * (cpu_probes[i] + cpu_probes[i + 1]) / 2
-                for i, w in enumerate(pass_walls)
-            )
-            / wall_total
-        )
-    else:
-        cpu_loop = cpu_loop_mean
+    cpu_loop = _weighted_divisor(cpu_probes, pass_walls)
     core36_norm = round(core36 * REF_CPU_LOOP / cpu_loop, 3) if cpu_loop else None
 
     # Full detail (every raw pass + per-query mins + calibration) goes to

@@ -248,13 +248,31 @@ def _weighted_divisor(cpu_probes: list[float], pass_walls: list[float]) -> float
     return sum(cpu_probes) / len(cpu_probes) if cpu_probes else 0.0
 
 
+def _load1() -> float | None:
+    """Host-wide 1-minute load average. This sandbox shares its kernel
+    with other tenants (r10 finding): episodes of load 25-34 run for
+    tens of minutes with this namespace 100% idle, slowing local[32]
+    Spark ~6x — the single noise source behind every cross-round bench
+    mystery to date. A direct reading beats inferring neighbor load
+    from any probe; recorded at every boundary so the artifact shows
+    the conditions it was measured under."""
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        return None
+
+
 def _calibrate(spark, sf_dir: str) -> dict[str, float]:
     """Fixed reference workloads whose cost is independent of repo code.
     Ratios between rounds normalize query timings against host speed."""
     t0 = time.perf_counter()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     scan_sec = round(time.perf_counter() - t0, 3)
-    return {"lineitem_count_sec": scan_sec, "cpu_loop_sec": _cpu_probe()}
+    return {
+        "lineitem_count_sec": scan_sec,
+        "cpu_loop_sec": _cpu_probe(),
+        "load1": _load1(),
+    }
 
 
 def main() -> int:
@@ -314,6 +332,7 @@ def main() -> int:
     # under, at ~1s total overhead (timed separately from the queries).
     cpu_probes = [calibration_start["cpu_loop_sec"]]
     cpu_probes_par = [_cpu_probe_par()]
+    loads = [_load1()]
     pass_walls: list[float] = []
     for _ in range(N_PASSES):
         this_pass: dict[str, float] = {}
@@ -326,10 +345,12 @@ def main() -> int:
         passes.append(this_pass)
         cpu_probes.append(_cpu_probe())
         cpu_probes_par.append(_cpu_probe_par())
+        loads.append(_load1())
 
     calibration_end = _calibrate(spark, sf_dir)
     cpu_probes.append(calibration_end["cpu_loop_sec"])
     cpu_probes_par.append(_cpu_probe_par())
+    loads.append(_load1())
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: the full headline set grows every
@@ -378,6 +399,7 @@ def main() -> int:
         "calibration": calibration,
         "cpu_probes": cpu_probes,
         "cpu_probes_par": cpu_probes_par,
+        "load1_series": loads,
         "pass_walls": pass_walls,
         "cpu_loop_mean": round(cpu_loop_mean, 3),
         "cpu_loop_wmean": round(cpu_loop, 3),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import re
+import warnings
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
 
@@ -311,11 +312,12 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
     """Translate a SimpleDateFormat date pattern (numeric fields, plus
     English text months) into a prefix-anchored Java-regex + (year,
     month, day) capture-group indices + a flag saying whether the month
-    group captures a month NAME rather than digits, for as_date's
+    group captures a month NAME rather than digits + a flag saying the
+    year run is 'y'/'yy' (century-WINDOWED on exactly-2-digit input —
+    r11; the windowed UDF applies the textual rule), for as_date's
     lenient path — or None when the pattern falls outside the supported
-    subset (time fields, 'yy' century windows, quoted literals,
-    adjacent fixed-width numeric runs) — the caller then keeps the
-    strict parse for that format.
+    subset (time fields, quoted literals, adjacent fixed-width numeric
+    runs) — the caller then keeps the strict parse for that format.
 
     Text months (M-run of length >= 3, r10): SimpleDateFormat's
     matchString behaviors probed against the real Java 17 parser and
@@ -348,6 +350,7 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
     parts: list[str] = []
     groups: dict[str, int] = {}
     month_text = False
+    y_window = False
     prev_numeric = False
     for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
         lit = m.group(3)
@@ -356,8 +359,12 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
             prev_numeric = False
             continue
         run = m.group(1)
-        if run[0] == "y" and len(run) != 2:  # 'yy' = century window: out
+        if run[0] == "y":
             key = "y"
+            # SimpleDateFormat windows y-runs of count <= 2 — 'y' AND
+            # 'yy' — whenever the matched text is EXACTLY two digits
+            # (r11; the textual rule itself lives in the windowed UDF)
+            y_window = len(run) <= 2
         elif run[0] == "M":
             key = "M"
             if len(run) >= 3:  # text month (MMM/MMMM parse identically)
@@ -378,7 +385,11 @@ def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
             prev_numeric = True
     if set(groups) != {"y", "M", "d"}:
         return None
-    return "^" + "".join(parts), groups["y"], groups["M"], groups["d"], month_text
+    return (
+        "^" + "".join(parts),
+        groups["y"], groups["M"], groups["d"],
+        month_text, y_window,
+    )
 
 
 _GREGORIAN_CUTOVER_JDN = 2299161  # 1582-10-15 (Gregorian), Java's default
@@ -443,6 +454,26 @@ def _hybrid_lenient_epoch_days(
     yi = np.nan_to_num(yv, nan=2000.0).astype(np.int64)
     moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
     di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
+    ed, rep, _fd = _hybrid_resolve_np(yi, moi, di)
+    out = pd.Series(ed, dtype="Int64")
+    out[~(ok & rep)] = None
+    return out
+
+
+def _hybrid_resolve_np(yi, moi, di):
+    """GregorianCalendar lenient computeTime over int64 field arrays ->
+    (proleptic epoch days of the resulting hybrid-calendar LABEL,
+    representable-mask, instant JDN). Fields may be far out of range
+    (months normalize first, then the day offset walks from the 1st);
+    callers bound |inputs| so the int64 arithmetic stays far from
+    overflow. Mask False = result label outside [0001-01-01,
+    9999-12-31] or an unrepresentable (Julian-only) centurial leap day.
+    The raw instant JDN is returned regardless of representability —
+    the windowed UDF's ambiguous-year before-check compares INSTANTS
+    (java.util.Date.before), even when the first resolution's label is
+    out of DateType's range. Shared by the plain and century-windowed
+    as_date UDFs."""
+    import numpy as np
 
     def greg_fd(yy, mm, dd):
         # Julian day number of proleptic-Gregorian (yy, mm, dd)
@@ -486,9 +517,91 @@ def _hybrid_lenient_epoch_days(
 
     in_greg = (fd >= _GREGORIAN_CUTOVER_JDN) & (fd <= _JDN_YEAR9999_MAX)
     in_julian = (fd < _GREGORIAN_CUTOVER_JDN) & (fd >= _JDN_YEAR1_JULIAN)
-    ok &= (in_greg | in_julian) & ~(in_julian & bad_leap)
-    out = pd.Series(np.where(in_greg, ed_greg, ed_julian), dtype="Int64")
-    out[~ok] = None
+    rep = (in_greg | in_julian) & ~(in_julian & bad_leap)
+    return np.where(in_greg, ed_greg, ed_julian), rep, fd
+
+
+def _century_window(dcs) -> tuple[int, int, int]:
+    """(century, startYear % 100, ambiguous-bump cutoff in epoch days)
+    from a 2-digit-year window start (datetime or date). The bump fires
+    when the resolved instant STRICTLY precedes the start; a resolved
+    date-only value is midnight, so an equal label bumps unless the
+    start itself is exactly midnight (both probed against Java 17).
+    Shared with the ``dates`` fuzz model — one source of truth."""
+    import datetime
+
+    if not isinstance(dcs, datetime.datetime):
+        dcs = datetime.datetime.combine(dcs, datetime.time(0))
+    days = (dcs.date() - datetime.date(1970, 1, 1)).days
+    cutoff = days if dcs.time() > datetime.time(0) else days - 1
+    return (dcs.year // 100) * 100, dcs.year % 100, cutoff
+
+
+@F.pandas_udf(LongType())
+def _hybrid_windowed_epoch_days(
+    yt: pd.Series, mo: pd.Series, d: pd.Series,
+    century: pd.Series, amb: pd.Series, cutoff: pd.Series,
+) -> pd.Series:
+    """as_date's lenient path for 'y'/'yy' patterns (y-run length <= 2):
+    SimpleDateFormat's default-century windowing, probed against the
+    real Java 17 parser (fuzz campaign ``dates``, yy pool; one-off
+    probes pinned the mechanics below). The year arrives as the RAW
+    captured text because the rule is textual: an input of EXACTLY two
+    digits maps into the 100-year window anchored at the format's
+    2-digit-year start (value v -> century + v, +100 when
+    v < startYear % 100); any other digit run — one digit, three or
+    more, leading zeros making it non-2-digit ("046" -> literal 46) —
+    is literal. The boundary value v == startYear % 100 is AMBIGUOUS:
+    Java resolves the full date low and bumps iff the resolved INSTANT
+    precedes defaultCenturyStart — the probe "46-99-10" (start
+    1946-08-15) lands 1954 and does NOT bump. The bump itself is
+    CalendarBuilder.addYear(100): +100 on the RAW year field, then full
+    lenient RE-resolution of the original month/day fields (probed:
+    "46--4150-29" -> Feb 29 1700 -> 1700-03-01, NOT a day-of-month pin
+    to Feb 28; "46--5558-7" -> Oct 7 1582 -> cutover-gap re-resolution
+    -> 1582-10-17). The before-check uses the first resolution's
+    instant even when its LABEL is outside DateType's range (a BC-era
+    or Julian-centurial-leap first resolution still bumps into a valid
+    final date), so the compare here is on the raw instant JDN, not the
+    representable-only label encoding. century / amb / cutoff are
+    per-call literals (the window is fixed at step build, like the
+    reference's one SimpleDateFormat per step); cutoff is the window
+    start's epoch-day pre-adjusted for its time-of-day (midnight start:
+    an equal-label resolution does NOT bump; any later time: it does —
+    both probed)."""
+    import numpy as np
+
+    yv = pd.to_numeric(yt, errors="coerce").to_numpy(
+        dtype="float64", na_value=np.nan
+    )
+    mov = mo.to_numpy(dtype="float64", na_value=np.nan)
+    dv = d.to_numpy(dtype="float64", na_value=np.nan)
+    two = (yt.fillna("").str.len() == 2).to_numpy()
+    cen = century.to_numpy(dtype="int64")
+    ambv = amb.to_numpy(dtype="float64")
+    cut = cutoff.to_numpy(dtype="int64")
+
+    base_y = np.where(two, cen + yv + 100 * (yv < ambv), yv)
+    ok = (
+        ~np.isnan(base_y) & ~np.isnan(mov) & ~np.isnan(dv)
+        & (base_y >= 1) & (base_y <= 9999)
+        & (np.abs(mov) <= 120000) & (np.abs(dv) <= 4000000)
+    )
+    yi = np.nan_to_num(base_y, nan=2000.0).astype(np.int64)
+    moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
+    di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
+    ed, rep, fd = _hybrid_resolve_np(yi, moi, di)
+    # instant-based before-check (fd is day-resolution; cut encodes the
+    # start's time-of-day), independent of the first label's range
+    bump = two & (yv == ambv) & ok & (fd - _JDN_EPOCH <= cut)
+    if bump.any():
+        ed2, rep2, _fd2 = _hybrid_resolve_np(yi[bump] + 100, moi[bump], di[bump])
+        ed = ed.copy()
+        ed[bump] = ed2
+        rep = rep.copy()
+        rep[bump] = rep2
+    out = pd.Series(ed, dtype="Int64")
+    out[~(ok & rep)] = None
     return out
 
 
@@ -532,6 +645,13 @@ class Pipeline:
         # the parent's).
         self._count_source: DataFrame | None = None
         self._loaded_override: int | None = None
+        # Driver-measured size estimate for collection-backed sources
+        # (bytes). Catalyst reports the unknown sentinel for RDD-backed
+        # plans (createDataFrame from Python rows = LogicalRDD), so
+        # join()'s size-aware broadcast default reads this instead.
+        # Deliberately NOT propagated through _next: a transformed
+        # collection side has no trustworthy estimate and falls to AQE.
+        self._size_hint_bytes: int | None = None
         # (step name, float accumulator) per Python-closure step — go()
         # snapshots these into LoadStatistic.step_timings (approximate;
         # see LoadStatistic docstring)
@@ -1190,7 +1310,13 @@ class Pipeline:
         )
         return self._next(self.df.withColumn(column, parsed))
 
-    def as_date(self, column: str, *formats: str, lenient: bool = False) -> "Pipeline":
+    def as_date(
+        self,
+        column: str,
+        *formats: str,
+        lenient: bool = False,
+        two_digit_year_start: "Any | None" = None,
+    ) -> "Pipeline":
         """Try formats in order, first wins; unparsable rejects INVALID_FORMAT
         (Pipeline.groovy:779-798). Formats are Spark datetime patterns.
 
@@ -1212,13 +1338,24 @@ class Pipeline:
         tools/fuzz_semantics.py campaign ``dates``.
 
         Lenient-mode scope (each falls back to the strict parse for
-        that format): numeric date patterns — y/yyyy, M/MM, d/dd
+        that format): numeric date patterns — y/yy/yyyy, M/MM, d/dd
         separated by literal text — plus English text months
         (MMM/MMMM, case-insensitive, full or short names, matching
-        SimpleDateFormat's Locale.ENGLISH matchString — r10). Still
-        out: 'yy' century windows, time fields, quoted literals, and
-        adjacent fixed-width numeric runs. Documented divergences from
-        SimpleDateFormat:
+        SimpleDateFormat's Locale.ENGLISH matchString — r10). 'y'/'yy'
+        century windows (r11): an input year of EXACTLY two digits maps
+        into the 100-year window starting 80 years before now — any
+        other digit run ("4", "046", "467") is literal, and the
+        boundary value (== startYear % 100) resolves low then bumps
+        iff the resolved instant precedes the window start — +100 on
+        the raw year FIELD and full lenient re-resolution
+        (CalendarBuilder.addYear, no day-of-month pinning) — probed
+        against the real Java 17 parser by the ``dates`` fuzz
+        campaign. ``two_digit_year_start`` (a datetime; parity with
+        SimpleDateFormat.set2DigitYearStart, also the fuzz pinning
+        hook) overrides the window anchor; it is interpreted as a civil
+        label, so give it a modern value. Still out: time fields,
+        quoted literals, and adjacent fixed-width numeric runs.
+        Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing, as do results
         whose year leaves [1, 9999] (Spark's DateType label bound;
@@ -1230,13 +1367,14 @@ class Pipeline:
 
         fmts = list(formats) or ["yyyy-MM-dd"]
         src = F.col(column).cast("string")
+        window_params: tuple[int, int, int] | None = None
         exprs = []
         for f in fmts:
             spec = _simple_date_pattern(f) if lenient else None
             if spec is None:
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
-            rx, gy, gm, gd, m_text = spec
+            rx, gy, gm, gd, m_text, y_window = spec
             if m_text:
                 # text month: captured NAME -> 1..12 via a literal map
                 # (try_element_at: a missing/empty key is null -> reject
@@ -1253,11 +1391,35 @@ class Pipeline:
                 ).cast("long")
             else:
                 month = F.regexp_extract(src, rx, gm).try_cast("long")
-            ed = _hybrid_lenient_epoch_days(
-                F.regexp_extract(src, rx, gy).try_cast("long"),
-                month,
-                F.regexp_extract(src, rx, gd).try_cast("long"),
-            )
+            day = F.regexp_extract(src, rx, gd).try_cast("long")
+            if y_window:
+                if window_params is None:
+                    dcs = two_digit_year_start
+                    if dcs is None:
+                        # SimpleDateFormat's default century: the
+                        # instant the format was created minus 80 years
+                        # (Calendar.add(YEAR, -80): Feb 29 pins to 28).
+                        # Fixed at plan build, like the reference's one
+                        # SimpleDateFormat per step.
+                        now = datetime.datetime.now()
+                        try:
+                            dcs = now.replace(year=now.year - 80)
+                        except ValueError:
+                            dcs = now.replace(year=now.year - 80, day=28)
+                    window_params = _century_window(dcs)
+                century, amb, cutoff = window_params
+                ed = _hybrid_windowed_epoch_days(
+                    F.regexp_extract(src, rx, gy),
+                    month,
+                    day,
+                    F.lit(century), F.lit(amb), F.lit(cutoff),
+                )
+            else:
+                ed = _hybrid_lenient_epoch_days(
+                    F.regexp_extract(src, rx, gy).try_cast("long"),
+                    month,
+                    day,
+                )
             exprs.append(
                 F.date_add(F.lit(datetime.date(1970, 1, 1)), ed.cast("int"))
             )
@@ -1682,7 +1844,16 @@ class Pipeline:
         ``spark.gratum.join.autoBroadcastCap`` (bytes, default 256 MB —
         comfortably inside executor memory on a real cluster, well past
         any right side the reference could hold driver-side). Unknown
-        size (stats unavailable) falls to AQE, never to a blind hint.
+        size (stats unavailable) falls to AQE, never to a blind hint —
+        EXCEPT collection-backed right sides: PySpark's createDataFrame
+        plans are RDD-backed (LogicalRDD), so Catalyst reports the
+        unknown sentinel for them, and from_collection/from_closure
+        record a driver-measured size hint instead so reference-parity
+        in-memory dimension tables still get the hint. The hint lives
+        only on the source pipeline itself; a TRANSFORMED collection
+        right side (filter/addField/... applied) has no trustworthy
+        estimate and falls to AQE — safe, just one adaptive decision
+        slower (pinned by test_join_collection_right_side_broadcasts).
         """
         right_df = other.df if isinstance(other, Pipeline) else other
         pairs = self._normalize_on(on)
@@ -1698,11 +1869,25 @@ class Pipeline:
         right_clean = right_clean.withColumn("__matched__", F.lit(True))
         if broadcast is None and isinstance(other, Pipeline):
             size = _plan_size_bytes(right_clean)
-            cap = int(
-                right_clean.sparkSession.conf.get(
-                    BROADCAST_CAP_CONF, str(_BROADCAST_CAP_DEFAULT)
-                )
+            if size is None:
+                # RDD-backed plans (from_collection / from_closure)
+                # always report the unknown sentinel; the source
+                # recorded a driver-measured estimate at build time.
+                size = other._size_hint_bytes
+            raw_cap = right_clean.sparkSession.conf.get(
+                BROADCAST_CAP_CONF, str(_BROADCAST_CAP_DEFAULT)
             )
+            try:
+                cap = int(raw_cap)
+            except (TypeError, ValueError):
+                # a malformed conf value ("256m") must not fail the
+                # whole join() call at plan-build time
+                warnings.warn(
+                    f"{BROADCAST_CAP_CONF}={raw_cap!r} is not an integer "
+                    f"byte count; using default {_BROADCAST_CAP_DEFAULT}",
+                    stacklevel=2,
+                )
+                cap = _BROADCAST_CAP_DEFAULT
             broadcast = size is not None and size <= cap
         if broadcast:
             right_clean = F.broadcast(right_clean)

@@ -54,7 +54,27 @@ def from_collection(
     """In-memory rows (reference: CollectionSource.groovy:22-56)."""
     rows = list(rows)
     df = spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
-    return Pipeline(_maybe_order(df, ordered), name)
+    p = Pipeline(_maybe_order(df, ordered), name)
+    # createDataFrame-from-Python plans are RDD-backed, so Catalyst
+    # reports the unknown-size sentinel for them; record a driver-side
+    # estimate so join()'s size-aware broadcast default still hints for
+    # in-memory dimension tables (the rows fit driver memory already).
+    p._size_hint_bytes = _estimate_rows_bytes(rows)
+    return p
+
+
+def _estimate_rows_bytes(rows: list) -> int:
+    """Rough serialized-size estimate of driver-held rows: repr-length
+    proxy over a bounded sample, extrapolated, with 2× headroom. Only
+    feeds join()'s 256 MB broadcast-cap comparison — order of magnitude
+    is all that matters, and the data already fits in driver memory."""
+    n = len(rows)
+    if n == 0:
+        return 0
+    step = max(1, n // 512)
+    sample = rows[::step]
+    per = sum(len(repr(r)) for r in sample) / len(sample)
+    return int(per * n * 2)
 
 
 def from_closure(

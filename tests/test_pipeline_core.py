@@ -400,6 +400,65 @@ def test_as_date_lenient_truth_table(spark):
     assert out[0]["dt"] == datetime.date(2024, 3, 2)
 
 
+def test_as_date_lenient_yy_century_window(spark):
+    """'y'/'yy' century windowing (r11): every expected value probed
+    against the real Java 17 SimpleDateFormat with
+    set2DigitYearStart(1946-08-15 12:00). Exactly-2-digit input windows
+    (80 back / 20 forward); 1/3+-digit and zero-padded runs are
+    literal; the boundary value (46 == startYear%100) resolves low and
+    bumps +100 iff the resolved INSTANT precedes the start — the bump
+    re-resolves the raw fields at year+100 (no day-of-month pinning:
+    Feb 29 1700 rolls to Mar 1), including cutover-gap re-resolution."""
+    import datetime
+
+    start = datetime.datetime(1946, 8, 15, 12, 0)
+    cases = {
+        "46-03-10": datetime.date(2046, 3, 10),   # ambiguous, before start
+        "46-09-10": datetime.date(1946, 9, 10),   # ambiguous, after start
+        "46-08-15": datetime.date(2046, 8, 15),   # equal label < noon start
+        "45-01-01": datetime.date(2045, 1, 1),    # v < amb -> +100
+        "99-01-01": datetime.date(1999, 1, 1),    # v > amb -> low century
+        "467-01-02": datetime.date(467, 1, 2),    # 3 digits: literal
+        "4-01-02": datetime.date(4, 1, 2),        # 1 digit: literal
+        "046-01-02": datetime.date(46, 1, 2),     # padded 3 digits: literal
+        "46-99-10": datetime.date(1954, 3, 10),   # overflow resolves AFTER start: no bump
+        "46--4150-29": datetime.date(1700, 3, 1), # bump re-resolves Feb 29 1700 -> Mar 1
+        "46--5558-7": datetime.date(1582, 10, 17),  # bump lands in cutover gap
+        "46-01-00": datetime.date(2045, 12, 31),  # day 0 + bump
+        "junk": None,
+        "-46-01-02": None,  # negative year: documented reject
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    out = p.as_date("dt", "yy-MM-dd", lenient=True, two_digit_year_start=start)
+    got = {r["id"]: r["dt"] for r in out.df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+    # midnight start: an equal-label resolution does NOT bump (probed)
+    p3 = sources.from_collection(
+        spark, [{"dt": "46-08-15"}, {"dt": "46-08-14"}], "dt string"
+    )
+    out3 = [
+        r["dt"]
+        for r in p3.as_date(
+            "dt", "yy-MM-dd", lenient=True,
+            two_digit_year_start=datetime.datetime(1946, 8, 15),
+        ).df.collect()
+    ]
+    assert sorted(out3) == [datetime.date(1946, 8, 15), datetime.date(2046, 8, 14)]
+    # single-letter 'y' windows too (Java: count <= 2)
+    p4 = sources.from_collection(spark, [{"dt": "46-3-10"}], "dt string")
+    out4 = p4.as_date(
+        "dt", "y-M-d", lenient=True, two_digit_year_start=start
+    ).df.collect()
+    assert out4[0]["dt"] == datetime.date(2046, 3, 10)
+    # default window (no hook): anchored 80 years back from now
+    this_year = datetime.date.today().year
+    p5 = sources.from_collection(spark, [{"dt": "01-06-15"}], "dt string")
+    out5 = p5.as_date("dt", "yy-MM-dd", lenient=True).df.collect()
+    assert this_year - 80 <= out5[0]["dt"].year <= this_year + 20
+
+
 def test_sort(people):
     ages = [r["age"] for r in people.sort("age").df.collect()]
     assert ages == sorted(ages)

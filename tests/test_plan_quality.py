@@ -636,6 +636,62 @@ def test_join_default_broadcast_is_size_aware(spark, sf):
         assert "BroadcastHashJoin" not in plan
 
 
+def test_join_collection_right_side_broadcasts(spark, sf):
+    """A from_collection right side is RDD-backed, so Catalyst reports
+    the unknown-size sentinel — the driver-measured size hint recorded
+    by the source must carry the broadcast default instead (gratum's
+    typical dimension-table join). A collection estimated PAST the cap
+    must not hint; and a TRANSFORMED collection side (hint deliberately
+    not propagated) falls to AQE rather than hinting blind."""
+    from gratum_spark.pipeline import BROADCAST_CAP_CONF
+    from gratum_spark.sources import from_collection
+
+    left = table(spark, sf, "nation")
+    dim = from_collection(
+        spark,
+        [{"n_regionkey": i, "r_label": f"reg{i}"} for i in range(5)],
+        ordered=False,
+    )
+    assert dim._size_hint_bytes and dim._size_hint_bytes > 0
+    with _no_size_based_broadcast(spark):
+        # small collection right side → hinted broadcast
+        plan = plan_of(left.join(dim, {"n_regionkey": "n_regionkey"}).df)
+        assert "BroadcastHashJoin" in plan
+        # collection past the cap → no hint
+        spark.conf.set(BROADCAST_CAP_CONF, "1")
+        try:
+            plan = plan_of(left.join(dim, {"n_regionkey": "n_regionkey"}).df)
+            assert "BroadcastHashJoin" not in plan
+            assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.unset(BROADCAST_CAP_CONF)
+        # transformed collection side: hint does not propagate → AQE path
+        transformed = dim.filter({"n_regionkey": lambda v: True})
+        assert transformed._size_hint_bytes is None
+        plan = plan_of(left.join(transformed, {"n_regionkey": "n_regionkey"}).df)
+        assert "BroadcastHashJoin" not in plan
+
+
+def test_join_broadcast_cap_conf_malformed_falls_back(spark, sf):
+    """A non-integer autoBroadcastCap conf value ('256m') must not fail
+    join() at plan-build time: it warns and uses the 256 MB default."""
+    import warnings as _warnings
+
+    from gratum_spark.pipeline import BROADCAST_CAP_CONF
+
+    left = table(spark, sf, "orders")
+    right = table(spark, sf, "customer")
+    spark.conf.set(BROADCAST_CAP_CONF, "256m")
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            joined = left.join(right, {"o_custkey": "c_custkey"})
+        assert any(BROADCAST_CAP_CONF in str(w.message) for w in caught)
+        assert joined.df.count() > 0  # plan still builds and runs
+    finally:
+        spark.conf.unset(BROADCAST_CAP_CONF)
+
+
 def test_ngram_jaccard_never_hints_per_doc_sizes(spark, sf):
     """ngram_jaccard_pairs' na/nb tables hold one row PER DOCUMENT —
     a broadcast hint there is a multi-hundred-GB driver ship at 10 B

@@ -71,6 +71,7 @@ input/expected/got triple, and the process exits non-zero.
 from __future__ import annotations
 
 import argparse
+import datetime
 import math
 import os
 import random
@@ -1588,16 +1589,23 @@ public class LenientDateOracle {
     public static void main(String[] args) {
         Scanner sc = new Scanner(System.in, "UTF-8");
         SimpleDateFormat out = new SimpleDateFormat("yyyy-MM-dd");
+        SimpleDateFormat startFmt = new SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS");
         Base64.Decoder dec = Base64.getDecoder();
         while (sc.hasNextLine()) {
-            String line = sc.nextLine();
-            int tab = line.indexOf('\\t');
-            String fmt = new String(dec.decode(line.substring(0, tab)));
-            String val = new String(dec.decode(line.substring(tab + 1)));
+            String[] parts = sc.nextLine().split("\\t");
+            String fmt = new String(dec.decode(parts[0]));
+            String val = new String(dec.decode(parts[1]));
             try {
                 // Locale pinned: the engine's text-month table is the
                 // English DateFormatSymbols, independent of host locale
-                Date parsed = new SimpleDateFormat(fmt, Locale.ENGLISH).parse(val);
+                SimpleDateFormat sdf = new SimpleDateFormat(fmt, Locale.ENGLISH);
+                if (parts.length > 2) {
+                    // optional third field: pinned 2-digit-year window
+                    // start (the engine's two_digit_year_start hook)
+                    sdf.set2DigitYearStart(
+                        startFmt.parse(new String(dec.decode(parts[2]))));
+                }
+                Date parsed = sdf.parse(val);
                 System.out.println(out.format(parsed));
             } catch (ParseException e) {
                 System.out.println("REJECT");
@@ -1632,9 +1640,11 @@ def _date_oracle_dir():
 
 
 def _java_parse_dates(pairs):
-    """[(fmt, val)] -> [iso-date-str or None] via one JVM invocation of
-    java.text.SimpleDateFormat (lenient default). Base64 framing so
-    values may contain tabs/newlines."""
+    """[(fmt, val)] or [(fmt, val, start)] -> [iso-date-str or None] via
+    one JVM invocation of java.text.SimpleDateFormat (lenient default).
+    The optional third element is a "yyyy-MM-dd HH:mm:ss.SSS" string for
+    set2DigitYearStart (the yy-window pin). Base64 framing so values may
+    contain tabs/newlines."""
     import base64
     import subprocess
 
@@ -1643,7 +1653,7 @@ def _java_parse_dates(pairs):
     def b64(s):
         return base64.b64encode(s.encode()).decode()
 
-    inp = "\n".join(f"{b64(f)}\t{b64(v)}" for f, v in pairs)
+    inp = "\n".join("\t".join(b64(x) for x in p) for p in pairs)
     out = subprocess.run(
         ["java", "LenientDateOracle"], cwd=d, input=inp,
         capture_output=True, text=True, check=True,
@@ -1654,10 +1664,13 @@ def _java_parse_dates(pairs):
 
 
 def _py_hybrid_label(y, mo, d):
-    """Python mirror of gratum_spark.pipeline._hybrid_lenient_epoch_days:
+    """Python mirror of gratum_spark.pipeline._hybrid_resolve_np:
     GregorianCalendar lenient field resolution on Java's hybrid
-    Julian/Gregorian calendar, returning the (year, month, day) LABEL.
-    The campaign uses it only to decide the engine's documented
+    Julian/Gregorian calendar, returning the (year, month, day) LABEL
+    plus the instant JDN (the yy-window model's ambiguous-year
+    before-check compares INSTANTS, like java.util.Date.before — even
+    when the first resolution's label is out of DateType range). The
+    campaign uses the label only to decide the engine's documented
     fallthrough scope (result-year bound, unrepresentable Julian leap
     days); inside scope the REAL Java parser stays the ground truth and
     any disagreement with this arithmetic fails the trial loudly."""
@@ -1687,7 +1700,7 @@ def _py_hybrid_label(y, mo, d):
     rd = e - (153 * m2r + 2) // 5 + 1
     rm = m2r + 3 - 12 * (m2r // 10)
     ry = 100 * b + d2 - 4800 + m2r // 10
-    return ry, rm, rd
+    return ry, rm, rd, fd
 
 
 _DATE_FMT_POOL = [
@@ -1707,6 +1720,26 @@ _DATE_FMT_POOL = [
     ("dd MMMM yyyy",),
     ("yyyy-MMM-dd", "yyyy-MM-dd"),
     ("MMMM d yyyy", "MM/dd/yyyy"),
+    # century-windowed short years (r11): y-runs of length <= 2 window
+    # EXACTLY-2-digit input into [start, start+100); anything else is
+    # literal; the boundary value bumps +100 on an instant before-check
+    ("yy-MM-dd",),
+    ("MM/dd/yy",),
+    ("d.M.yy", "yyyy-MM-dd"),
+    ("yy-MM-dd", "yyyy-MM-dd"),
+    ("y-M-d",),  # count-1 'y' windows too (Java: count <= 2)
+    ("MMM d, yy",),
+]
+
+# pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
+# oracle third field): mid-day anchors, the exact-midnight edge (equal
+# label must NOT bump), just-past-midnight, and an amb==0 start
+_DCS_POOL = [
+    datetime.datetime(1946, 8, 15, 12, 0),
+    datetime.datetime(2026, 3, 1, 9, 30),
+    datetime.datetime(2000, 1, 1),            # midnight, amb == 0
+    datetime.datetime(1999, 12, 31, 23, 59, 59),
+    datetime.datetime(1980, 6, 15, 0, 0, 0, 1000),  # 1 ms past midnight
 ]
 
 _MONTH_RENDER = {
@@ -1743,6 +1776,13 @@ def _render_date(fmt, y, mo, d, rng):
             out.append(name)
             continue
         v = {"y": y, "M": mo, "d": d}[run[0]]
+        if run[0] == "y" and len(run) <= 2:
+            # short-y runs: the windowing rule is TEXTUAL (exactly two
+            # digits), so render 2-digit (windowed), natural, and
+            # zero-padded-3 ("046" = literal 46) shapes
+            c = rng.random()
+            out.append(str(v).zfill(2 if c < 0.6 else (3 if c < 0.75 else 0)))
+            continue
         out.append(str(v).zfill(len(run) if rng.random() < 0.7 else 0))
     return "".join(out)
 
@@ -1767,6 +1807,17 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
     for t in range(n):
         rng = random.Random(seed * 910_099 + t)
         fmts = rng.choice(_DATE_FMT_POOL)
+        # pinned 2-digit-year window start, passed to BOTH sides (the
+        # engine's two_digit_year_start and the Java oracle's
+        # set2DigitYearStart) so the window is bit-identical; the
+        # default now-80y path is covered by the pytest truth table
+        dcs = rng.choice(_DCS_POOL)
+        amb_draw = dcs.year % 100
+        short_y = any(
+            len(r) <= 2
+            for f in fmts
+            for r in re.findall(r"y+", f)
+        )
         size = rng.randint(20, 50)
         rows = []
         for i in range(size):
@@ -1776,7 +1827,12 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
             else:
                 render_fmt = rng.choice(fmts)
                 yk = rng.random()
-                if yk < 0.6:
+                if short_y and yk < 0.45:
+                    # dense 0-99 draws, over-weighting the ambiguous
+                    # boundary value (== startYear % 100: resolves low,
+                    # bumps on the instant before-check)
+                    y = amb_draw if yk < 0.2 else rng.randint(0, 99)
+                elif yk < 0.6:
                     y = rng.randint(1600, 2999)
                 elif yk < 0.8:
                     y = rng.randint(1, 1599)  # Julian era
@@ -1813,12 +1869,15 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
             rows.append({"i": i, "s": v})
 
         # ground truth: first format SimpleDateFormat accepts wins
-        need = [(f, r["s"]) for r in rows if r["s"] not in (None, "")
+        dcs_str = dcs.strftime("%Y-%m-%d %H:%M:%S.") + (
+            f"{dcs.microsecond // 1000:03d}"
+        )
+        need = [(f, r["s"], dcs_str) for r in rows if r["s"] not in (None, "")
                 for f in fmts]
         parsed = dict()
         if need:
             res = _java_parse_dates(need)
-            for (f, v), got in zip(need, res):
+            for (f, v, _s), got in zip(need, res):
                 parsed.setdefault(v, {})[f] = got
 
         # Which formats the ENGINE attempts is its documented lenient
@@ -1827,9 +1886,14 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
         # BC-era normalization). WITHIN that scope Java is the ground
         # truth for the calendar arithmetic, and an engine-regex match
         # that SimpleDateFormat rejects is flagged as a bug.
-        from gratum_spark.pipeline import MONTH_NAME_TO_NUM, _simple_date_pattern
+        from gratum_spark.pipeline import (
+            MONTH_NAME_TO_NUM,
+            _century_window,
+            _simple_date_pattern,
+        )
 
         specs = [(f, _simple_date_pattern(f)) for f in fmts]
+        century, amb_v, cutoff = _century_window(dcs)
 
         def model(v):
             if v in (None, ""):
@@ -1844,22 +1908,44 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     # fails a trial loudly instead of crashing the
                     # campaign on tuple unpack (r9 ADVICE)
                     continue
-                rx, gy, gm, gd, m_text = spec
+                rx, gy, gm, gd, m_text, y_win = spec
                 m = re.match(rx, v)  # \t escape reads the same in Python/Java regex
                 if not m:
                     continue
                 if m_text:
-                    mo = MONTH_NAME_TO_NUM[m.group(gm).lower()]
+                    try:
+                        mo = MONTH_NAME_TO_NUM[m.group(gm).lower()]
+                    except KeyError:
+                        # Python re case-folds Unicode (U+017F 'ſ'
+                        # matches 's') where the engine's Java regex
+                        # (no UNICODE_CASE) does not match at all —
+                        # treat as no-match so a future non-ASCII
+                        # generator tweak can't desync the oracles
+                        # (r10 ADVICE)
+                        continue
                 else:
                     mo = int(m.group(gm))
-                y, d = int(m.group(gy)), int(m.group(gd))
+                yt = m.group(gy)
+                y, d = int(yt), int(m.group(gd))
+                ambiguous = False
+                if y_win and len(yt) == 2:
+                    # textual century window: exactly-2-digit input only
+                    y = century + y + (100 if y < amb_v else 0)
+                    ambiguous = int(yt) == amb_v
                 if not (1 <= y <= 9999 and abs(mo) <= 120000
                         and abs(d) <= 4000000):
                     continue
                 jav = parsed[v][f]
                 if jav is None:
                     return False, f"ENGINE-ONLY-MATCH fmt={f}"
-                ry, rm, rd = _py_hybrid_label(y, mo, d)
+                ry, rm, rd, fdi = _py_hybrid_label(y, mo, d)
+                if ambiguous and fdi - 2440588 <= cutoff:
+                    # boundary value resolved before the window start
+                    # (INSTANT compare, even if the first label is out
+                    # of DateType range): +100 on the raw year field,
+                    # full lenient re-resolution (CalendarBuilder
+                    # .addYear — probed, no day-of-month pinning)
+                    ry, rm, rd, fdi = _py_hybrid_label(y + 100, mo, d)
                 if not (1 <= ry <= 9999) or (
                     rm == 2 and rd == 29 and ry % 100 == 0 and ry % 400 != 0
                 ):
@@ -1877,7 +1963,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
         p = sources.from_collection(
             spark, rows, "i long, s string", name="fzd", ordered=True
         )
-        stepped = p.as_date("s", *fmts, lenient=True)
+        stepped = p.as_date("s", *fmts, lenient=True, two_digit_year_start=dcs)
         stat = stepped.go()
         cgot = sorted(
             (r["i"], r["s"].isoformat() if r["s"] is not None else None)
@@ -1988,8 +2074,29 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                "defaults", "replace", "as_int", "as_double", "set",
                "fill_down", "flatten", "join", "concat"]
         next_i = size  # id source for concat'd rows
-        for _ in range(rng.randint(2, 5)):
-            op = rng.choice(ops)
+        # concat's left-then-right play-order contract is only VISIBLE
+        # to an order-dependent op downstream of it (the r10 mutation
+        # table measured one 25-trial seed missing a concat-order
+        # break), so every applied concat link is now guaranteed such a
+        # witness: draws are biased toward the order-dependent subset
+        # while a concat is pending, and a witness step is FORCED at
+        # the tail if the chain would end without one. sort does not
+        # clear the pending flag — it is stable with a play-order
+        # tiebreak, so concat order stays visible through equal keys.
+        order_ops = ["fill_down", "flatten", "unique", "limit"]
+        n_steps = rng.randint(2, 5)
+        step_idx = 0
+        pending_concat = False
+        while step_idx < n_steps or pending_concat:
+            if step_idx >= n_steps:
+                op = rng.choice(order_ops)  # forced witness tail
+            elif pending_concat and rng.random() < 0.7:
+                op = rng.choice(order_ops)
+            else:
+                op = rng.choice(ops)
+            step_idx += 1
+            if op in order_ops:
+                pending_concat = False
             if op == "filter":
                 lit = rng.choice(["a", "b", "c", "0"])
                 p = p.filter({"k": lit})
@@ -2147,6 +2254,7 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                 )
                 p = p.concat(xp)
                 model = model + [dict(r) for r in xrows]
+                pending_concat = True  # guarantee an order witness
                 applied.append(f"concat(+{extra_n})")
 
         # terminal grouped-rows check (~1 in 4 trials): per-key lists
@@ -2176,6 +2284,26 @@ def fuzz_chain(spark, n: int, seed: int) -> list[str]:
                 failures.append(
                     f"chain trial={t} seed={seed} ops={applied}+rows(): "
                     f"key={dk!r} got={ggot.get(dk)} want={gwant.get(dk)}"
+                )
+                break
+            # grouped-terminal trials still validate reject accounting
+            # (r10 ADVICE): the mid-chain join/filter rejects happened
+            # on THIS plan regardless of the terminal shape, so go()'s
+            # LoadStatistic must agree with the model here too
+            stat = p.go()
+            cat_ok = all(
+                stat.rejections_for(cat) == cnt for cat, cnt in rej.items()
+            )
+            if (
+                stat.loaded != len(model)
+                or stat.rejected != sum(rej.values())
+                or not cat_ok
+            ):
+                failures.append(
+                    f"chain trial={t} seed={seed} ops={applied}+rows(): "
+                    f"loaded={stat.loaded}/{len(model)} "
+                    f"rejected={stat.rejected}/{sum(rej.values())} "
+                    f"cat_ok={cat_ok}"
                 )
                 break
             continue  # grouped terminal replaces the row-level compare

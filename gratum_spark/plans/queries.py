@@ -3807,23 +3807,80 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ================= r10 driver window (first 50 entries) ================
-    # r10 rotation (r9 verdict task 1): q5_region_revenue re-anchors after
-    # deliberately sitting out exactly one round (its r8 slot went to
-    # dedup_exact), followed by the 15 queries whose latest driver row was
-    # r7 and 34 of the 48 r8-evidence rows rotated out in r9 — leading
-    # with the operators whose CODE changed this round (as_date text
-    # months; join's size-aware broadcast default; the play-order family
-    # op_coerce/op_unique/op_concat). After this window goes green, no
-    # catalog query's driver evidence predates r8. Rotated OUT: the whole
-    # r9 window (all 50 green in CORRECTNESS_r09 — the freshest evidence
-    # in the catalog) plus 13 r8-evidence rows that also carry r9
-    # judge-local re-runs (op_reject_accounting, graph_pagerank,
-    # text_perplexity, pipeline_curation, dedup_minhash_verified) or are
-    # stable planted-structural/stream siblings of in-window queries.
-    # -- re-anchored headline query
+    # ================= r11 driver window (first 50 entries) ================
+    # r11 rotation (r10 verdict task 2): the two join queries lead because
+    # join's default-broadcast CODE changed this round (collection size-hint
+    # fallback + cap-parse guard); then the 13 rows whose latest driver
+    # evidence was r8 (the oldest in the catalog - planted/stream/hash
+    # structural siblings, pagerank, perplexity, reject accounting, the two
+    # composite pipelines); q1/q3 re-anchor after sitting out one round;
+    # the rest are the oldest r9-evidence rows (column ops, json extract,
+    # exchange/flatten/sort-limit play-order family, the text_* wave).
+    # After this window goes green, no catalog query's driver evidence
+    # predates r9. Rotated OUT: the whole r10 window (all 50 green in
+    # CORRECTNESS_r10) and 15 r9-evidence rows that carry strong alternate
+    # coverage (asof/range/skew/salted joins: fuzz + judge(r10) + the
+    # bench skew pair; cluster_cc / collapse_repeats: dedicated fuzz
+    # campaigns; udaf/inject: pytest; moving-avg/sliding/tumbling/
+    # sessionize windows + ann_topk pair: 3-SF sweep).
+    # -- r11 code-touched (join broadcast default)
+    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
+    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
+    # -- latest driver row r8 (the oldest evidence in the catalog)
+    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
+    "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
+    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
+    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
+    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
+    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
+    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
+    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
+    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
+    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
+    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
+    # -- re-anchored headline queries
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_top_orders": (q3_top_orders, ORACLE_Q3),
+    # -- latest driver row r9
+    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
+    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_cube": (op_cube, ORACLE_CUBE),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
+    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
+    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
+    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
+    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
+    "op_pivot": (op_pivot, ORACLE_PIVOT),
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
+    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
+    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
+    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
+    "text_lang_id": (text_lang_id, _lang_oracle()),
+    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
+    # ---- 50-entry driver window boundary ----
+    # (below: r10-evidence rows and the r9 rows with alternate coverage,
+    #  original relative order preserved)
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
-    # -- latest driver row r7 (the oldest evidence in the catalog)
     "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
     "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
     "op_reduce": (op_reduce, ORACLE_REDUCE),
@@ -3839,14 +3896,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
     "dedup_semantic": (dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
-    # -- r8-evidence rows whose code changed in r10
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
-    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_coerce": (op_coerce, ORACLE_COERCE),
     "op_unique": (op_unique, ORACLE_UNIQUE),
     "op_concat": (op_concat, ORACLE_CONCAT),
-    # -- r8-evidence refresh
     "op_defaults": (op_defaults, ORACLE_DEFAULTS),
     "op_replace": (op_replace, ORACLE_REPLACE),
     "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
@@ -3875,78 +3928,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
     "multimodal_audio": (multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    # ---- 50-entry driver window boundary ----
-    # -- r9-evidence rows (the freshest in the catalog; all stay
-    #    bench/pytest-covered)
-    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
-    "q3_top_orders": (q3_top_orders, ORACLE_Q3),
     "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
     "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
-    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
-    "op_cube": (op_cube, ORACLE_CUBE),
-    "op_rollup": (op_rollup, ORACLE_ROLLUP),
-    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
-    "op_pivot": (op_pivot, ORACLE_PIVOT),
-    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
-    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
-    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
     "op_inject": (op_inject, ORACLE_INJECT),
     "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
-    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
-    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
-    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
-    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
-    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
-    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
     "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
     "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
     "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
     "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
     "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
-    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
     "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
     "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
-    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
-    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
-    "text_lang_id": (text_lang_id, _lang_oracle()),
-    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
-    "text_repetition": (text_repetition, ORACLE_REPETITION),
-    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
-    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
-    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
-    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
     "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
     "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
     "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
-    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
-    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
-    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    # -- r8-evidence rows left out this round: r9 judge-local re-runs or
-    #    stable planted-structural/stream siblings of in-window queries
-    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
-    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
-    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
-    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
-    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
-    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
-    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
-    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
-    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
-    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
-    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
-    # -- hash-specific queries with no SQL-expressible oracle (each has
-    #    an oracle-checked structural sibling: dedup_minhash_planted,
-    #    dedup_simhash_planted, dedup_embedding_planted, ann_ivf_planted,
-    #    ann_recall_exact)
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),

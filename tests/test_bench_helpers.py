@@ -1,40 +1,49 @@
 """Unit tests for bench.py's pure helpers — the driver's per-round
-BENCH artifact depends on these emitting a correct normalized headline,
-so the arithmetic is pinned without spinning Spark."""
+BENCH artifact carries the quiet-gate verdict the BASELINE.md floor
+contract depends on, so the gate arithmetic is pinned without spinning
+Spark. (The r9/r10 _weighted_divisor normalization was retired in r11:
+the divisor study found neither probe form predicts core36 inside the
+quiet regime — SCALE_TREND.md "r11 divisor decision".)"""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _weighted_divisor  # noqa: E402
+from bench import LOAD1_QUIET, SPAWN_QUIET, _quiet_gate  # noqa: E402
 
 
-def test_weighted_divisor_steady_host_equals_plain_mean():
-    probes = [0.30, 0.30, 0.30, 0.30, 0.30]
-    assert _weighted_divisor(probes, [100.0, 100.0, 100.0]) == 0.30
+def test_quiet_gate_passes_on_verified_quiet_conditions():
+    # the r10 quiet2 record's shape: pre-run load 0.16, spawns 0.55-0.66
+    g = _quiet_gate(0.16, [0.655, 0.561, 0.583, 0.591, 0.551])
+    assert g["pass"] is True
+    assert g["load1_prerun"] == 0.16
+    assert g["spawn_max"] == 0.655
 
 
-def test_weighted_divisor_weights_burst_by_pass_wall():
-    # a burst bracketing only the LONG pass must dominate the divisor:
-    # pass walls 10/10/100, burst probes around the third pass
-    probes = [0.30, 0.30, 0.60, 0.60, 0.30]
-    got = _weighted_divisor(probes, [10.0, 10.0, 100.0])
-    # per-pass estimates: 0.30, 0.45, 0.60 → (10*0.30+10*0.45+100*0.60)/120
-    assert abs(got - (3.0 + 4.5 + 60.0) / 120.0) < 1e-12
-    # the unweighted mean would read the same burst much lower
-    assert got > sum(probes) / len(probes)
+def test_quiet_gate_fails_on_prerun_neighbor_load():
+    # loadavg is host-wide: a 25-34 neighbor episode must fail the gate
+    # even when every spawn probe happens to land quiet
+    g = _quiet_gate(25.0, [0.60, 0.62, 0.64])
+    assert g["pass"] is False
 
 
-def test_weighted_divisor_ignores_unbracketed_end_probe():
-    # the end-calibration probe (index past len(walls)) must not shift
-    # the weighted value
-    base = [0.30, 0.30, 0.30, 0.30]
-    assert _weighted_divisor(base + [9.9], [10.0, 10.0, 10.0]) == \
-        _weighted_divisor(base + [0.1], [10.0, 10.0, 10.0]) == 0.30
+def test_quiet_gate_fails_on_any_loud_spawn_boundary():
+    # ONE loud boundary disqualifies the record (the r10 'a' record's
+    # mid-run burst shape) — max, not mean
+    g = _quiet_gate(0.5, [0.60, 0.95, 0.62, 0.61])
+    assert g["pass"] is False
+    assert g["spawn_max"] == 0.95
 
 
-def test_weighted_divisor_falls_back_to_plain_mean():
-    assert abs(_weighted_divisor([0.2, 0.4], []) - 0.3) < 1e-12  # no walls
-    assert _weighted_divisor([0.5], [10.0, 10.0]) == 0.5  # too few probes
-    assert _weighted_divisor([], []) == 0.0
+def test_quiet_gate_boundary_values():
+    assert _quiet_gate(LOAD1_QUIET, [0.60])["pass"] is False  # strict <
+    assert _quiet_gate(1.99, [SPAWN_QUIET])["pass"] is True   # inclusive <=
+    assert _quiet_gate(1.99, [SPAWN_QUIET + 0.001])["pass"] is False
+
+
+def test_quiet_gate_missing_readings_never_pass():
+    # a record without the gate readings cannot claim quiet conditions
+    assert _quiet_gate(None, [0.60])["pass"] is False
+    assert _quiet_gate(0.2, [])["pass"] is False
+    assert _quiet_gate(0.2, [])["spawn_max"] is None

@@ -308,7 +308,9 @@ MONTH_NAME_TO_NUM = {
 }
 
 
-def _simple_date_pattern(fmt: str) -> tuple[str, int, int, int, bool] | None:
+def _simple_date_pattern(
+    fmt: str,
+) -> tuple[str, int, int, int, bool, bool] | None:
     """Translate a SimpleDateFormat date pattern (numeric fields, plus
     English text months) into a prefix-anchored Java-regex + (year,
     month, day) capture-group indices + a flag saying whether the month

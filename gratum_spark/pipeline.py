@@ -310,16 +310,38 @@ MONTH_NAME_TO_NUM = {
 
 def _simple_date_pattern(
     fmt: str,
-) -> tuple[str, int, int, int, bool, bool] | None:
+) -> tuple[str, int, int, int, bool, bool, tuple[int, int, int, int] | None] | None:
     """Translate a SimpleDateFormat date pattern (numeric fields, plus
     English text months) into a prefix-anchored Java-regex + (year,
     month, day) capture-group indices + a flag saying whether the month
     group captures a month NAME rather than digits + a flag saying the
     year run is 'y'/'yy' (century-WINDOWED on exactly-2-digit input —
-    r11; the windowed UDF applies the textual rule), for as_date's
-    lenient path — or None when the pattern falls outside the supported
-    subset (time fields, quoted literals, adjacent fixed-width numeric
-    runs) — the caller then keeps the strict parse for that format.
+    r11; the windowed UDF applies the textual rule) + time-of-day
+    capture-group indices (r12) — a 4-tuple (hour-of-day, minute,
+    second, millis) of group numbers with 0 for a field absent from the
+    pattern, or None when the pattern has no time fields at all — for
+    as_date's lenient path. Returns None when the pattern falls outside
+    the supported subset (pattern letters beyond y/M/d/H/m/s/S — am/pm
+    hours, zones, week fields —, an unterminated quote, adjacent
+    fixed-width numeric runs) — the caller then keeps the strict parse
+    for that format.
+
+    Quoted literals (r12): SimpleDateFormat quoting reproduced —
+    ``'...'`` is literal text, ``''`` is a literal single quote (inside
+    or outside a quoted section), and literals match exactly with no
+    whitespace skip (same probed rule as unquoted literals).
+
+    Time fields (r12, probed against Java 17 — see the ``dates`` fuzz
+    campaign's time pool): H/m/s/S parse like every other numeric field
+    (maximal digit run, space/tab skip before the field, a single minus
+    accepted), and leniently contribute
+    ``H*3600000 + m*60000 + s*1000 + S`` milliseconds to the instant —
+    hour 24 rolls to the next day, negative fields roll backward, and
+    the day offset participates in the hybrid-calendar pick exactly
+    like Java's computeTime (the time-derived day offset is added to
+    the fixed date BEFORE the cutover comparison; as_date folds it into
+    the day field, which is equivalent because lenient getFixedDate is
+    linear in day-of-month).
 
     Text months (M-run of length >= 3, r10): SimpleDateFormat's
     matchString behaviors probed against the real Java 17 parser and
@@ -338,6 +360,9 @@ def _simple_date_pattern(
     locale-English names only (the `dates` fuzz campaign pins the Java
     oracle to Locale.ENGLISH to match).
 
+    Group numbers are regex capture-group indices in pattern order, so
+    callers address fields positionally via ``regexp_extract``.
+
     Field shapes probed against the real Java 17 SimpleDateFormat (see
     the `dates` fuzz campaign): each numeric field parses a maximal
     digit run, space/tab runs are skipped immediately BEFORE each
@@ -347,20 +372,69 @@ def _simple_date_pattern(
     backward, which the date arithmetic reproduces exactly); a minus
     on the YEAR flips into BC-era normalization, which stays a reject
     here (documented divergence). Literals match exactly, once."""
-    if "'" in fmt:
-        return None
+    # Tokenize with SimpleDateFormat's quoting rules: unquoted letter
+    # runs are pattern fields, everything else (including quoted
+    # sections, with '' = one literal quote) is literal text.
+    tokens: list[tuple[bool, str]] = []  # (is_field_run, text)
+
+    def _lit(text: str) -> None:
+        if tokens and not tokens[-1][0]:
+            tokens[-1] = (False, tokens[-1][1] + text)
+        else:
+            tokens.append((False, text))
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":
+            if fmt[i + 1 : i + 2] == "'":
+                _lit("'")  # '' outside a quoted section
+                i += 2
+                continue
+            i += 1
+            buf = []
+            while i < len(fmt):
+                if fmt[i] == "'":
+                    if fmt[i + 1 : i + 2] == "'":  # '' inside = one quote
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(fmt[i])
+                i += 1
+            else:
+                # unterminated quote: SimpleDateFormat's constructor
+                # throws — fall to the strict parse for this format
+                return None
+            _lit("".join(buf))
+        elif ch.isalpha() and ch.isascii():
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            tokens.append((True, fmt[i:j]))
+            i = j
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "'" and not (
+                fmt[j].isalpha() and fmt[j].isascii()
+            ):
+                j += 1
+            _lit(fmt[i:j])
+            i = j
+
     parts: list[str] = []
     groups: dict[str, int] = {}
     month_text = False
     y_window = False
     prev_numeric = False
-    for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
-        lit = m.group(3)
-        if lit is not None:
-            parts.append(re.escape(lit))
-            prev_numeric = False
+    for is_run, text in tokens:
+        if not is_run:
+            if text:
+                parts.append(re.escape(text))
+                prev_numeric = False
             continue
-        run = m.group(1)
+        run = text
         if run[0] == "y":
             key = "y"
             # SimpleDateFormat windows y-runs of count <= 2 — 'y' AND
@@ -373,6 +447,10 @@ def _simple_date_pattern(
                 month_text = True
         elif run[0] == "d" and len(run) <= 2:
             key = "d"
+        elif run[0] in "Hms" and len(run) <= 2:
+            key = run[0]  # hour-of-day / minute / second (r12)
+        elif run[0] == "S" and len(run) <= 3:
+            key = "S"  # milliseconds — parse count is irrelevant (r12)
         else:
             return None
         if key in groups or (prev_numeric and not (key == "M" and month_text)):
@@ -385,12 +463,17 @@ def _simple_date_pattern(
         else:
             parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
             prev_numeric = True
-    if set(groups) != {"y", "M", "d"}:
+    if not {"y", "M", "d"} <= set(groups):
         return None
+    tg = (
+        groups.get("H", 0), groups.get("m", 0),
+        groups.get("s", 0), groups.get("S", 0),
+    )
     return (
         "^" + "".join(parts),
         groups["y"], groups["M"], groups["d"],
         month_text, y_window,
+        tg if any(tg) else None,
     )
 
 
@@ -524,24 +607,28 @@ def _hybrid_resolve_np(yi, moi, di):
 
 
 def _century_window(dcs) -> tuple[int, int, int]:
-    """(century, startYear % 100, ambiguous-bump cutoff in epoch days)
+    """(century, startYear % 100, window-start instant in epoch MILLIS)
     from a 2-digit-year window start (datetime or date). The bump fires
-    when the resolved instant STRICTLY precedes the start; a resolved
-    date-only value is midnight, so an equal label bumps unless the
-    start itself is exactly midnight (both probed against Java 17).
+    when the resolved instant STRICTLY precedes the start instant
+    (java.util.Date.before); a resolved value's time-of-day is midnight
+    for date-only patterns and the parsed remainder for time patterns
+    (r12 — the compare moved from pre-adjusted days to raw millis,
+    which reproduces both probed day-level rules: at a midnight start
+    an equal label does NOT bump, at any later start time it does).
     Shared with the ``dates`` fuzz model — one source of truth."""
     import datetime
 
     if not isinstance(dcs, datetime.datetime):
         dcs = datetime.datetime.combine(dcs, datetime.time(0))
     days = (dcs.date() - datetime.date(1970, 1, 1)).days
-    cutoff = days if dcs.time() > datetime.time(0) else days - 1
-    return (dcs.year // 100) * 100, dcs.year % 100, cutoff
+    t = dcs.time()
+    ms = ((t.hour * 60 + t.minute) * 60 + t.second) * 1000 + t.microsecond // 1000
+    return (dcs.year // 100) * 100, dcs.year % 100, days * 86400000 + ms
 
 
 @F.pandas_udf(LongType())
 def _hybrid_windowed_epoch_days(
-    yt: pd.Series, mo: pd.Series, d: pd.Series,
+    yt: pd.Series, mo: pd.Series, d: pd.Series, rem_ms: pd.Series,
     century: pd.Series, amb: pd.Series, cutoff: pd.Series,
 ) -> pd.Series:
     """as_date's lenient path for 'y'/'yy' patterns (y-run length <= 2):
@@ -568,9 +655,11 @@ def _hybrid_windowed_epoch_days(
     representable-only label encoding. century / amb / cutoff are
     per-call literals (the window is fixed at step build, like the
     reference's one SimpleDateFormat per step); cutoff is the window
-    start's epoch-day pre-adjusted for its time-of-day (midnight start:
-    an equal-label resolution does NOT bump; any later time: it does —
-    both probed)."""
+    start's instant in epoch MILLIS and rem_ms the resolved value's
+    time-of-day remainder (0 for date-only patterns — r12; the
+    millisecond compare reproduces the two probed day-level rules:
+    midnight start, equal-label resolution does NOT bump; any later
+    start time: it does)."""
     import numpy as np
 
     yv = pd.to_numeric(yt, errors="coerce").to_numpy(
@@ -579,23 +668,29 @@ def _hybrid_windowed_epoch_days(
     mov = mo.to_numpy(dtype="float64", na_value=np.nan)
     dv = d.to_numpy(dtype="float64", na_value=np.nan)
     two = (yt.fillna("").str.len() == 2).to_numpy()
+    remv = rem_ms.to_numpy(dtype="float64", na_value=np.nan)
     cen = century.to_numpy(dtype="int64")
     ambv = amb.to_numpy(dtype="float64")
     cut = cutoff.to_numpy(dtype="int64")
 
     base_y = np.where(two, cen + yv + 100 * (yv < ambv), yv)
     ok = (
-        ~np.isnan(base_y) & ~np.isnan(mov) & ~np.isnan(dv)
+        ~np.isnan(base_y) & ~np.isnan(mov) & ~np.isnan(dv) & ~np.isnan(remv)
         & (base_y >= 1) & (base_y <= 9999)
         & (np.abs(mov) <= 120000) & (np.abs(dv) <= 4000000)
     )
     yi = np.nan_to_num(base_y, nan=2000.0).astype(np.int64)
     moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
     di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
+    remi = np.nan_to_num(remv, nan=0.0).astype(np.int64)
     ed, rep, fd = _hybrid_resolve_np(yi, moi, di)
-    # instant-based before-check (fd is day-resolution; cut encodes the
-    # start's time-of-day), independent of the first label's range
-    bump = two & (yv == ambv) & ok & (fd - _JDN_EPOCH <= cut)
+    # instant-based before-check (fd day-resolution + the remainder's
+    # time-of-day, vs the start instant), independent of the first
+    # label's range
+    bump = (
+        two & (yv == ambv) & ok
+        & ((fd - _JDN_EPOCH) * 86400000 + remi < cut)
+    )
     if bump.any():
         ed2, rep2, _fd2 = _hybrid_resolve_np(yi[bump] + 100, moi[bump], di[bump])
         ed = ed.copy()
@@ -651,8 +746,12 @@ class Pipeline:
         # (bytes). Catalyst reports the unknown sentinel for RDD-backed
         # plans (createDataFrame from Python rows = LogicalRDD), so
         # join()'s size-aware broadcast default reads this instead.
-        # Deliberately NOT propagated through _next: a transformed
-        # collection side has no trustworthy estimate and falls to AQE.
+        # Propagated through _next ONLY by size-non-increasing operators
+        # (keep_size_hint=True: filter/trim/unique/limit/clip/
+        # remove_field/rename_fields/sort — the driver-measured bound
+        # stays a valid upper bound for their output). Size-increasing
+        # transforms (add_field, set_field, join, ...) drop it and the
+        # side falls to AQE.
         self._size_hint_bytes: int | None = None
         # (step name, float accumulator) per Python-closure step — go()
         # snapshots these into LoadStatistic.step_timings (approximate;
@@ -661,7 +760,12 @@ class Pipeline:
 
     # ------------------------------------------------------------------ infra
 
-    def _next(self, df: DataFrame, rejects: list[DataFrame] | None = None) -> "Pipeline":
+    def _next(
+        self,
+        df: DataFrame,
+        rejects: list[DataFrame] | None = None,
+        keep_size_hint: bool = False,
+    ) -> "Pipeline":
         out = Pipeline(
             df,
             self.name,
@@ -669,6 +773,12 @@ class Pipeline:
             {k: list(v) for k, v in self._hooks.items()},
         )
         out._step_timers = list(self._step_timers)
+        if keep_size_hint:
+            # The caller guarantees its kept output is no larger than its
+            # input (row subset / column subset / value-shrinking cast),
+            # so the driver-measured collection estimate remains a valid
+            # upper bound for the broadcast-cap comparison.
+            out._size_hint_bytes = self._size_hint_bytes
         return out
 
     def _split(
@@ -688,7 +798,7 @@ class Pipeline:
         rejected = tag_rejects(
             self.df.filter(~F.coalesce(keep, F.lit(False))), category, reason, step
         )
-        return self._next(kept, [rejected])
+        return self._next(kept, [rejected], keep_size_hint=True)
 
     @property
     def spark(self):
@@ -832,7 +942,7 @@ class Pipeline:
             "closure raised",
             step,
         )
-        out = self._next(kept, [rejected, errored])
+        out = self._next(kept, [rejected, errored], keep_size_hint=True)
         out._step_timers.append((step, timer))
         return out
 
@@ -856,7 +966,8 @@ class Pipeline:
                     else F.col(c)
                     for c in self.df.columns
                 ]
-            )
+            ),
+            keep_size_hint=True,
         )
 
     def unique(self, *columns: str) -> "Pipeline":
@@ -877,12 +988,14 @@ class Pipeline:
             f"duplicate {','.join(columns)}",
             f"unique({','.join(columns)})",
         )
-        return self._next(kept, [rejected])
+        return self._next(kept, [rejected], keep_size_hint=True)
 
     def drop_duplicates(self, *columns: str) -> "Pipeline":
         """Exact dedup without reject accounting — map-side partial dedup,
         cheapest plan Spark has for this."""
-        return self._next(self.df.dropDuplicates(list(columns) or None))
+        return self._next(
+            self.df.dropDuplicates(list(columns) or None), keep_size_hint=True
+        )
 
     def limit(self, n: int, halt: bool = True) -> "Pipeline":
         """Take the first n rows in SOURCE order (Pipeline.groovy:
@@ -905,14 +1018,14 @@ class Pipeline:
         base = self.df.orderBy(ROW_ORDER) if ordered else self.df
         kept = base.limit(n)
         if halt:
-            return self._next(kept)
+            return self._next(kept, keep_size_hint=True)
         rejected = tag_rejects(
             base.offset(n),
             RejectionCategory.IGNORE_ROW,
             f"row number > {n}",
             f"limit({n})",
         )
-        return self._next(kept, [rejected])
+        return self._next(kept, [rejected], keep_size_hint=True)
 
     # ----------------------------------------------------- generic steps
 
@@ -1142,24 +1255,27 @@ class Pipeline:
         """Drop a column; with a condition, null it out on matching rows only
         (Pipeline.groovy:950-962)."""
         if condition is None:
-            return self._next(self.df.drop(name))
+            return self._next(self.df.drop(name), keep_size_hint=True)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         return self._next(
             self.df.withColumn(
                 name, F.when(cond, F.lit(None)).otherwise(F.col(name))
-            )
+            ),
+            keep_size_hint=True,
         )
 
     def rename_fields(self, mapping: Mapping[str, str]) -> "Pipeline":
         """Rename src->dest preserving others (Pipeline.groovy:463-472)."""
-        return self._next(self.df.withColumnsRenamed(dict(mapping)))
+        return self._next(
+            self.df.withColumnsRenamed(dict(mapping)), keep_size_hint=True
+        )
 
     def clip(self, *columns: str) -> "Pipeline":
         """Retain only the listed columns (Pipeline.groovy:969-977).
         Column pruning reaches the scan — at 100 TB this is the operator
         that turns a full-width read into a 2-column read."""
         keep = list(columns) + ([ROW_ORDER] if ROW_ORDER in self.df.columns else [])
-        return self._next(self.df.select(*keep))
+        return self._next(self.df.select(*keep), keep_size_hint=True)
 
     def _groovy_falsy(self, c: str) -> Column:
         """Groovy truthiness per type (the reference tests ``!row[key]``,
@@ -1355,11 +1471,19 @@ class Pipeline:
         campaign. ``two_digit_year_start`` (a datetime; parity with
         SimpleDateFormat.set2DigitYearStart, also the fuzz pinning
         hook) overrides the window anchor; it is interpreted as a civil
-        label, so give it a modern value. Still out: time fields,
-        quoted literals, and adjacent fixed-width numeric runs.
+        label, so give it a modern value. Time-of-day fields and quoted
+        literals (r12): H/m/s/S parse as plain lenient numeric fields
+        and contribute milliseconds to the instant — hour 24 rolls the
+        date forward, negative fields roll backward, and the
+        time-derived day offset participates in the hybrid-calendar
+        pick exactly like computeTime; ``'...'``/``''`` quoting matches
+        SimpleDateFormat (literal text, no whitespace skip). Still out
+        (strict fallback): am/pm hours (h/K/k/a), zones, week/era
+        fields, and adjacent fixed-width numeric runs.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
-        120000 / 4000000 reject instead of normalizing, as do results
+        120000 / 4000000 reject instead of normalizing (time fields
+        past |10^9| likewise), as do results
         whose year leaves [1, 9999] (Spark's DateType label bound;
         irrelevant to real data), a NEGATIVE year rejects instead of
         flipping into BC-era normalization, and the Julian leap days
@@ -1376,7 +1500,7 @@ class Pipeline:
             if spec is None:
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
-            rx, gy, gm, gd, m_text, y_window = spec
+            rx, gy, gm, gd, m_text, y_window, tgroups = spec
             if m_text:
                 # text month: captured NAME -> 1..12 via a literal map
                 # (try_element_at: a missing/empty key is null -> reject
@@ -1394,6 +1518,31 @@ class Pipeline:
             else:
                 month = F.regexp_extract(src, rx, gm).try_cast("long")
             day = F.regexp_extract(src, rx, gd).try_cast("long")
+            rem_ms = F.lit(0).cast("long")
+            if tgroups is not None:
+                # Fold time-of-day into the day field (r12): Java's
+                # computeTime adds floor(timeOfDay / ONE_DAY) to the
+                # fixed date BEFORE the hybrid-calendar cutover pick,
+                # and lenient getFixedDate is linear in day-of-month,
+                # so day + extra_days resolves identically. The
+                # remainder (the final instant's time-of-day) feeds
+                # only the century-window bump's instant compare.
+                # Fields are bounded |v| <= 1e9 (keeps total_ms far
+                # from int64 overflow; a billion hours is ~114k years,
+                # far past the result-year bound anyway) — past the
+                # bound the format rejects, like the |day| <= 4e6 rule.
+                total_ms = F.lit(0).cast("long")
+                for gi, mult in zip(tgroups, (3600000, 60000, 1000, 1)):
+                    if not gi:
+                        continue
+                    fv = F.regexp_extract(src, rx, gi).try_cast("long")
+                    fv = F.when(F.abs(fv) <= F.lit(1_000_000_000), fv)
+                    total_ms = total_ms + fv * F.lit(mult)
+                rem_ms = F.pmod(total_ms, F.lit(86400000)).cast("long")
+                extra_days = (
+                    (total_ms - rem_ms) / F.lit(86400000)
+                ).cast("long")
+                day = day + extra_days
             if y_window:
                 if window_params is None:
                     dcs = two_digit_year_start
@@ -1414,6 +1563,7 @@ class Pipeline:
                     F.regexp_extract(src, rx, gy),
                     month,
                     day,
+                    rem_ms,
                     F.lit(century), F.lit(amb), F.lit(cutoff),
                 )
             else:
@@ -1512,11 +1662,14 @@ class Pipeline:
                 if _cb is not None:
                     _cb(_path)
 
-            out = self._next(ordered.limit(0) if not downstream else ordered)
+            out = self._next(
+                ordered.limit(0) if not downstream else ordered,
+                keep_size_hint=True,
+            )
             out._hooks.setdefault("deferred", [])
             out._hooks["deferred"] = list(out._hooks["deferred"]) + [_write_sorted]
             return out
-        return self._next(ordered)
+        return self._next(ordered, keep_size_hint=True)
 
     def _fill_updates(self, w: Any, skip: Iterable[str]) -> dict:
         """Fill expressions for every payload column (Groovy-falsy rule
@@ -1851,11 +2004,15 @@ class Pipeline:
         plans are RDD-backed (LogicalRDD), so Catalyst reports the
         unknown sentinel for them, and from_collection/from_closure
         record a driver-measured size hint instead so reference-parity
-        in-memory dimension tables still get the hint. The hint lives
-        only on the source pipeline itself; a TRANSFORMED collection
-        right side (filter/addField/... applied) has no trustworthy
-        estimate and falls to AQE — safe, just one adaptive decision
-        slower (pinned by test_join_collection_right_side_broadcasts).
+        in-memory dimension tables still get the hint. The hint
+        propagates through size-NON-INCREASING transforms only
+        (filter/trim/unique/limit/clip/remove_field/rename_fields/sort
+        — the measured bound stays a valid upper bound), so a filtered
+        dimension table still broadcasts; a size-increasing transform
+        (add_field/set_field/...) drops it and the side falls to AQE —
+        safe, just one adaptive decision slower (pinned by
+        test_join_collection_right_side_broadcasts and
+        test_join_collection_hint_propagation).
         """
         right_df = other.df if isinstance(other, Pipeline) else other
         pairs = self._normalize_on(on)

@@ -67,7 +67,18 @@ def _estimate_rows_bytes(rows: list) -> int:
     """Rough serialized-size estimate of driver-held rows: repr-length
     proxy over a bounded sample, extrapolated, with 2× headroom. Only
     feeds join()'s 256 MB broadcast-cap comparison — order of magnitude
-    is all that matters, and the data already fits in driver memory."""
+    is all that matters, and the data already fits in driver memory.
+
+    Known underestimate classes (repr smaller than the JVM UnsafeRow
+    footprint): large ints (repr is decimal digits vs a fixed 8-byte
+    slot — only matters below ~8 digits, where rows are tiny anyway),
+    ``bytes`` payloads whose repr escapes compactly, and deeply nested
+    rows (per-struct 8-byte field slots + null bitmaps). For typical
+    dimension-table rows (strings + numbers) repr OVER-states UnsafeRow
+    by the quote/comma/key syntax, and the 2× headroom plus the 256 MB
+    cap sitting far below executor memory absorb the rest; a worst-case
+    4× underestimate still broadcasts only ~1 GB into executors sized
+    for multi-GB partitions."""
     n = len(rows)
     if n == 0:
         return 0

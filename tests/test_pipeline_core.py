@@ -459,6 +459,98 @@ def test_as_date_lenient_yy_century_window(spark):
     assert this_year - 80 <= out5[0]["dt"].year <= this_year + 20
 
 
+def test_as_date_lenient_time_and_quoted_literals(spark):
+    """Time-of-day fields + quoted literals (r12): every expected value
+    probed against the real Java 17 SimpleDateFormat. Lenient H/m/s/S
+    contribute millis to the instant — hour 24/25 rolls the date
+    forward, negative fields roll backward, the day offset participates
+    in the hybrid-calendar cutover pick (probed: Oct 15 1582 minus one
+    hour re-resolves Julian and labels back Gregorian as Oct 24) — and
+    '...'/'' quoting is literal text with no whitespace skip."""
+    import datetime
+
+    cases = {
+        "2024-01-01 25:00:00": datetime.date(2024, 1, 2),   # hour roll
+        "2024-01-01 24:00:00": datetime.date(2024, 1, 2),
+        "2024-01-01 23:59:59": datetime.date(2024, 1, 1),
+        "2024-01-01 -1:00:00": datetime.date(2023, 12, 31),  # negative hour
+        "2024-01-01 0:-1:00": datetime.date(2023, 12, 31),   # negative minute
+        "2024-01-01 48:120:3600": datetime.date(2024, 1, 3),  # 51h total
+        "2024-01-02T03:04:05": datetime.date(2024, 1, 2),    # 'T' literal
+        "1582-10-15 -1:00:00": datetime.date(1582, 10, 24),  # cutover gap
+        "1581-12-31 25:00:00": datetime.date(1582, 1, 1),    # Julian-era roll
+        "2024-01-02  3:04:05": datetime.date(2024, 1, 2),    # ws skip
+        "2024-01-02 3 :04:05": None,  # ws before literal: reject
+        "2024-01-02 03:04:05junk": datetime.date(2024, 1, 2),  # trailing junk
+        "2024-01-02 03:04": None,     # incomplete time: reject
+        "junk": None,
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    out = p.as_date(
+        "dt", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", lenient=True
+    )
+    got = {r["id"]: r["dt"] for r in out.df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+    # millis field: 86400000 ms = exactly one day; ".5" = 5 ms (probed)
+    p2 = sources.from_collection(
+        spark,
+        [{"dt": "01/02/2024 00:00:00.86400000"}, {"dt": "01/02/2024 00:00:00.5"}],
+        "dt string",
+    )
+    out2 = sorted(
+        r["dt"]
+        for r in p2.as_date(
+            "dt", "MM/dd/yyyy HH:mm:ss.SSS", lenient=True
+        ).df.collect()
+    )
+    assert out2 == [datetime.date(2024, 1, 2), datetime.date(2024, 1, 3)]
+    # '' = one literal quote; quoted leading literal must be present
+    p3 = sources.from_collection(
+        spark, [{"dt": "2024-01-02'5"}], "dt string"
+    )
+    assert p3.as_date("dt", "yyyy-MM-dd''H", lenient=True).df.collect()[0][
+        "dt"
+    ] == datetime.date(2024, 1, 2)
+    p4 = sources.from_collection(
+        spark, [{"dt": "d:2024-01-02"}, {"dt": "2024-01-02"}], "dt string"
+    )
+    step4 = p4.as_date("dt", "'d:'yyyy-MM-dd", lenient=True)
+    stat4 = step4.go()
+    assert [r["dt"] for r in step4.df.collect()] == [datetime.date(2024, 1, 2)]
+    assert (stat4.loaded, stat4.rejected) == (1, 1)  # missing literal rejects
+
+
+def test_as_date_lenient_windowed_ms_instant_bump(spark):
+    """The 'yy' boundary-value bump compares INSTANTS at millisecond
+    resolution when the pattern has time fields (probed against Java 17
+    with set2DigitYearStart(1946-08-15 12:00)): a parsed time strictly
+    before the noon start bumps +100, the exact start instant and later
+    do not, and a day-rolling time that lands before the start bumps.
+    This truth table is the deterministic pin for the fuzz-caught
+    remainder-term mutation (seed 647: '46-08-15 13:0:81')."""
+    import datetime
+
+    start = datetime.datetime(1946, 8, 15, 12, 0)
+    cases = {
+        "46-08-15 11:59:59": datetime.date(2046, 8, 15),  # < start: bump
+        "46-08-15 12:00:00": datetime.date(1946, 8, 15),  # == start: no bump
+        "46-08-15 12:00:01": datetime.date(1946, 8, 15),
+        "46-08-15 13:0:81": datetime.date(1946, 8, 15),   # the mutation witness
+        "46-08-14 24:00:00": datetime.date(2046, 8, 15),  # rolls to midnight < start
+        "46-08-16 -13:00:00": datetime.date(2046, 8, 15),  # rolls back to 11:00 < start
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    out = p.as_date(
+        "dt", "yy-MM-dd HH:mm:ss", lenient=True, two_digit_year_start=start
+    )
+    got = {r["id"]: r["dt"] for r in out.df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+
+
 def test_sort(people):
     ages = [r["age"] for r in people.sort("age").df.collect()]
     assert ages == sorted(ages)

@@ -641,8 +641,10 @@ def test_join_collection_right_side_broadcasts(spark, sf):
     the unknown-size sentinel — the driver-measured size hint recorded
     by the source must carry the broadcast default instead (gratum's
     typical dimension-table join). A collection estimated PAST the cap
-    must not hint; and a TRANSFORMED collection side (hint deliberately
-    not propagated) falls to AQE rather than hinting blind."""
+    must not hint; and a size-INCREASING transform on the collection
+    side (add_field) drops the hint and falls to AQE rather than
+    hinting blind (size-non-increasing transforms keep it — see
+    test_join_collection_hint_propagation)."""
     from gratum_spark.pipeline import BROADCAST_CAP_CONF
     from gratum_spark.sources import from_collection
 
@@ -665,11 +667,54 @@ def test_join_collection_right_side_broadcasts(spark, sf):
             assert "SortMergeJoin" in plan
         finally:
             spark.conf.unset(BROADCAST_CAP_CONF)
-        # transformed collection side: hint does not propagate → AQE path
-        transformed = dim.filter({"n_regionkey": lambda v: True})
-        assert transformed._size_hint_bytes is None
-        plan = plan_of(left.join(transformed, {"n_regionkey": "n_regionkey"}).df)
+        # size-increasing transform: hint dropped → AQE path
+        grown = dim.add_field("pad", lambda row: "x" * 64)
+        assert grown._size_hint_bytes is None
+        plan = plan_of(left.join(grown, {"n_regionkey": "n_regionkey"}).df)
         assert "BroadcastHashJoin" not in plan
+
+
+def test_join_collection_hint_propagation(spark, sf):
+    """The driver-measured collection size hint propagates through
+    size-NON-INCREASING transforms (r12, ADVICE #1 residual): a
+    filtered/clipped/limited/sorted/renamed dimension table keeps the
+    measured upper bound and still gets the broadcast hint; add_field
+    and set_field invalidate it (output may be larger than measured)."""
+    from gratum_spark.sources import from_collection
+
+    left = table(spark, sf, "nation")
+    dim = from_collection(
+        spark,
+        [{"n_regionkey": i, "r_label": f"reg{i}", "extra": i} for i in range(5)],
+        ordered=False,
+    )
+    hint = dim._size_hint_bytes
+    assert hint and hint > 0
+    keeps = {
+        "filter(map)": dim.filter({"n_regionkey": lambda v: v is not None}),
+        "filter(closure)": dim.filter(lambda row: True),
+        "trim": dim.trim(),
+        "unique": dim.unique("n_regionkey"),
+        "limit": dim.limit(10),
+        "clip": dim.clip("n_regionkey", "r_label"),
+        "remove_field": dim.remove_field("extra"),
+        "rename": dim.rename_fields({"r_label": "label"}),
+        "sort": dim.sort("n_regionkey"),
+        "chained": dim.filter(lambda row: True).clip("n_regionkey").limit(10),
+    }
+    for name, p in keeps.items():
+        assert p._size_hint_bytes == hint, (name, p._size_hint_bytes)
+    drops = {
+        "add_field": dim.add_field("pad", lambda row: "x"),
+        "set_field": dim.set_field("r_label", "bigger-constant"),
+    }
+    for name, p in drops.items():
+        assert p._size_hint_bytes is None, name
+    with _no_size_based_broadcast(spark):
+        # filtered dimension table still broadcasts under the cap
+        filtered = dim.filter(lambda row: True).clip("n_regionkey", "r_label")
+        plan = plan_of(left.join(filtered, {"n_regionkey": "n_regionkey"}).df)
+        assert "BroadcastHashJoin" in plan
 
 
 def test_join_broadcast_cap_conf_malformed_falls_back(spark, sf):

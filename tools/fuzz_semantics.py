@@ -1729,6 +1729,25 @@ _DATE_FMT_POOL = [
     ("yy-MM-dd", "yyyy-MM-dd"),
     ("y-M-d",),  # count-1 'y' windows too (Java: count <= 2)
     ("MMM d, yy",),
+    # time-of-day fields + quoted literals (r12): lenient H/m/s/S
+    # contribute millis to the instant (hour 24 rolls forward, negative
+    # fields roll back, day offset feeds the hybrid-calendar pick);
+    # '...'/'' quoting is literal text. All still in lenient scope.
+    ("yyyy-MM-dd HH:mm:ss",),
+    ("yyyy-MM-dd'T'HH:mm:ss",),
+    ("yyyy-MM-dd H:m",),
+    ("MM/dd/yyyy HH:mm:ss.SSS",),
+    # windowed + time (three entries, not one: the ms-instant bump
+    # check only diverges from the old day-level one on boundary-year
+    # rows under these formats, and one pool slot gave a mutation of
+    # the remainder term only ~50% catch odds per seed)
+    ("yy-MM-dd HH:mm:ss",),
+    ("yy-MM-dd H:m:s",),
+    ("MM/dd/yy HH:mm",),
+    ("yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd"),
+    ("'d:'yyyy-MM-dd",),
+    ("yyyy-MM-dd''H",),  # '' = one literal quote between fields
+    ("MMM d, yyyy H'h'",),
 ]
 
 # pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
@@ -1750,20 +1769,65 @@ _MONTH_RENDER = {
 }
 
 
-def _render_date(fmt, y, mo, d, rng):
+def _fmt_tokens(fmt):
+    """SimpleDateFormat tokenizer shared by the renderer: yields
+    (is_field_run, text) with quoted sections already unescaped into
+    literal text ('' = one quote, inside or outside quotes) — the same
+    rules gratum_spark.pipeline._simple_date_pattern applies."""
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":
+            if fmt[i + 1 : i + 2] == "'":
+                yield False, "'"
+                i += 2
+                continue
+            i += 1
+            buf = []
+            while i < len(fmt) and (
+                fmt[i] != "'" or fmt[i + 1 : i + 2] == "'"
+            ):
+                if fmt[i] == "'":
+                    buf.append("'")
+                    i += 2
+                else:
+                    buf.append(fmt[i])
+                    i += 1
+            i += 1  # closing quote (generator assumes well-formed pool)
+            yield False, "".join(buf)
+        elif ch.isalpha() and ch.isascii():
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            yield True, fmt[i:j]
+            i = j
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "'" and not (
+                fmt[j].isalpha() and fmt[j].isascii()
+            ):
+                j += 1
+            yield False, fmt[i:j]
+            i = j
+
+
+def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0)):
     """Render fields into a SimpleDateFormat pattern, padding numeric
     fields to the pattern width most of the time (sometimes natural
     width — the greedy parse accepts both). A text-month run (MMM+)
     renders a short/full English name in mixed case when the month is
     in 1..12 — and sometimes a name even for MMMM vs MMM (Java parses
     both forms for any count>=3) — else the raw number (which BOTH the
-    engine and Java reject in a text slot; a still-valid trial)."""
+    engine and Java reject in a text slot; a still-valid trial).
+    Quoted sections render their literal text; time fields (H/m/s/S)
+    render from ``t`` like any numeric field (r12)."""
+    th, tmi, ts, tms = t
     out = []
-    for m in re.finditer(r"(([A-Za-z])\2*)|([^A-Za-z]+)", fmt):
-        if m.group(3) is not None:
-            out.append(m.group(3))
+    for is_run, text in _fmt_tokens(fmt):
+        if not is_run:
+            out.append(text)
             continue
-        run = m.group(1)
+        run = text
         if run[0] == "M" and len(run) >= 3 and 1 <= mo <= 12:
             name = _MONTH_RENDER[mo][rng.random() < 0.5]
             c = rng.random()
@@ -1775,7 +1839,8 @@ def _render_date(fmt, y, mo, d, rng):
                 name = name[0].lower() + name[1:]
             out.append(name)
             continue
-        v = {"y": y, "M": mo, "d": d}[run[0]]
+        v = {"y": y, "M": mo, "d": d,
+             "H": th, "m": tmi, "s": ts, "S": tms}[run[0]]
         if run[0] == "y" and len(run) <= 2:
             # short-y runs: the windowing rule is TEXTUAL (exactly two
             # digits), so render 2-digit (windowed), natural, and
@@ -1840,12 +1905,40 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     y = rng.randint(1575, 1590)  # cutover-dense
                 if kind < 0.55:  # well-formed
                     mo, d = rng.randint(1, 12), rng.randint(1, 28)
+                    tv = (rng.randint(0, 23), rng.randint(0, 59),
+                          rng.randint(0, 59), rng.randint(0, 999))
                 else:  # calendar overflow: lenient rolls, strict rejects
                     mo = rng.choice([0, rng.randint(1, 12), 13, rng.randint(14, 99),
                                      -rng.randint(1, 24)])
                     d = rng.choice([0, rng.randint(1, 28), rng.randint(29, 99),
                                     rng.randint(100, 999), -rng.randint(1, 99)])
-                v = _render_date(render_fmt, y, mo, d, rng)
+                    # time overflow: hour 24+ rolls the day forward,
+                    # negative fields roll backward (day-boundary-dense
+                    # draws so the fold and the ms bump check both bite)
+                    tv = (
+                        rng.choice([0, 23, 24, 25, rng.randint(0, 99),
+                                    rng.randint(100, 9999), -rng.randint(1, 48)]),
+                        rng.choice([0, 59, 60, rng.randint(0, 9999),
+                                    -rng.randint(1, 120)]),
+                        rng.choice([0, 59, 60, rng.randint(0, 99999),
+                                    -rng.randint(1, 7200)]),
+                        rng.choice([0, 999, rng.randint(0, 99999)]),
+                    )
+                if short_y and rng.random() < 0.1:
+                    # bump-edge-dense draws (r12): the boundary year
+                    # landing EXACTLY on the window start's civil day,
+                    # with times straddling the start instant — the only
+                    # rows where the ms-resolution before-check differs
+                    # from the old day-level one
+                    y, mo, d = amb_draw, dcs.month, dcs.day
+                    tv = (
+                        dcs.hour + rng.choice([-1, 0, 0, 1]),
+                        dcs.minute,
+                        dcs.second + rng.randint(-90, 90),
+                        rng.choice([0, dcs.microsecond // 1000,
+                                    rng.randint(0, 1999)]),
+                    )
+                v = _render_date(render_fmt, y, mo, d, rng, tv)
                 tail = rng.random()
                 if tail < 0.2:
                     v += rng.choice([" 10:00", "T", "xyz", "\n", " ", "junk"])
@@ -1888,6 +1981,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
         # that SimpleDateFormat rejects is flagged as a bug.
         from gratum_spark.pipeline import (
             MONTH_NAME_TO_NUM,
+            _JDN_EPOCH,
             _century_window,
             _simple_date_pattern,
         )
@@ -1908,7 +2002,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     # fails a trial loudly instead of crashing the
                     # campaign on tuple unpack (r9 ADVICE)
                     continue
-                rx, gy, gm, gd, m_text, y_win = spec
+                rx, gy, gm, gd, m_text, y_win, tgr = spec
                 m = re.match(rx, v)  # \t escape reads the same in Python/Java regex
                 if not m:
                     continue
@@ -1927,6 +2021,25 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     mo = int(m.group(gm))
                 yt = m.group(gy)
                 y, d = int(yt), int(m.group(gd))
+                rem = 0
+                if tgr:
+                    # time-of-day fold (r12): mirror of the engine —
+                    # each field bounded |v| <= 1e9 (else the format
+                    # rejects), total millis split into a day offset
+                    # (added to the day field BEFORE the hybrid
+                    # resolution, like computeTime) and a remainder
+                    # feeding the window bump's instant compare
+                    tvals = [
+                        int(m.group(gi)) if gi else 0 for gi in tgr
+                    ]
+                    if any(abs(tv) > 1_000_000_000 for tv in tvals):
+                        continue
+                    th, tm2, ts, tms = tvals
+                    extra, rem = divmod(
+                        th * 3600000 + tm2 * 60000 + ts * 1000 + tms,
+                        86400000,
+                    )
+                    d += extra
                 ambiguous = False
                 if y_win and len(yt) == 2:
                     # textual century window: exactly-2-digit input only
@@ -1939,12 +2052,16 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                 if jav is None:
                     return False, f"ENGINE-ONLY-MATCH fmt={f}"
                 ry, rm, rd, fdi = _py_hybrid_label(y, mo, d)
-                if ambiguous and fdi - 2440588 <= cutoff:
+                if ambiguous and (
+                    (fdi - _JDN_EPOCH) * 86400000 + rem < cutoff
+                ):
                     # boundary value resolved before the window start
-                    # (INSTANT compare, even if the first label is out
-                    # of DateType range): +100 on the raw year field,
-                    # full lenient re-resolution (CalendarBuilder
-                    # .addYear — probed, no day-of-month pinning)
+                    # (INSTANT compare at millis — the cutoff is the
+                    # start instant in epoch ms since r12 — even if the
+                    # first label is out of DateType range): +100 on
+                    # the raw year field, full lenient re-resolution
+                    # (CalendarBuilder.addYear — probed, no
+                    # day-of-month pinning)
                     ry, rm, rd, fdi = _py_hybrid_label(y + 100, mo, d)
                 if not (1 <= ry <= 9999) or (
                     rm == 2 and rd == 29 and ry % 100 == 0 and ry % 400 != 0

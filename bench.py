@@ -250,8 +250,56 @@ def _cpu_probe_par_median(k: int = 3) -> float:
     ~2 s the three samples span and inflates all of them, so the median
     keeps full sensitivity to what the gate exists to catch while a
     lone descheduling blip no longer vetoes an otherwise-verified-quiet
-    9-minute window. The threshold itself is unchanged (0.72)."""
+    9-minute window. The threshold itself is unchanged (0.72).
+
+    A 2 s 32-way warm spin (discarded) precedes the samples: on this
+    host, cores coming off an idle gap read 0.71-0.85 even with zero
+    neighbor load (measured with /proc/stat 99.9% idle and steal 0 —
+    frequency ramp, not contention), while after sustained full-width
+    work the same probe reads 0.58-0.70. The spin puts every boundary
+    reading in the same warm-machine regime the 0.62-0.71 quiet
+    reference and the r10_quiet2 floor record were measured in
+    (controlled A/B on an idle host: cold 0.71-0.78 -> warmed
+    0.59-0.69 across six trials)."""
+    import subprocess
+
+    spin = (
+        "import time\nend=time.time()+2.0\nacc=0\n"
+        "while time.time()<end: acc+=1"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-S", "-c", spin],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(32)
+    ]
+    for p in procs:
+        p.wait()
     return sorted(_cpu_probe_par() for _ in range(k))[k // 2]
+
+
+def _gate_probe(raw_log: list) -> float:
+    """One boundary reading for the quiet gate, with a single fixed
+    settle-retry: if the warmed median-of-3 still exceeds SPAWN_QUIET,
+    wait 10 s and take one more warmed median-of-3, which becomes the
+    boundary's reading (both go into ``raw_log``). Rationale, measured
+    r12: the reading right after the FIRST full-scale pass of a session
+    lands ~0.85 with load1_prerun 0.03 and zero steal — trailing
+    JIT/GC settling of our own JVM, gone by the next boundary — while
+    the neighbor episodes the gate exists to catch run for tens of
+    minutes (r10 HOSTWATCH) and cannot clear across a 10 s retry. One
+    retry, fixed delay, applied uniformly at every boundary — never
+    retry-until-quiet."""
+    first = _cpu_probe_par_median()
+    raw_log.append(first)
+    if first <= SPAWN_QUIET:
+        return first
+    time.sleep(10)
+    second = _cpu_probe_par_median()
+    raw_log.append(second)
+    return second
 
 
 def _quiet_gate(
@@ -366,7 +414,8 @@ def main() -> int:
     # normalization divisor reflect the load the queries actually ran
     # under, at ~1s total overhead (timed separately from the queries).
     cpu_probes = [calibration_start["cpu_loop_sec"]]
-    cpu_probes_par = [_cpu_probe_par_median()]
+    cpu_probes_par_raw: list = []
+    cpu_probes_par = [_gate_probe(cpu_probes_par_raw)]
     loads = [_load1()]
     pass_walls: list[float] = []
     for _ in range(N_PASSES):
@@ -379,12 +428,12 @@ def main() -> int:
         pass_walls.append(round(time.perf_counter() - t_pass, 3))
         passes.append(this_pass)
         cpu_probes.append(_cpu_probe())
-        cpu_probes_par.append(_cpu_probe_par_median())
+        cpu_probes_par.append(_gate_probe(cpu_probes_par_raw))
         loads.append(_load1())
 
     calibration_end = _calibrate(spark, sf_dir)
     cpu_probes.append(calibration_end["cpu_loop_sec"])
-    cpu_probes_par.append(_cpu_probe_par_median())
+    cpu_probes_par.append(_gate_probe(cpu_probes_par_raw))
     loads.append(_load1())
 
     total = round(sum(timings.values()), 3)
@@ -427,6 +476,7 @@ def main() -> int:
         "calibration": calibration,
         "cpu_probes": cpu_probes,
         "cpu_probes_par": cpu_probes_par,
+        "cpu_probes_par_raw": cpu_probes_par_raw,
         "load1_series": loads,
         "pass_walls": pass_walls,
         "cpu_loop_mean": round(cpu_loop_mean, 3),

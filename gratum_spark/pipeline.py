@@ -477,6 +477,133 @@ def _simple_date_pattern(
     )
 
 
+# --------------------------------------------------------------- NaN-exact
+# pandas interchange (r12). PySpark's pandas serializers conflate float
+# NULL and NaN in BOTH directions: Spark->pandas renders null as numpy
+# NaN (plain float64 has no null), and pandas->Arrow treats NaN as the
+# null sentinel (pa.Array.from_pandas semantics). The reference's rows
+# carry Double.NaN faithfully (a parsed "NaN" survives any step), so
+# every operator that roundtrips PAYLOAD columns through pandas — the
+# closure forms add_step/flat_map/reduce-fold and the pandas-fn forms
+# flatten_window/grouped-apply — goes through mapInArrow/applyInArrow
+# with these adapters instead: float columns travel as pandas nullable
+# Float64/Float32 (NaN is a value, NA is null — exact both ways,
+# probed), timestamps are localized tz-naive like PySpark's own
+# serializer, and everything else converts as from_pandas always did.
+# Caught by fuzz campaign `chain` at seed 661 (as_double("NaN") ->
+# flatten_window nulled the NaN). Known residual conflation, unchanged
+# from before: float cells inside closure INPUTS of the pandas_udf
+# predicate/value forms (filter closure, add_field/set_field value,
+# fill_down decider) still read NaN-for-null, and a pandas fn that
+# CONSTRUCTS a fresh plain-float64 output column gets NaN->null.
+
+
+def _nullable_float_dtype(t):
+    import pyarrow as pa
+
+    if t.equals(pa.float64()):
+        return pd.Float64Dtype()
+    if t.equals(pa.float32()):
+        return pd.Float32Dtype()
+    return None
+
+
+def _pdf_from_arrow(batch) -> pd.DataFrame:
+    """Arrow batch -> pandas with float nulls exact (nullable dtypes)
+    and timestamps tz-naive (parity with PySpark's own serializer)."""
+    import pyarrow as pa
+
+    pdf = batch.to_pandas(types_mapper=_nullable_float_dtype)
+    for name, field in zip(batch.schema.names, batch.schema):
+        if pa.types.is_timestamp(field.type) and field.type.tz is not None:
+            pdf[name] = pdf[name].dt.tz_convert("UTC").dt.tz_localize(None)
+    return pdf
+
+
+def _pdf_to_arrow(pdf: pd.DataFrame, arrow_schema):
+    """pandas -> Arrow batch under an explicit schema, preserving NaN
+    values: nullable-float columns keep their mask; OBJECT columns
+    targeting a float field are null only where the cell is None/NA (a
+    float('nan') cell is a value, unlike from_pandas semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arrays = []
+    for field in arrow_schema:
+        col = pdf[field.name]
+        if pa.types.is_floating(field.type) and col.dtype == object:
+            n = len(col)
+            mask = np.fromiter(
+                (v is None or v is pd.NA for v in col), bool, n
+            )
+            vals = np.array(
+                [0.0 if m else float(v) for v, m in zip(col, mask)],
+                dtype="float64",
+            )
+            arrays.append(pa.array(vals, type=field.type, mask=mask))
+        elif pa.types.is_timestamp(field.type) and field.type.tz is not None:
+            s = col
+            if getattr(s.dtype, "tz", None) is None:
+                s = pd.to_datetime(s).dt.tz_localize("UTC")
+            arrays.append(pa.Array.from_pandas(s, type=field.type))
+        else:
+            arrays.append(pa.Array.from_pandas(col, type=field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+def _map_in_pandas_exact(df: DataFrame, fn, schema) -> DataFrame:
+    """``df.mapInPandas(fn, schema)`` with the float null/NaN
+    distinction preserved through both conversions (mapInArrow)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if isinstance(schema, str):
+        schema = _parse_ddl(df.sparkSession, schema)
+    arrow_schema = to_arrow_schema(schema)
+
+    def _arrow_fn(batches):
+        def _pdfs():
+            for b in batches:
+                yield _pdf_from_arrow(b)
+
+        for out in fn(_pdfs()):
+            yield _pdf_to_arrow(out, arrow_schema)
+
+    return df.mapInArrow(_arrow_fn, schema)
+
+
+def _apply_in_pandas_exact(grouped, fn, schema) -> DataFrame:
+    """``grouped.applyInPandas(fn, schema)`` with float null/NaN exact
+    (applyInArrow). ``fn``: pandas DataFrame -> pandas DataFrame; float
+    columns arrive as nullable Float64/Float32."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    session = grouped._df.sparkSession if hasattr(grouped, "_df") else None
+    if isinstance(schema, str):
+        schema = _parse_ddl(session, schema)
+    arrow_schema = to_arrow_schema(schema)
+
+    def _arrow_fn(table):
+        import pyarrow as pa
+
+        pdf = _pdf_from_arrow(table)
+        out = fn(pdf)
+        return pa.Table.from_batches([_pdf_to_arrow(out, arrow_schema)])
+
+    return grouped.applyInArrow(_arrow_fn, schema)
+
+
+def _parse_ddl(session, ddl: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)
+
+
+def _na_to_none(d: dict) -> dict:
+    """Row-dict fidelity for closures: nullable-dtype NA cells become
+    None (the reference's null), NaN stays a float value."""
+    return {k: (None if v is pd.NA else v) for k, v in d.items()}
+
+
 _GREGORIAN_CUTOVER_JDN = 2299161  # 1582-10-15 (Gregorian), Java's default
 _JDN_EPOCH = 2440588  # 1970-01-01 (Gregorian)
 _JDN_YEAR1_JULIAN = 1721424  # 0001-01-01 (Julian label)
@@ -1092,6 +1219,7 @@ class Pipeline:
                 _t0 = _time.perf_counter()
                 out_rows = []
                 for r in pdf.to_dict("records"):
+                    r = _na_to_none(r)
                     order_v = r.pop(ROW_ORDER, None)
                     orig = {k: r.get(k) for k in out_names}
                     try:
@@ -1113,9 +1241,12 @@ class Pipeline:
                         row[ROW_ORDER] = order_v
                     out_rows.append(row)
                 timer.add((_time.perf_counter() - _t0) * 1000.0)
-                yield pd.DataFrame(out_rows, columns=full_names)
+                # dtype=object: a plain float64 frame would fold None
+                # (null) and float('nan') (a value) together before the
+                # NaN-exact Arrow conversion could tell them apart
+                yield pd.DataFrame(out_rows, columns=full_names, dtype=object)
 
-        marked = self.df.mapInPandas(_run, full)
+        marked = _map_in_pandas_exact(self.df, _run, full)
         kept = marked.filter(F.col("__cat__").isNull()).drop("__cat__", "__reason__")
         rejected = (
             marked.filter(F.col("__cat__").isNotNull())
@@ -1813,7 +1944,9 @@ class Pipeline:
         def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
             return fn(pdf.drop(columns="__gid__"))
 
-        result = with_gid.groupBy("__gid__").applyInPandas(_apply, out_schema)
+        result = _apply_in_pandas_exact(
+            with_gid.groupBy("__gid__"), _apply, out_schema
+        )
         return self._next(result)
 
     def inject(self, column: str, alias: str | None = None) -> "Pipeline":
@@ -1838,12 +1971,12 @@ class Pipeline:
             for pdf in batches:
                 out: list[dict] = []
                 for row in pdf.to_dict("records"):
-                    out.extend(fn(row))
-                yield pd.DataFrame(out) if out else pd.DataFrame(
+                    out.extend(fn(_na_to_none(row)))
+                yield pd.DataFrame(out, dtype=object) if out else pd.DataFrame(
                     {f.name: pd.Series(dtype="object") for f in _schema_fields(schema)}
                 )
 
-        return self._next(self.df.mapInPandas(_gen, schema))
+        return self._next(_map_in_pandas_exact(self.df, _gen, schema))
 
     def exchange(
         self,
@@ -1946,12 +2079,12 @@ class Pipeline:
             for pdf in batches:
                 for row in pdf.to_dict("records"):
                     any_rows = True
-                    acc = fn(acc, row)
+                    acc = fn(acc, _na_to_none(row))
             if any_rows:
                 yield pd.DataFrame({"acc": [json.dumps(acc, default=str)]})
 
         df = self.df if merge else self.df.coalesce(1)
-        partials = df.mapInPandas(_fold, "acc string").collect()
+        partials = _map_in_pandas_exact(df, _fold, "acc string").collect()
         acc = dict(init)
         combine = merge or (lambda a, b: b)  # single partial when merge is None
         for p in partials:
@@ -2466,8 +2599,11 @@ class GroupedPipeline:
 
     def apply_in_pandas(self, fn, schema: StructType | str) -> Pipeline:
         """Arbitrary per-group transform (UDAF/UDTF surface) — distributed,
-        one group per pandas DataFrame."""
-        df = self.parent.df.groupBy(*self.columns).applyInPandas(fn, schema)
+        one group per pandas DataFrame. Float columns arrive as nullable
+        Float64/Float32 (NaN-exact interchange, r12)."""
+        df = _apply_in_pandas_exact(
+            self.parent.df.groupBy(*self.columns), fn, schema
+        )
         return self.parent._next(df)
 
     def rows(self) -> Pipeline:

@@ -551,6 +551,55 @@ def test_as_date_lenient_windowed_ms_instant_bump(spark):
         assert got.get(i) == want, (val, got.get(i), want)
 
 
+def test_nan_exact_through_pandas_roundtrips(spark):
+    """Float NULL and NaN are distinct values in the reference's rows
+    (a parsed "NaN" is Double.NaN and survives every step), but
+    PySpark's pandas serializers conflate them in both directions. The
+    r12 NaN-exact Arrow adapters preserve the distinction through every
+    payload roundtrip: add_step, flat_map, flatten_window, grouped
+    apply_in_pandas, and reduce_rows. Caught by fuzz `chain` seed 661
+    (as_double("NaN") -> flatten_window nulled the NaN)."""
+    import math
+
+    rows = [{"i": 1, "s": "NaN", "k": "a"},
+            {"i": 2, "s": "1.5", "k": "a"},
+            {"i": 3, "s": None, "k": "b"}]
+    d = sources.from_collection(spark, rows, "i long, s string, k string").as_double("s")
+
+    def kinds(df):
+        out = {}
+        for r in df.collect():
+            v = r["s"]
+            out[r["i"]] = ("nan" if isinstance(v, float) and math.isnan(v)
+                           else "null" if v is None else v)
+        return out
+    want = {1: "nan", 2: 1.5, 3: "null"}
+
+    assert kinds(d.flatten_window("k", lambda pdf: pdf).df) == want
+    assert kinds(d.add_step("noop", lambda row: row).df) == want
+    assert kinds(d.flat_map(lambda row: [row], "i long, s double, k string").df) == want
+    assert kinds(d.group_by("k").apply_in_pandas(
+        lambda pdf: pdf, "i long, s double, k string").df) == want
+    seen = d.reduce_rows(
+        lambda acc, row: {"seen": acc["seen"] + [
+            "nan" if isinstance(row["s"], float) and math.isnan(row["s"])
+            else "null" if row["s"] is None else row["s"]]},
+        init={"seen": []},
+    )
+    assert sorted(map(str, seen["seen"])) == ["1.5", "nan", "null"]
+    # closure-visible cells: null arrives as None (not NaN), NaN as float
+    def _peek(row):
+        v = row["s"]
+        row["kind"] = ("null" if v is None
+                       else "nan" if isinstance(v, float) and v != v
+                       else "val")
+        return row
+
+    seen_kinds = {r["i"]: r["kind"]
+                  for r in d.add_step("probe", _peek).df.collect()}
+    assert seen_kinds == {1: "nan", 2: "val", 3: "null"}
+
+
 def test_sort(people):
     ages = [r["age"] for r in people.sort("age").df.collect()]
     assert ages == sorted(ages)

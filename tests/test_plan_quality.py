@@ -369,7 +369,9 @@ def test_flatten_window_has_no_data_sized_single_partition_stage(spark, sf):
         order_by="event_id",
     )
     plan = plan_of(out.df)
-    assert "FlatMapGroupsInPandas" in plan
+    # FlatMapGroupsInArrow since r12: the per-run fn runs through the
+    # NaN-exact applyInArrow adapter (float null/NaN preserved)
+    assert "FlatMapGroupsInArrow" in plan
     assert "Scan ExistingRDD" in plan  # the consistency checkpoint
     paras = re.split(r"\n\s*\n", plan)
     single = [q for q in paras if re.match(r"\(\d+\) Exchange", q) and "SinglePartition" in q]

@@ -310,21 +310,35 @@ MONTH_NAME_TO_NUM = {
 
 def _simple_date_pattern(
     fmt: str,
-) -> tuple[str, int, int, int, bool, bool, tuple[int, int, int, int] | None] | None:
+) -> (
+    tuple[str, int, int, int, bool, bool,
+          tuple[int, int, int, int, str, int] | None]
+    | None
+):
     """Translate a SimpleDateFormat date pattern (numeric fields, plus
     English text months) into a prefix-anchored Java-regex + (year,
     month, day) capture-group indices + a flag saying whether the month
     group captures a month NAME rather than digits + a flag saying the
     year run is 'y'/'yy' (century-WINDOWED on exactly-2-digit input —
     r11; the windowed UDF applies the textual rule) + time-of-day
-    capture-group indices (r12) — a 4-tuple (hour-of-day, minute,
-    second, millis) of group numbers with 0 for a field absent from the
-    pattern, or None when the pattern has no time fields at all — for
-    as_date's lenient path. Returns None when the pattern falls outside
-    the supported subset (pattern letters beyond y/M/d/H/m/s/S — am/pm
-    hours, zones, week fields —, an unterminated quote, adjacent
-    fixed-width numeric runs) — the caller then keeps the strict parse
-    for that format.
+    capture info (r12) — a 6-tuple (hour group, minute group, second
+    group, millis group, hour KIND, am/pm group) with 0 for a field
+    absent from the pattern and kind one of 'H'/'h'/'K'/'k'/'' — or
+    None when the pattern has no time fields at all — for as_date's
+    lenient path. Returns None when the pattern falls outside the
+    supported subset (pattern letters beyond y/M/d/H/m/s/S/h/K/k/a —
+    zones, week/era fields —, an unterminated quote, two hour fields,
+    adjacent fixed-width numeric runs) — the caller then keeps the
+    strict parse for that format.
+
+    Am/pm hours (r12, all probed against Java 17): 'h' (1-12 clock)
+    maps a parsed value of EXACTLY 12 to 0 at parse time (the
+    subParse maxValue+1 rule — "-12" stays -12), 'k' (1-24) maps 24 to
+    0, 'K' (0-11) is unadjusted; 'a' matches AM/PM case-insensitively
+    as a TEXT field (no whitespace skip, like month names; partial "P"
+    rejects). PM contributes +12 h ONLY when the pattern's hour field
+    is h/K or absent — with H/k the parsed marker is ignored, exactly
+    Calendar.computeTime's HOUR_OF_DAY-precedence branch.
 
     Quoted literals (r12): SimpleDateFormat quoting reproduced —
     ``'...'`` is literal text, ``''`` is a literal single quote (inside
@@ -427,6 +441,7 @@ def _simple_date_pattern(
     groups: dict[str, int] = {}
     month_text = False
     y_window = False
+    hour_kind = ""
     prev_numeric = False
     for is_run, text in tokens:
         if not is_run:
@@ -447,18 +462,26 @@ def _simple_date_pattern(
                 month_text = True
         elif run[0] == "d" and len(run) <= 2:
             key = "d"
-        elif run[0] in "Hms" and len(run) <= 2:
-            key = run[0]  # hour-of-day / minute / second (r12)
+        elif run[0] in "HhKk" and len(run) <= 2:
+            key = "hour"  # one hour field of any kind (r12)
+            hour_kind = run[0]
+        elif run[0] in "ms" and len(run) <= 2:
+            key = run[0]  # minute / second (r12)
         elif run[0] == "S" and len(run) <= 3:
             key = "S"  # milliseconds — parse count is irrelevant (r12)
+        elif run[0] == "a":
+            key = "a"  # AM/PM marker, text field (r12)
         else:
             return None
-        if key in groups or (prev_numeric and not (key == "M" and month_text)):
+        text_field = (key == "M" and month_text) or key == "a"
+        if key in groups or (prev_numeric and not text_field):
             return None
         groups[key] = len(groups) + 1
-        if key == "M" and month_text:
+        if text_field:
             # no whitespace skip before a text field (probed; see above)
-            parts.append("(" + _MONTH_NAME_ALT + ")")
+            parts.append(
+                "((?i:AM|PM))" if key == "a" else "(" + _MONTH_NAME_ALT + ")"
+            )
             prev_numeric = False  # a digit run can follow a name
         else:
             parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
@@ -466,8 +489,9 @@ def _simple_date_pattern(
     if not {"y", "M", "d"} <= set(groups):
         return None
     tg = (
-        groups.get("H", 0), groups.get("m", 0),
+        groups.get("hour", 0), groups.get("m", 0),
         groups.get("s", 0), groups.get("S", 0),
+        hour_kind, groups.get("a", 0),
     )
     return (
         "^" + "".join(parts),
@@ -1608,9 +1632,14 @@ class Pipeline:
         date forward, negative fields roll backward, and the
         time-derived day offset participates in the hybrid-calendar
         pick exactly like computeTime; ``'...'``/``''`` quoting matches
-        SimpleDateFormat (literal text, no whitespace skip). Still out
-        (strict fallback): am/pm hours (h/K/k/a), zones, week/era
-        fields, and adjacent fixed-width numeric runs.
+        SimpleDateFormat (literal text, no whitespace skip). Am/pm
+        hours (r12): 'h' (12 -> 0 at parse), 'K' (unadjusted), 'k'
+        (24 -> 0), and the 'a' AM/PM text marker (case-insensitive,
+        +12 h for PM only when the hour field is h/K or absent — an
+        H/k pattern parses but ignores the marker, per computeTime's
+        HOUR_OF_DAY precedence; all probed). Still out (strict
+        fallback): zones, week/era fields, two hour fields, and
+        adjacent fixed-width numeric runs.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing (time fields
@@ -1662,8 +1691,29 @@ class Pipeline:
                 # from int64 overflow; a billion hours is ~114k years,
                 # far past the result-year bound anyway) — past the
                 # bound the format rejects, like the |day| <= 4e6 rule.
+                g_hour, g_min, g_sec, g_ms, hkind, g_ampm = tgroups
                 total_ms = F.lit(0).cast("long")
-                for gi, mult in zip(tgroups, (3600000, 60000, 1000, 1)):
+                if g_hour:
+                    hv = F.regexp_extract(src, rx, g_hour).try_cast("long")
+                    # subParse's maxValue+1 textual rule (probed):
+                    # 'h' maps exactly 12 -> 0, 'k' maps exactly 24 -> 0
+                    if hkind == "h":
+                        hv = F.when(hv == 12, F.lit(0)).otherwise(hv)
+                    elif hkind == "k":
+                        hv = F.when(hv == 24, F.lit(0)).otherwise(hv)
+                    hv = F.when(F.abs(hv) <= F.lit(1_000_000_000), hv)
+                    total_ms = total_ms + hv * F.lit(3600000)
+                if g_ampm and hkind in ("h", "K", ""):
+                    # PM adds 12h only via the HOUR branch of
+                    # computeTime — an H/k pattern ignores the marker
+                    ampm = F.when(
+                        F.lower(F.regexp_extract(src, rx, g_ampm)) == "pm",
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                    total_ms = total_ms + ampm.cast("long") * F.lit(43200000)
+                for gi, mult in zip(
+                    (g_min, g_sec, g_ms), (60000, 1000, 1)
+                ):
                     if not gi:
                         continue
                     fv = F.regexp_extract(src, rx, gi).try_cast("long")

@@ -522,6 +522,46 @@ def test_as_date_lenient_time_and_quoted_literals(spark):
     assert (stat4.loaded, stat4.rejected) == (1, 1)  # missing literal rejects
 
 
+def test_as_date_lenient_ampm_hours(spark):
+    """Am/pm hour fields (r12): every expected value probed against the
+    real Java 17 SimpleDateFormat. 'h' maps a parsed value of exactly
+    12 to 0 (subParse's maxValue+1 rule; -12 stays), 'K' is unadjusted
+    (K=12+PM = 24h rolls the day), 'k' maps 24 to 0; the AM/PM marker
+    is a case-insensitive text field (no whitespace skip, partial "P"
+    rejects) and contributes +12h for PM only when the hour field is
+    h/K or absent — an H/k pattern parses but ignores it
+    (computeTime's HOUR_OF_DAY precedence)."""
+    import datetime
+
+    cases = {
+        "2024-01-01 12:30 AM": datetime.date(2024, 1, 1),   # 00:30
+        "2024-01-01 12:30 PM": datetime.date(2024, 1, 1),   # 12:30
+        "2024-01-01 13:00 PM": datetime.date(2024, 1, 2),   # 13+12 = 25h
+        "2024-01-01 24:00 AM": datetime.date(2024, 1, 2),   # h=24 stays
+        "2024-01-01 -12:00 AM": datetime.date(2023, 12, 31),
+        "2024-01-01 12:00 pm": datetime.date(2024, 1, 1),   # case-insensitive
+        "2024-01-01 1:00 Pm": datetime.date(2024, 1, 1),
+        "2024-01-01 1:00 P": None,    # partial marker rejects
+        "2024-01-01 1:00  PM": None,  # no ws skip before a text field
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    got = {r["id"]: r["dt"] for r in p.as_date(
+        "dt", "yyyy-MM-dd h:mm a", lenient=True).df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+
+    def one(val, fmt):
+        pp = sources.from_collection(spark, [{"dt": val}], "dt string")
+        return pp.as_date("dt", fmt, lenient=True).df.collect()[0]["dt"]
+
+    assert one("2024-01-01 12:00 PM", "yyyy-MM-dd K:mm a") == datetime.date(2024, 1, 2)
+    assert one("2024-01-01 24:00", "yyyy-MM-dd kk:mm") == datetime.date(2024, 1, 1)
+    assert one("2024-01-01 25:00", "yyyy-MM-dd kk:mm") == datetime.date(2024, 1, 2)
+    assert one("2024-01-01 23:00 PM", "yyyy-MM-dd HH:mm a") == datetime.date(2024, 1, 1)
+    assert one("2024-01-01 PM", "yyyy-MM-dd a") == datetime.date(2024, 1, 1)
+
+
 def test_as_date_lenient_windowed_ms_instant_bump(spark):
     """The 'yy' boundary-value bump compares INSTANTS at millisecond
     resolution when the pattern has time fields (probed against Java 17

@@ -1748,6 +1748,15 @@ _DATE_FMT_POOL = [
     ("'d:'yyyy-MM-dd",),
     ("yyyy-MM-dd''H",),  # '' = one literal quote between fields
     ("MMM d, yyyy H'h'",),
+    # am/pm hours (r12): h maps 12->0, k maps 24->0, K unadjusted;
+    # PM adds 12h only for h/K/absent hour (H+a ignores the marker)
+    ("MM/dd/yyyy hh:mm a",),
+    ("yyyy-MM-dd h:m a",),
+    ("yyyy-MM-dd K:m a",),
+    ("yyyy-MM-dd kk:mm",),
+    ("yyyy-MM-dd HH:mm a",),  # marker parsed but ignored (HOUR_OF_DAY)
+    ("yyyy-MM-dd a",),        # marker alone: PM = 12h
+    ("MM/dd/yyyy hh:mm a", "yyyy-MM-dd"),
 ]
 
 # pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
@@ -1811,7 +1820,7 @@ def _fmt_tokens(fmt):
             i = j
 
 
-def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0)):
+def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0, "AM")):
     """Render fields into a SimpleDateFormat pattern, padding numeric
     fields to the pattern width most of the time (sometimes natural
     width — the greedy parse accepts both). A text-month run (MMM+)
@@ -1819,15 +1828,25 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0)):
     in 1..12 — and sometimes a name even for MMMM vs MMM (Java parses
     both forms for any count>=3) — else the raw number (which BOTH the
     engine and Java reject in a text slot; a still-valid trial).
-    Quoted sections render their literal text; time fields (H/m/s/S)
-    render from ``t`` like any numeric field (r12)."""
-    th, tmi, ts, tms = t
+    Quoted sections render their literal text; time fields
+    (H/h/K/k/m/s/S) render from ``t`` like any numeric field, and an
+    'a' run renders the marker in mixed case (r12)."""
+    th, tmi, ts, tms, ampm = t
     out = []
     for is_run, text in _fmt_tokens(fmt):
         if not is_run:
             out.append(text)
             continue
         run = text
+        if run[0] == "a":
+            c = rng.random()
+            s = ampm
+            if c < 0.3:
+                s = s.lower()
+            elif c < 0.45:
+                s = s.capitalize()
+            out.append(s)
+            continue
         if run[0] == "M" and len(run) >= 3 and 1 <= mo <= 12:
             name = _MONTH_RENDER[mo][rng.random() < 0.5]
             c = rng.random()
@@ -1840,7 +1859,8 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0)):
             out.append(name)
             continue
         v = {"y": y, "M": mo, "d": d,
-             "H": th, "m": tmi, "s": ts, "S": tms}[run[0]]
+             "H": th, "h": th, "K": th, "k": th,
+             "m": tmi, "s": ts, "S": tms}[run[0]]
         if run[0] == "y" and len(run) <= 2:
             # short-y runs: the windowing rule is TEXTUAL (exactly two
             # digits), so render 2-digit (windowed), natural, and
@@ -1905,8 +1925,12 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     y = rng.randint(1575, 1590)  # cutover-dense
                 if kind < 0.55:  # well-formed
                     mo, d = rng.randint(1, 12), rng.randint(1, 28)
-                    tv = (rng.randint(0, 23), rng.randint(0, 59),
-                          rng.randint(0, 59), rng.randint(0, 999))
+                    # hour 12 over-weighted: the h-kind 12->0 parse rule
+                    # and the K=12+PM day-roll both live exactly there
+                    tv = (rng.choice([12, 12, rng.randint(0, 23)]),
+                          rng.randint(0, 59),
+                          rng.randint(0, 59), rng.randint(0, 999),
+                          rng.choice(["AM", "PM"]))
                 else:  # calendar overflow: lenient rolls, strict rejects
                     mo = rng.choice([0, rng.randint(1, 12), 13, rng.randint(14, 99),
                                      -rng.randint(1, 24)])
@@ -1916,13 +1940,14 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     # negative fields roll backward (day-boundary-dense
                     # draws so the fold and the ms bump check both bite)
                     tv = (
-                        rng.choice([0, 23, 24, 25, rng.randint(0, 99),
+                        rng.choice([0, 12, 23, 24, 25, rng.randint(0, 99),
                                     rng.randint(100, 9999), -rng.randint(1, 48)]),
                         rng.choice([0, 59, 60, rng.randint(0, 9999),
                                     -rng.randint(1, 120)]),
                         rng.choice([0, 59, 60, rng.randint(0, 99999),
                                     -rng.randint(1, 7200)]),
                         rng.choice([0, 999, rng.randint(0, 99999)]),
+                        rng.choice(["AM", "PM"]),
                     )
                 if short_y and rng.random() < 0.1:
                     # bump-edge-dense draws (r12): the boundary year
@@ -1937,6 +1962,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                         dcs.second + rng.randint(-90, 90),
                         rng.choice([0, dcs.microsecond // 1000,
                                     rng.randint(0, 1999)]),
+                        rng.choice(["AM", "PM"]),
                     )
                 v = _render_date(render_fmt, y, mo, d, rng, tv)
                 tail = rng.random()
@@ -2028,15 +2054,30 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     # rejects), total millis split into a day offset
                     # (added to the day field BEFORE the hybrid
                     # resolution, like computeTime) and a remainder
-                    # feeding the window bump's instant compare
-                    tvals = [
-                        int(m.group(gi)) if gi else 0 for gi in tgr
-                    ]
-                    if any(abs(tv) > 1_000_000_000 for tv in tvals):
+                    # feeding the window bump's instant compare.
+                    # Am/pm hours: 'h' maps exactly 12 -> 0 and 'k'
+                    # maps 24 -> 0 at parse; PM adds 12h only when the
+                    # hour field is h/K or absent (HOUR_OF_DAY branch
+                    # precedence — all probed)
+                    g_hr, g_mi, g_se, g_msec, hkind, g_ampm = tgr
+                    th = int(m.group(g_hr)) if g_hr else 0
+                    if hkind == "h" and th == 12:
+                        th = 0
+                    elif hkind == "k" and th == 24:
+                        th = 0
+                    tm2 = int(m.group(g_mi)) if g_mi else 0
+                    ts = int(m.group(g_se)) if g_se else 0
+                    tms = int(m.group(g_msec)) if g_msec else 0
+                    if any(abs(tv) > 1_000_000_000
+                           for tv in (th, tm2, ts, tms)):
                         continue
-                    th, tm2, ts, tms = tvals
+                    ampm_ms = 0
+                    if g_ampm and hkind in ("h", "K", ""):
+                        ampm_ms = (43200000
+                                   if m.group(g_ampm).lower() == "pm" else 0)
                     extra, rem = divmod(
-                        th * 3600000 + tm2 * 60000 + ts * 1000 + tms,
+                        th * 3600000 + ampm_ms
+                        + tm2 * 60000 + ts * 1000 + tms,
                         86400000,
                     )
                     d += extra

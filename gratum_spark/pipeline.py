@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DataType,
+    DoubleType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -150,6 +152,58 @@ def _pandas_value_predicate(fn: Callable[[Any], Any]):
         return native.map(lambda x: bool(fn(x)))
 
     return _pred
+
+
+def _pandas_float_value_predicate(fn: Callable[[Any], Any]):
+    """Float-column variant of :func:`_pandas_value_predicate` (r12):
+    the input is struct(v, n) where ``n`` is a JVM-side ``isnan`` flag,
+    so the closure sees float('nan') for a true NaN value and None for
+    a null — the pandas_udf input conversion alone conflates them (null
+    arrives as numpy NaN)."""
+
+    @F.pandas_udf(BooleanType())
+    def _pred(b: pd.DataFrame) -> pd.Series:
+        vals = b["v"].astype(object).where(b["v"].notna(), None)
+        out = [
+            bool(fn(float("nan") if flag else v))
+            for v, flag in zip(vals, b["n"])
+        ]
+        return pd.Series(out)
+
+    return _pred
+
+
+# JVM-side NaN flags for closure-visible row dicts (r12): the pandas
+# serializer renders a float NULL as numpy NaN on input, so without
+# help a row-dict closure cannot tell null from a true NaN value. Every
+# closure site that converts a struct batch to row dicts appends one
+# ``__nan__<col>`` boolean per float/double column (exact, computed by
+# Catalyst's isnan before the Arrow boundary) and restores the cell
+# python-side: flagged -> float('nan'), unflagged NaN/None -> None.
+
+
+def _nan_flag_cols(df: DataFrame, cols: Iterable[str]) -> list[Column]:
+    want = set(cols)
+    return [
+        F.coalesce(F.isnan(F.col(f.name)), F.lit(False)).alias(f"__nan__{f.name}")
+        for f in df.schema.fields
+        if f.name in want and isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+
+
+def _restore_nan_cells(d: dict) -> dict:
+    """Apply and strip ``__nan__*`` flags from a row dict: flagged float
+    cells become float('nan'); unflagged cells that arrived as NaN (the
+    serializer's null rendering) become None."""
+    for fk in [k for k in d if k.startswith("__nan__")]:
+        flag = d.pop(fk)
+        c = fk[7:]
+        v = d.get(c)
+        if flag:
+            d[c] = float("nan")
+        elif isinstance(v, float) and v != v:
+            d[c] = None
+    return d
 
 
 def _local_run_id_frame(
@@ -275,12 +329,16 @@ def _pandas_row_predicate(fn: Callable[[dict], Any]):
     """Arrow-batched boolean predicate over the whole row (Condition's
     "*" wildcard closure): struct input arrives as a pandas DataFrame.
     Nulls are normalized to Python None before the closure sees the row
-    dict (same boundary contract as _pandas_value_predicate)."""
+    dict (same boundary contract as _pandas_value_predicate); float
+    cells carry ``__nan__*`` flags so a true NaN survives as
+    float('nan') (r12)."""
 
     @F.pandas_udf(BooleanType())
     def _pred(batch: pd.DataFrame) -> pd.Series:
         native = batch.astype(object).where(batch.notna(), None)
-        return native.apply(lambda r: bool(fn(r.to_dict())), axis=1)
+        return native.apply(
+            lambda r: bool(fn(_restore_nan_cells(r.to_dict()))), axis=1
+        )
 
     return _pred
 
@@ -515,11 +573,13 @@ def _simple_date_pattern(
 # probed), timestamps are localized tz-naive like PySpark's own
 # serializer, and everything else converts as from_pandas always did.
 # Caught by fuzz campaign `chain` at seed 661 (as_double("NaN") ->
-# flatten_window nulled the NaN). Known residual conflation, unchanged
-# from before: float cells inside closure INPUTS of the pandas_udf
-# predicate/value forms (filter closure, add_field/set_field value,
-# fill_down decider) still read NaN-for-null, and a pandas fn that
-# CONSTRUCTS a fresh plain-float64 output column gets NaN->null.
+# flatten_window nulled the NaN). The pandas_udf predicate/value forms
+# (filter closure, add_field value, fill_down decider) stay on
+# pandas_udf but carry JVM-side ``__nan__*`` flags so their
+# closure-visible row dicts are null-vs-NaN exact too (see
+# _nan_flag_cols/_restore_nan_cells). Known residual conflation: a
+# pandas fn that CONSTRUCTS a fresh plain-float64 output column gets
+# from_pandas NaN->null (use a nullable Float64 column to be exact).
 
 
 def _nullable_float_dtype(t):
@@ -1005,17 +1065,34 @@ class Pipeline:
                 # F.udf here would pickle per row in the hot path.
                 exprs.append(
                     _pandas_row_predicate(v)(
-                        F.struct(*[F.col(c) for c in self.df.columns])
+                        F.struct(
+                            *[F.col(c) for c in self.df.columns],
+                            *_nan_flag_cols(self.df, self.df.columns),
+                        )
                     )
                 )
                 continue
             c = F.col(col)
+            is_float_col = any(
+                f.name == col and isinstance(f.dataType, (DoubleType, FloatType))
+                for f in self.df.schema.fields
+            )
             if v is None:
                 exprs.append(c.isNull())
             elif _is_regex(v):
                 exprs.append(c.rlike(v.pattern))
             elif isinstance(v, (list, tuple, set, frozenset)):
                 exprs.append(c.isin(*v))
+            elif callable(v) and is_float_col:
+                # null-vs-NaN exact for float columns (r12)
+                exprs.append(
+                    _pandas_float_value_predicate(v)(
+                        F.struct(
+                            c.alias("v"),
+                            F.coalesce(F.isnan(c), F.lit(False)).alias("n"),
+                        )
+                    )
+                )
             elif callable(v):
                 exprs.append(_pandas_value_predicate(v)(c))
             elif isinstance(v, Column):
@@ -1070,7 +1147,7 @@ class Pipeline:
 
             def one(r):
                 try:
-                    return bool(fn(r.to_dict())), None
+                    return bool(fn(_restore_nan_cells(r.to_dict()))), None
                 except Exception as e:  # noqa: BLE001 - reference catches all
                     return False, f"{type(e).__name__}: {e}"
 
@@ -1079,7 +1156,10 @@ class Pipeline:
             timer.add((_time.perf_counter() - _t0) * 1000.0)
             return out
 
-        marked = self.df.withColumn("__p__", _pred(F.struct(*cols)))
+        marked = self.df.withColumn(
+            "__p__",
+            _pred(F.struct(*cols, *_nan_flag_cols(self.df, cols))),
+        )
         kept = marked.filter(F.col("__p__.keep")).drop("__p__")
         rejected = tag_rejects(
             marked.filter(~F.col("__p__.keep") & F.col("__p__.err").isNull()).drop("__p__"),
@@ -1375,7 +1455,7 @@ class Pipeline:
             def _field(batch: pd.DataFrame) -> pd.DataFrame:
                 def one(r):
                     try:
-                        return value(r.to_dict()), None
+                        return value(_restore_nan_cells(r.to_dict())), None
                     except Exception as e:  # noqa: BLE001
                         return None, f"{type(e).__name__}: {e}"
 
@@ -1383,7 +1463,10 @@ class Pipeline:
                 out.columns = ["value", "err"]
                 return out
 
-            marked = self.df.withColumn("__f__", _field(F.struct(*cols)))
+            marked = self.df.withColumn(
+                "__f__",
+                _field(F.struct(*cols, *_nan_flag_cols(self.df, cols))),
+            )
             kept = (
                 marked.filter(F.col("__f__.err").isNull())
                 .withColumn(name, F.col("__f__.value"))
@@ -1931,7 +2014,10 @@ class Pipeline:
             for i in range(len(cur_b)):
                 try:
                     out.append(
-                        bool(callback(cur_b.iloc[i].to_dict(), prv_b.iloc[i].to_dict()))
+                        bool(callback(
+                            _restore_nan_cells(cur_b.iloc[i].to_dict()),
+                            _restore_nan_cells(prv_b.iloc[i].to_dict()),
+                        ))
                     )
                 except Exception:  # noqa: BLE001 - boundary on decider error
                     out.append(False)
@@ -1946,7 +2032,12 @@ class Pipeline:
             return F.coalesce(_joins_run(cur_c, prv_c), F.lit(False))
 
         d, ordc, extra = self._ordered_base(order_by)
-        cur = F.struct(*[F.col(c) for c in cols])
+        # __nan__* flags ride in the payload struct so the decider's row
+        # dicts keep null-vs-NaN exact (r12); min_by/max_by carry them
+        # to the boundary pairs unchanged
+        cur = F.struct(
+            *[F.col(c) for c in cols], *_nan_flag_cols(self.df, cols)
+        )
         with_gid = _distributed_run_ids(
             d,
             ordc,

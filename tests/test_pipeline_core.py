@@ -638,6 +638,27 @@ def test_nan_exact_through_pandas_roundtrips(spark):
     seen_kinds = {r["i"]: r["kind"]
                   for r in d.add_step("probe", _peek).df.collect()}
     assert seen_kinds == {1: "nan", 2: "val", 3: "null"}
+    # closure INPUT fidelity on the pandas_udf predicate/value forms
+    # (JVM-side __nan__ flags, r12): filter closures and add_field
+    # closures can tell a true NaN from a null
+    assert [r["i"] for r in d.filter(
+        lambda row: isinstance(row["s"], float) and row["s"] != row["s"]
+    ).df.collect()] == [1]
+    assert [r["i"] for r in d.filter(lambda row: row["s"] is None)
+            .df.collect()] == [3]
+    assert [r["i"] for r in d.filter({"s": lambda v: v is None})
+            .df.collect()] == [3]
+    assert [r["i"] for r in d.filter(
+        {"s": lambda v: isinstance(v, float) and v != v}
+    ).df.collect()] == [1]
+    assert [r["i"] for r in d.filter({"*": lambda row: row["s"] is None})
+            .df.collect()] == [3]
+    kinds2 = {r["i"]: r["kind"] for r in d.add_field(
+        "kind",
+        lambda row: ("null" if row["s"] is None
+                     else "nan" if row["s"] != row["s"] else "val"),
+    ).df.collect()}
+    assert kinds2 == {1: "nan", 2: "val", 3: "null"}
 
 
 def test_sort(people):

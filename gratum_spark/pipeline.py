@@ -365,6 +365,16 @@ MONTH_NAME_TO_NUM = {
     **{n.lower(): i + 1 for i, n in enumerate(_MONTH_SHORT)},
 }
 
+# English weekday names for E-runs (r12). DateFormatSymbols order with
+# full names before short for the same longest-match reason as months;
+# every short name is a prefix of its full name, so full-first matters.
+_WEEKDAY_FULL = [
+    "Sunday", "Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday",
+]
+_WEEKDAY_SHORT = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+_WEEKDAY_NAME_ALT = "(?i:" + "|".join(_WEEKDAY_FULL + _WEEKDAY_SHORT) + ")"
+
 
 def _simple_date_pattern(
     fmt: str,
@@ -384,10 +394,19 @@ def _simple_date_pattern(
     absent from the pattern and kind one of 'H'/'h'/'K'/'k'/'' — or
     None when the pattern has no time fields at all — for as_date's
     lenient path. Returns None when the pattern falls outside the
-    supported subset (pattern letters beyond y/M/d/H/m/s/S/h/K/k/a —
+    supported subset (pattern letters beyond y/M/d/H/m/s/S/h/K/k/a/E —
     zones, week/era fields —, an unterminated quote, two hour fields,
-    adjacent fixed-width numeric runs) — the caller then keeps the
+    adjacent fixed-width numeric runs, a letter-leading quoted literal
+    directly after a month/weekday name) — the caller then keeps the
     strict parse for that format.
+
+    Day-of-week (r12): 'E' runs of any length match an English weekday
+    name (full names tried before short — every short name is a prefix
+    of its full name, so the order is load-bearing), case-insensitive,
+    no whitespace skip, and the matched value is IGNORED: with year,
+    month and day all present (required by this subset),
+    Calendar.computeTime's selectFields never consults DAY_OF_WEEK
+    (probed: a wrong weekday name still parses to the y/M/d date).
 
     Am/pm hours (r12, all probed against Java 17): 'h' (1-12 clock)
     maps a parsed value of EXACTLY 12 to 0 at parse time (the
@@ -501,11 +520,23 @@ def _simple_date_pattern(
     y_window = False
     hour_kind = ""
     prev_numeric = False
+    prev_prefix_text = False  # month/weekday NAME just emitted (see guard)
     for is_run, text in tokens:
         if not is_run:
             if text:
+                if prev_prefix_text and text[0].isalpha() and text[0].isascii():
+                    # A letter-leading literal (only reachable via
+                    # quoting) directly after a month/weekday name is a
+                    # regex-vs-matchString divergence: Java consumes the
+                    # LONGEST name with no backtracking ("MMM'uary'" on
+                    # "January 2024" consumes "January" then REJECTS on
+                    # the literal), while a regex alternation would
+                    # backtrack full -> short and accept. Out of lenient
+                    # scope -> strict fallback.
+                    return None
                 parts.append(re.escape(text))
                 prev_numeric = False
+                prev_prefix_text = False
             continue
         run = text
         if run[0] == "y":
@@ -529,21 +560,37 @@ def _simple_date_pattern(
             key = "S"  # milliseconds — parse count is irrelevant (r12)
         elif run[0] == "a":
             key = "a"  # AM/PM marker, text field (r12)
+        elif run[0] == "E":
+            # Day-of-week (r12): subParse tries getWeekdays() then
+            # getShortWeekdays() for ANY run length (probed: "E" parses
+            # "Sunday"), case-insensitive, no whitespace skip. With
+            # y/M/d all present — which this subset requires —
+            # computeTime's selectFields ignores DAY_OF_WEEK entirely
+            # (the WOM/DOWIM/WOY aggregate stamps stay UNSET, so
+            # DAY_OF_MONTH always carries the best stamp): a mismatched
+            # weekday name parses fine and contributes nothing (probed:
+            # "Mon, 2024-01-05" under "EEE, yyyy-MM-dd" -> 2024-01-05,
+            # a Friday). The name must still MATCH — garbage rejects.
+            key = "E"
         else:
             return None
-        text_field = (key == "M" and month_text) or key == "a"
+        text_field = (key == "M" and month_text) or key in ("a", "E")
         if key in groups or (prev_numeric and not text_field):
             return None
         groups[key] = len(groups) + 1
         if text_field:
             # no whitespace skip before a text field (probed; see above)
             parts.append(
-                "((?i:AM|PM))" if key == "a" else "(" + _MONTH_NAME_ALT + ")"
+                "((?i:AM|PM))" if key == "a"
+                else "(" + _WEEKDAY_NAME_ALT + ")" if key == "E"
+                else "(" + _MONTH_NAME_ALT + ")"
             )
             prev_numeric = False  # a digit run can follow a name
+            prev_prefix_text = key != "a"  # AM/PM has no prefix pairs
         else:
             parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
             prev_numeric = True
+            prev_prefix_text = False
     if not {"y", "M", "d"} <= set(groups):
         return None
     tg = (
@@ -1720,8 +1767,13 @@ class Pipeline:
         (24 -> 0), and the 'a' AM/PM text marker (case-insensitive,
         +12 h for PM only when the hour field is h/K or absent — an
         H/k pattern parses but ignores the marker, per computeTime's
-        HOUR_OF_DAY precedence; all probed). Still out (strict
-        fallback): zones, week/era fields, two hour fields, and
+        HOUR_OF_DAY precedence; all probed). Day-of-week names (r12):
+        'E' runs match an English weekday name (full-then-short,
+        case-insensitive, no whitespace skip) whose value is ignored —
+        with y/M/d present, computeTime never consults DAY_OF_WEEK, so
+        "Mon, 2024-01-05" parses under "EEE, yyyy-MM-dd" even though
+        that date is a Friday (probed). Still out (strict fallback):
+        zones, week/era/day-of-year fields, two hour fields, and
         adjacent fixed-width numeric runs.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past

@@ -562,6 +562,64 @@ def test_as_date_lenient_ampm_hours(spark):
     assert one("2024-01-01 PM", "yyyy-MM-dd a") == datetime.date(2024, 1, 1)
 
 
+def test_as_date_lenient_day_of_week_names(spark):
+    """E-runs (r12): every expected value probed against the real Java
+    17 SimpleDateFormat. Any run length matches full-then-short English
+    weekday names case-insensitively with no whitespace skip, and the
+    parsed value is IGNORED — with y/M/d present, computeTime's
+    selectFields never consults DAY_OF_WEEK, so a mismatched name still
+    resolves to the y/M/d date (2024-01-05 is a Friday; "Mon" parses).
+    A letter-leading quoted literal directly after a month/weekday name
+    is out of lenient scope (regex backtracking would accept what
+    matchString's longest-match rejects — probed both ways)."""
+    import datetime
+
+    from gratum_spark.pipeline import _simple_date_pattern
+
+    cases = {
+        "Mon, 2024-01-05": datetime.date(2024, 1, 5),     # wrong day: ignored
+        "Fri, 2024-01-05": datetime.date(2024, 1, 5),
+        "Sunday, 2024-01-05": datetime.date(2024, 1, 5),  # full under EEE
+        "MONDAY, 2024-01-05": datetime.date(2024, 1, 5),  # case-insensitive
+        "tue, 2024-01-05": datetime.date(2024, 1, 5),
+        "Sund, 2024-01-05": None,     # truncated name rejects
+        "Mo, 2024-01-05": None,
+        "7, 2024-01-05": None,        # digits in a text slot reject
+        "SundayX, 2024-01-05": None,  # junk after the longest match
+        " Mon, 2024-01-05": None,     # no ws skip before a text field
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    step = p.as_date("dt", "EEE, yyyy-MM-dd", lenient=True)
+    stat = step.go()
+    got = {r["id"]: r["dt"] for r in step.df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+    assert (stat.loaded, stat.rejected) == (5, 5)
+
+    def one(val, fmt):
+        pp = sources.from_collection(spark, [{"dt": val}], "dt string")
+        return pp.as_date("dt", fmt, lenient=True).df.collect()[0]["dt"]
+
+    # RFC-1123 date part; short name under EEEE; count-1 E takes full;
+    # adjacency with digit runs in both directions (all probed)
+    assert one("Sunday, 05 Jan 2024", "EEE, dd MMM yyyy") == datetime.date(2024, 1, 5)
+    assert one("Tue, 05 Jan 2024", "EEEE, dd MMM yyyy") == datetime.date(2024, 1, 5)
+    assert one("Wednesday 1/5/24", "E M/d/yy") == datetime.date(2024, 1, 5)
+    assert one("Mon2024-01-05", "EEEyyyy-MM-dd") == datetime.date(2024, 1, 5)
+    assert one("2024-01-05Fri", "yyyy-MM-ddEEE") == datetime.date(2024, 1, 5)
+    assert one("Fri, 05 Jan 2024 24:00:00",
+               "EEE, dd MMM yyyy HH:mm:ss") == datetime.date(2024, 1, 6)
+
+    # out-of-lenient-scope guards: letter-leading literal after a name,
+    # duplicate E runs (both fall to the strict parse)
+    assert _simple_date_pattern("MMM'uary' yyyy dd") is None
+    assert _simple_date_pattern("EEE'day', yyyy-MM-dd") is None
+    assert _simple_date_pattern("EEE EEEE yyyy-MM-dd") is None
+    # AM/PM has no prefix pairs: an alpha literal after 'a' stays lenient
+    assert _simple_date_pattern("h a'm' yyyy-MM-dd") is not None
+
+
 def test_as_date_lenient_windowed_ms_instant_bump(spark):
     """The 'yy' boundary-value bump compares INSTANTS at millisecond
     resolution when the pattern has time fields (probed against Java 17

@@ -1757,6 +1757,16 @@ _DATE_FMT_POOL = [
     ("yyyy-MM-dd HH:mm a",),  # marker parsed but ignored (HOUR_OF_DAY)
     ("yyyy-MM-dd a",),        # marker alone: PM = 12h
     ("MM/dd/yyyy hh:mm a", "yyyy-MM-dd"),
+    # day-of-week names (r12): parsed (must match an English weekday,
+    # full-then-short, case-insensitive, no whitespace skip) but IGNORED
+    # — with y/M/d present computeTime never consults DAY_OF_WEEK, so a
+    # mismatched name still resolves to the y/M/d date
+    ("EEE, dd MMM yyyy",),            # RFC-1123 date part
+    ("EEE, dd MMM yyyy HH:mm:ss",),
+    ("EEEE, MMMM d, yyyy",),
+    ("yyyy-MM-dd EEE",),
+    ("E M/d/yy",),                    # count-1 E parses full names too
+    ("EEE, dd MMM yyyy", "yyyy-MM-dd"),
 ]
 
 # pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
@@ -1776,6 +1786,16 @@ _MONTH_RENDER = {
     7: ("Jul", "July"), 8: ("Aug", "August"), 9: ("Sep", "September"),
     10: ("Oct", "October"), 11: ("Nov", "November"), 12: ("Dec", "December"),
 }
+
+# (short, full) weekday names for E-runs (r12). Lenient SimpleDateFormat
+# IGNORES the parsed day-of-week when y/M/d are present, so the
+# generator draws a RANDOM weekday independent of the date — a
+# "wrong" name must still parse to the y/M/d date on both engines.
+_WEEKDAY_RENDER = [
+    ("Sun", "Sunday"), ("Mon", "Monday"), ("Tue", "Tuesday"),
+    ("Wed", "Wednesday"), ("Thu", "Thursday"), ("Fri", "Friday"),
+    ("Sat", "Saturday"),
+]
 
 
 def _fmt_tokens(fmt):
@@ -1856,6 +1876,22 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0, "AM")):
                 name = name.lower()
             elif c < 0.5:
                 name = name[0].lower() + name[1:]
+            out.append(name)
+            continue
+        if run[0] == "E":
+            # random weekday, usually UNRELATED to (y, mo, d): lenient
+            # parse ignores DAY_OF_WEEK when y/M/d are present, so a
+            # mismatched name still parses (r12, probed). ~10% render a
+            # truncated/bogus token instead (both engines must reject).
+            c = rng.random()
+            if c < 0.1:
+                out.append(rng.choice(["Sund", "Mo", "Frid", "Xyz", "7"]))
+                continue
+            name = rng.choice(_WEEKDAY_RENDER)[rng.random() < 0.5]
+            if c < 0.3:
+                name = name.upper()
+            elif c < 0.45:
+                name = name.lower()
             out.append(name)
             continue
         v = {"y": y, "M": mo, "d": d,

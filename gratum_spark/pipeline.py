@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import re
+import time
 import warnings
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
@@ -375,12 +376,71 @@ _WEEKDAY_FULL = [
 _WEEKDAY_SHORT = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
 _WEEKDAY_NAME_ALT = "(?i:" + "|".join(_WEEKDAY_FULL + _WEEKDAY_SHORT) + ")"
 
+# Zone fields (r12) are only in lenient scope when the HOST default zone
+# is fixed UTC (this container: TZ=UTC): a parsed offset shifts the
+# instant, and the final date LABEL is the instant rendered in the JVM
+# default zone — label = instant only under a zero fixed offset. On a
+# non-UTC or DST host the zone formats fall to the strict parse.
+_HOST_TZ_UTC = time.timezone == 0 and time.daylight == 0
+
+# z/Z zone-field text (probed against Java 17, see _simple_date_pattern):
+# RFC-822 [+-]HHMM (whitespace-skipped), the custom GMT+H:MM / GMT+HH:MM
+# form (case-insensitive, NO whitespace skip, and COMMITTED once a sign
+# follows GMT — "GMT+01:0" rejects outright, it does not fall back to
+# bare GMT), or whitespace + bare GMT (the zone-NAME matcher path, which
+# matches "GMT" with offset 0 and leaves any +hh:mm as trailing input).
+# Other zone names (UTC, PST, ...) are a documented reject.
+_ZONE_RFC822_GMT_RX = (
+    "((?:[ \\t]*[+-][0-9]{4})"
+    "|(?i:GMT)(?:[+-][0-9]{1,2}:[0-9]{2}|(?![+-]))"
+    "|[ \\t]+(?i:GMT))"
+)
+_ZONE_ISO_RX = {  # X run length -> ISO-8601 forms (whitespace-skipped)
+    1: "([ \\t]*(?:Z|[+-][0-9]{2}))",
+    2: "([ \\t]*(?:Z|[+-][0-9]{4}))",
+    3: "([ \\t]*(?:Z|[+-][0-9]{2}:[0-9]{2}))",
+}
+
+
+def _zone_offset_ms(s: "str | None") -> "int | None":
+    """Parse a zone-field capture (one of the shapes the zone regexes
+    above admit) into an offset in milliseconds; None = out of bounds
+    (hours > 23 or minutes > 59 — probed: Java rejects "+2400", "+0060",
+    "GMT+24:00" outright). "" means the format has no zone field and "Z"
+    / "GMT" are zero. Shared verbatim by the engine UDFs and the fuzz
+    model — one source of truth for the offset arithmetic."""
+    if s is None:
+        return None
+    s = s.lstrip(" \t")
+    if s == "" or s == "Z":
+        return 0
+    if s[:3].upper() == "GMT":
+        rest = s[3:]
+        if not rest:
+            return 0
+        sign = 1 if rest[0] == "+" else -1
+        hh, _, mm = rest[1:].partition(":")
+        h, m = int(hh), int(mm)
+    else:
+        sign = 1 if s[0] == "+" else -1
+        digits = s[1:]
+        if ":" in digits:
+            hh, _, mm = digits.partition(":")
+            h, m = int(hh), int(mm)
+        elif len(digits) == 2:
+            h, m = int(digits), 0
+        else:
+            h, m = int(digits[:2]), int(digits[2:4])
+    if h > 23 or m > 59:
+        return None
+    return sign * (h * 3600 + m * 60) * 1000
+
 
 def _simple_date_pattern(
     fmt: str,
 ) -> (
     tuple[str, int, int, int, bool, bool,
-          tuple[int, int, int, int, str, int] | None]
+          tuple[int, int, int, int, str, int] | None, int]
     | None
 ):
     """Translate a SimpleDateFormat date pattern (numeric fields, plus
@@ -392,13 +452,36 @@ def _simple_date_pattern(
     capture info (r12) — a 6-tuple (hour group, minute group, second
     group, millis group, hour KIND, am/pm group) with 0 for a field
     absent from the pattern and kind one of 'H'/'h'/'K'/'k'/'' — or
-    None when the pattern has no time fields at all — for as_date's
-    lenient path. Returns None when the pattern falls outside the
-    supported subset (pattern letters beyond y/M/d/H/m/s/S/h/K/k/a/E —
-    zones, week/era fields —, an unterminated quote, two hour fields,
-    adjacent fixed-width numeric runs, a letter-leading quoted literal
-    directly after a month/weekday name) — the caller then keeps the
-    strict parse for that format.
+    None when the pattern has no time fields at all — plus (r12) a zone
+    capture-group index (0 = no zone field) as the 8th element — for
+    as_date's lenient path. Returns None when the pattern falls outside
+    the supported subset (pattern letters beyond
+    y/M/d/H/m/s/S/h/K/k/a/E/z/Z/X — week/era/day-of-year fields —, an
+    X-run longer than 3, any zone run on a non-fixed-UTC host, an
+    unterminated quote, two hour fields, adjacent fixed-width numeric
+    runs, a letter-leading quoted literal directly after a
+    month/weekday name) — the caller then keeps the strict parse for
+    that format.
+
+    Zone fields (r12, all probed against Java 17): z/Z runs of any
+    length parse the RFC-822 form [+-]HHMM (hours <= 23, minutes <= 59,
+    whitespace skipped before the sign), the custom GMT form
+    GMT[+-]H:MM / GMT[+-]HH:MM (case-insensitive, no whitespace skip,
+    COMMITTED once a sign follows GMT — "GMT+01:0" rejects outright
+    rather than falling back to bare GMT), bare GMT (offset 0), and
+    whitespace + bare GMT (Java's zone-NAME matcher accepts the GMT
+    name there with offset 0, leaving any following +hh:mm as ordinary
+    input). X runs parse the ISO-8601 forms by count — X: Z or [+-]HH;
+    XX: Z or [+-]HHMM; XXX: Z or [+-]HH:MM ("Z" case-SENSITIVE,
+    whitespace skipped). The parsed offset shifts the INSTANT after
+    wall-field resolution — computeTime resolves the calendar fields
+    (including the hybrid-calendar cutover pick) on the WALL values and
+    subtracts the offset afterwards, so wall "1582-10-15 00:30 +0100"
+    lands one instant-hour before the cutover and labels back JULIAN as
+    1582-10-04 (probed) — and the final label is that instant rendered
+    in the JVM default zone, which is why zone runs are only in scope
+    on a fixed-UTC host. Documented divergence: zone NAMES other than
+    GMT (UTC, PST, ...) reject where Java's locale table accepts them.
 
     Day-of-week (r12): 'E' runs of any length match an English weekday
     name (full names tried before short — every short name is a prefix
@@ -572,13 +655,26 @@ def _simple_date_pattern(
             # "Mon, 2024-01-05" under "EEE, yyyy-MM-dd" -> 2024-01-05,
             # a Friday). The name must still MATCH — garbage rejects.
             key = "E"
+        elif run[0] in "zZX":
+            # zone field (r12): offset forms only, host must be fixed
+            # UTC (see the docstring; _zone_offset_ms bounds the values)
+            if not _HOST_TZ_UTC or (run[0] == "X" and len(run) > 3):
+                return None
+            key = "zone"
         else:
             return None
-        text_field = (key == "M" and month_text) or key in ("a", "E")
+        text_field = (key == "M" and month_text) or key in ("a", "E", "zone")
         if key in groups or (prev_numeric and not text_field):
             return None
         groups[key] = len(groups) + 1
-        if text_field:
+        if key == "zone":
+            parts.append(
+                _ZONE_ISO_RX[len(run)] if run[0] == "X"
+                else _ZONE_RFC822_GMT_RX
+            )
+            prev_numeric = False
+            prev_prefix_text = False
+        elif text_field:
             # no whitespace skip before a text field (probed; see above)
             parts.append(
                 "((?i:AM|PM))" if key == "a"
@@ -603,6 +699,7 @@ def _simple_date_pattern(
         groups["y"], groups["M"], groups["d"],
         month_text, y_window,
         tg if any(tg) else None,
+        groups.get("zone", 0),
     )
 
 
@@ -743,7 +840,8 @@ _JDN_YEAR9999_MAX = 5373484  # 9999-12-31 (Gregorian label)
 
 @F.pandas_udf(LongType())
 def _hybrid_lenient_epoch_days(
-    y: pd.Series, mo: pd.Series, d: pd.Series
+    y: pd.Series, mo: pd.Series, d: pd.Series,
+    rem_ms: pd.Series, zone: pd.Series,
 ) -> pd.Series:
     """Java GregorianCalendar lenient field resolution -> proleptic
     epoch days (null = out of lenient scope), for as_date's lenient
@@ -783,27 +881,45 @@ def _hybrid_lenient_epoch_days(
     and the Julian leap days Feb 29 of centurial non-multiple-of-400
     years (~11 labels in 1500 years) which proleptic-Gregorian
     DateType cannot represent.
+
+    Zone fields (r12): ``rem_ms`` is the wall time-of-day remainder
+    (0 for date-only patterns) and ``zone`` the captured zone text
+    ("" = no zone field). The offset shifts the INSTANT after wall
+    resolution — label = hybrid label of the shifted instant's day
+    (fixed-UTC host; see _simple_date_pattern) — and an out-of-bounds
+    offset (_zone_offset_ms None) rejects the row.
     """
     import numpy as np
 
     yv = y.to_numpy(dtype="float64", na_value=np.nan)
     mov = mo.to_numpy(dtype="float64", na_value=np.nan)
     dv = d.to_numpy(dtype="float64", na_value=np.nan)
+    remv = rem_ms.to_numpy(dtype="float64", na_value=np.nan)
+    offv = pd.to_numeric(
+        zone.map(_zone_offset_ms), errors="coerce"
+    ).to_numpy(dtype="float64", na_value=np.nan)
     ok = (
         ~np.isnan(yv) & ~np.isnan(mov) & ~np.isnan(dv)
+        & ~np.isnan(remv) & ~np.isnan(offv)
         & (yv >= 1) & (yv <= 9999)
         & (np.abs(mov) <= 120000) & (np.abs(dv) <= 4000000)
     )
     yi = np.nan_to_num(yv, nan=2000.0).astype(np.int64)
     moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
     di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
-    ed, rep, _fd = _hybrid_resolve_np(yi, moi, di)
+    rem_eff = (
+        np.nan_to_num(remv, nan=0.0).astype(np.int64)
+        - np.nan_to_num(offv, nan=0.0).astype(np.int64)
+    )
+    ed, rep, _fd = _hybrid_resolve_np(
+        yi, moi, di, rem_eff // 86400000
+    )
     out = pd.Series(ed, dtype="Int64")
     out[~(ok & rep)] = None
     return out
 
 
-def _hybrid_resolve_np(yi, moi, di):
+def _hybrid_resolve_np(yi, moi, di, shift=None):
     """GregorianCalendar lenient computeTime over int64 field arrays ->
     (proleptic epoch days of the resulting hybrid-calendar LABEL,
     representable-mask, instant JDN). Fields may be far out of range
@@ -815,7 +931,14 @@ def _hybrid_resolve_np(yi, moi, di):
     the windowed UDF's ambiguous-year before-check compares INSTANTS
     (java.util.Date.before), even when the first resolution's label is
     out of DateType's range. Shared by the plain and century-windowed
-    as_date UDFs."""
+    as_date UDFs.
+
+    ``shift`` (r12, zone fields): day delta between the WALL fixed date
+    and the UTC instant's day — floor((rem_ms - offset_ms) / ONE_DAY).
+    Resolution (the cutover pick included) happens on the wall fields
+    exactly like computeTime; only the LABEL legs below use the shifted
+    day, reproducing Java's format-the-instant step (probed: wall
+    "1582-10-15 00:30 +0100" labels Julian 1582-10-04)."""
     import numpy as np
 
     def greg_fd(yy, mm, dd):
@@ -840,11 +963,14 @@ def _hybrid_resolve_np(yi, moi, di):
     fd = np.where(
         yi < 1582, jfd, np.where(gfd >= _GREGORIAN_CUTOVER_JDN, gfd, jfd)
     )
+    # the label is the (possibly zone-shifted) INSTANT's day; fd itself
+    # stays the wall resolution for the windowed before-check
+    fdl = fd if shift is None else fd + shift
 
     # Gregorian-era labels: DateType is label-exact, epoch offset directly
-    ed_greg = fd - _JDN_EPOCH
+    ed_greg = fdl - _JDN_EPOCH
     # Julian-era labels: recover (year, day-of-year) from 4-year blocks
-    days = fd - _JDN_YEAR1_JULIAN
+    days = fdl - _JDN_YEAR1_JULIAN
     q4 = days // 1461
     r = days % 1461
     y0 = np.where(r < 365, 0, np.where(r < 730, 1, np.where(r < 1095, 2, 3)))
@@ -858,8 +984,8 @@ def _hybrid_resolve_np(yi, moi, di):
     adj_doy = doy - (centurial & (doy > 59)).astype(np.int64)
     ed_julian = greg_fd(ry, np.int64(1), np.int64(1)) - _JDN_EPOCH + adj_doy
 
-    in_greg = (fd >= _GREGORIAN_CUTOVER_JDN) & (fd <= _JDN_YEAR9999_MAX)
-    in_julian = (fd < _GREGORIAN_CUTOVER_JDN) & (fd >= _JDN_YEAR1_JULIAN)
+    in_greg = (fdl >= _GREGORIAN_CUTOVER_JDN) & (fdl <= _JDN_YEAR9999_MAX)
+    in_julian = (fdl < _GREGORIAN_CUTOVER_JDN) & (fdl >= _JDN_YEAR1_JULIAN)
     rep = (in_greg | in_julian) & ~(in_julian & bad_leap)
     return np.where(in_greg, ed_greg, ed_julian), rep, fd
 
@@ -887,6 +1013,7 @@ def _century_window(dcs) -> tuple[int, int, int]:
 @F.pandas_udf(LongType())
 def _hybrid_windowed_epoch_days(
     yt: pd.Series, mo: pd.Series, d: pd.Series, rem_ms: pd.Series,
+    zone: pd.Series,
     century: pd.Series, amb: pd.Series, cutoff: pd.Series,
 ) -> pd.Series:
     """as_date's lenient path for 'y'/'yy' patterns (y-run length <= 2):
@@ -917,7 +1044,12 @@ def _hybrid_windowed_epoch_days(
     time-of-day remainder (0 for date-only patterns — r12; the
     millisecond compare reproduces the two probed day-level rules:
     midnight start, equal-label resolution does NOT bump; any later
-    start time: it does)."""
+    start time: it does). Zone fields (r12): ``zone`` is the captured
+    zone text ("" = none); the offset shifts the instant AFTER wall
+    resolution, so both the before-check and the final label use the
+    EFFECTIVE remainder rem_ms - offset_ms (probed: "46-08-15 12:30
+    +0100" against a 1946-08-15 12:00 window start resolves to instant
+    11:30 < start and bumps to 2046)."""
     import numpy as np
 
     yv = pd.to_numeric(yt, errors="coerce").to_numpy(
@@ -927,6 +1059,9 @@ def _hybrid_windowed_epoch_days(
     dv = d.to_numpy(dtype="float64", na_value=np.nan)
     two = (yt.fillna("").str.len() == 2).to_numpy()
     remv = rem_ms.to_numpy(dtype="float64", na_value=np.nan)
+    offv = pd.to_numeric(
+        zone.map(_zone_offset_ms), errors="coerce"
+    ).to_numpy(dtype="float64", na_value=np.nan)
     cen = century.to_numpy(dtype="int64")
     ambv = amb.to_numpy(dtype="float64")
     cut = cutoff.to_numpy(dtype="int64")
@@ -934,23 +1069,30 @@ def _hybrid_windowed_epoch_days(
     base_y = np.where(two, cen + yv + 100 * (yv < ambv), yv)
     ok = (
         ~np.isnan(base_y) & ~np.isnan(mov) & ~np.isnan(dv) & ~np.isnan(remv)
+        & ~np.isnan(offv)
         & (base_y >= 1) & (base_y <= 9999)
         & (np.abs(mov) <= 120000) & (np.abs(dv) <= 4000000)
     )
     yi = np.nan_to_num(base_y, nan=2000.0).astype(np.int64)
     moi = np.nan_to_num(mov, nan=1.0).astype(np.int64)
     di = np.nan_to_num(dv, nan=1.0).astype(np.int64)
-    remi = np.nan_to_num(remv, nan=0.0).astype(np.int64)
-    ed, rep, fd = _hybrid_resolve_np(yi, moi, di)
-    # instant-based before-check (fd day-resolution + the remainder's
-    # time-of-day, vs the start instant), independent of the first
-    # label's range
+    rem_eff = (
+        np.nan_to_num(remv, nan=0.0).astype(np.int64)
+        - np.nan_to_num(offv, nan=0.0).astype(np.int64)
+    )
+    shift = rem_eff // 86400000
+    ed, rep, fd = _hybrid_resolve_np(yi, moi, di, shift)
+    # instant-based before-check (fd day-resolution + the effective
+    # remainder's time-of-day, vs the start instant), independent of
+    # the first label's range
     bump = (
         two & (yv == ambv) & ok
-        & ((fd - _JDN_EPOCH) * 86400000 + remi < cut)
+        & ((fd - _JDN_EPOCH) * 86400000 + rem_eff < cut)
     )
     if bump.any():
-        ed2, rep2, _fd2 = _hybrid_resolve_np(yi[bump] + 100, moi[bump], di[bump])
+        ed2, rep2, _fd2 = _hybrid_resolve_np(
+            yi[bump] + 100, moi[bump], di[bump], shift[bump]
+        )
         ed = ed.copy()
         ed[bump] = ed2
         rep = rep.copy()
@@ -1772,9 +1914,19 @@ class Pipeline:
         case-insensitive, no whitespace skip) whose value is ignored —
         with y/M/d present, computeTime never consults DAY_OF_WEEK, so
         "Mon, 2024-01-05" parses under "EEE, yyyy-MM-dd" even though
-        that date is a Friday (probed). Still out (strict fallback):
-        zones, week/era/day-of-year fields, two hour fields, and
-        adjacent fixed-width numeric runs.
+        that date is a Friday (probed). Zone offsets (r12): z/Z parse
+        RFC-822 [+-]HHMM and GMT[+-]H:MM forms (plus bare GMT), X
+        (count 1-3) the ISO forms (Z / [+-]HH / [+-]HHMM / [+-]HH:MM);
+        the offset shifts the INSTANT after wall-field resolution —
+        "2024-01-05 00:30 +0100" labels 2024-01-04, and wall
+        "1582-10-15 00:30 +0100" crosses the cutover backwards to the
+        Julian label 1582-10-04 (probed) — and participates in the
+        century-window bump compare. Zone runs are only in lenient
+        scope on a fixed-UTC host (the label is the instant rendered
+        in the JVM default zone); zone NAMES other than GMT (UTC, PST)
+        are a documented reject. Still out (strict fallback): zone
+        runs on a non-UTC host, week/era/day-of-year fields, two hour
+        fields, and adjacent fixed-width numeric runs.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing (time fields
@@ -1795,7 +1947,10 @@ class Pipeline:
             if spec is None:
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
-            rx, gy, gm, gd, m_text, y_window, tgroups = spec
+            rx, gy, gm, gd, m_text, y_window, tgroups, g_zone = spec
+            zone_txt = (
+                F.regexp_extract(src, rx, g_zone) if g_zone else F.lit("")
+            )
             if m_text:
                 # text month: captured NAME -> 1..12 via a literal map
                 # (try_element_at: a missing/empty key is null -> reject
@@ -1880,6 +2035,7 @@ class Pipeline:
                     month,
                     day,
                     rem_ms,
+                    zone_txt,
                     F.lit(century), F.lit(amb), F.lit(cutoff),
                 )
             else:
@@ -1887,6 +2043,8 @@ class Pipeline:
                     F.regexp_extract(src, rx, gy).try_cast("long"),
                     month,
                     day,
+                    rem_ms,
+                    zone_txt,
                 )
             exprs.append(
                 F.date_add(F.lit(datetime.date(1970, 1, 1)), ed.cast("int"))

@@ -620,6 +620,84 @@ def test_as_date_lenient_day_of_week_names(spark):
     assert _simple_date_pattern("h a'm' yyyy-MM-dd") is not None
 
 
+def test_as_date_lenient_zone_offsets(spark):
+    """Zone fields (r12): every expected value probed against the real
+    Java 17 SimpleDateFormat on this fixed-UTC host. z/Z parse RFC-822
+    [+-]HHMM (ws-skipped, hours <= 23 / minutes <= 59) and the custom
+    GMT form (no ws skip, COMMITTED once a sign follows GMT); X parses
+    the ISO forms by count (case-sensitive Z literal). The offset
+    shifts the INSTANT after wall-field resolution: the label is the
+    shifted instant's day — including backwards across the 1582
+    cutover — and the century-window bump compares the shifted
+    instant. Zone names other than GMT reject (documented divergence:
+    Java's locale table accepts them)."""
+    import datetime
+
+    from gratum_spark.pipeline import _simple_date_pattern, _zone_offset_ms
+
+    cases = {
+        "2024-01-05 10:00 +0530": datetime.date(2024, 1, 5),
+        "2024-01-05 00:30 +0100": datetime.date(2024, 1, 4),   # day roll back
+        "2024-01-05 23:30 -0100": datetime.date(2024, 1, 6),   # day roll fwd
+        "2024-01-05 00:30 GMT+01:00": datetime.date(2024, 1, 4),
+        "2024-01-05 00:30  GMT+01:00": datetime.date(2024, 1, 5),  # ws: GMT
+        "2024-01-05 00:30 GMT": datetime.date(2024, 1, 5),     # name, offset 0
+        "2024-01-05 00:30 GMT+01:0": None,   # committed custom form rejects
+        "2024-01-05 00:30 UTC": None,        # zone NAME: documented reject
+        "2024-01-05 00:30 +2400": None,      # hours > 23
+        "2024-01-05 00:30 +0060": None,      # minutes > 59
+        "1582-10-15 00:30 +0100": datetime.date(1582, 10, 4),  # cutover back
+        "1582-10-14 23:30 -0100": datetime.date(1582, 10, 25), # gap wall fwd
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    got = {r["id"]: r["dt"] for r in p.as_date(
+        "dt", "yyyy-MM-dd HH:mm Z", lenient=True).df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+
+    def one(val, fmt):
+        pp = sources.from_collection(spark, [{"dt": val}], "dt string")
+        return pp.as_date("dt", fmt, lenient=True).df.collect()[0]["dt"]
+
+    # ISO X forms by count (probed)
+    assert one("2024-01-05T00:30:00Z", "yyyy-MM-dd'T'HH:mm:ssX") == \
+        datetime.date(2024, 1, 5)
+    assert one("2024-01-05T00:30:00+01", "yyyy-MM-dd'T'HH:mm:ssX") == \
+        datetime.date(2024, 1, 4)
+    assert one("2024-01-05T00:30:00+01:00", "yyyy-MM-dd'T'HH:mm:ssXXX") == \
+        datetime.date(2024, 1, 4)
+
+    def rejected(val, fmt):
+        pp = sources.from_collection(spark, [{"dt": val}], "dt string")
+        return pp.as_date("dt", fmt, lenient=True).df.count() == 0
+
+    assert rejected("2024-01-05T00:30:00+0100", "yyyy-MM-dd'T'HH:mm:ssXXX")
+    assert rejected("2024-01-05T00:30:00z", "yyyy-MM-dd'T'HH:mm:ssX")
+
+    # windowed + zone (probed, start 1946-08-15 12:00): the bump
+    # compares the OFFSET-SHIFTED instant against the window start
+    rows2 = [{"id": i, "dt": v} for i, v in enumerate(
+        ["46-08-15 11:30 +0100", "46-08-15 13:30 +0100",
+         "46-08-15 12:30 +0100"])]
+    p2 = sources.from_collection(spark, rows2, "id long, dt string")
+    got2 = {r["id"]: r["dt"] for r in p2.as_date(
+        "dt", "yy-MM-dd HH:mm Z", lenient=True,
+        two_digit_year_start=datetime.datetime(1946, 8, 15, 12, 0),
+    ).df.collect()}
+    assert got2 == {0: datetime.date(2046, 8, 15),
+                    1: datetime.date(1946, 8, 15),
+                    2: datetime.date(2046, 8, 15)}, got2
+
+    # scope guards: X run > 3 is an invalid SimpleDateFormat count
+    assert _simple_date_pattern("yyyy-MM-dd XXXX") is None
+    # shared offset parser bounds (single source of truth with the
+    # fuzz model)
+    assert _zone_offset_ms("+2359") == 23 * 3600000 + 59 * 60000
+    assert _zone_offset_ms("GMT+0:30") == 1800000
+    assert _zone_offset_ms("+2400") is None and _zone_offset_ms("") == 0
+
+
 def test_as_date_lenient_windowed_ms_instant_bump(spark):
     """The 'yy' boundary-value bump compares INSTANTS at millisecond
     resolution when the pattern has time fields (probed against Java 17

@@ -1663,7 +1663,7 @@ def _java_parse_dates(pairs):
     return [None if ln == "REJECT" else ln for ln in lines]
 
 
-def _py_hybrid_label(y, mo, d):
+def _py_hybrid_label(y, mo, d, shift=0):
     """Python mirror of gratum_spark.pipeline._hybrid_resolve_np:
     GregorianCalendar lenient field resolution on Java's hybrid
     Julian/Gregorian calendar, returning the (year, month, day) LABEL
@@ -1673,7 +1673,11 @@ def _py_hybrid_label(y, mo, d):
     campaign uses the label only to decide the engine's documented
     fallthrough scope (result-year bound, unrepresentable Julian leap
     days); inside scope the REAL Java parser stays the ground truth and
-    any disagreement with this arithmetic fails the trial loudly."""
+    any disagreement with this arithmetic fails the trial loudly.
+    ``shift`` (r12, zone fields): day delta between the wall fixed date
+    and the UTC instant's day — the LABEL is taken from fd + shift
+    while resolution (incl. the cutover pick) stays on wall fields,
+    mirroring the engine."""
     cut = 2299161  # 1582-10-15 Gregorian
     ny = y + (mo - 1) // 12
     mi = (mo - 1) % 12 + 1
@@ -1687,13 +1691,14 @@ def _py_hybrid_label(y, mo, d):
         fd = jfd  # raw-year branch: pure Julian even past the cutover
     else:
         fd = gfd if gfd >= cut else jfd
-    if fd >= cut:
-        a2 = fd + 32044
+    fdl = fd + shift  # label = the (possibly zone-shifted) instant's day
+    if fdl >= cut:
+        a2 = fdl + 32044
         b = (4 * a2 + 3) // 146097
         c = a2 - 146097 * b // 4
     else:
         b = 0
-        c = fd + 32082
+        c = fdl + 32082
     d2 = (4 * c + 3) // 1461
     e = c - 1461 * d2 // 4
     m2r = (5 * e + 2) // 153
@@ -1767,6 +1772,17 @@ _DATE_FMT_POOL = [
     ("yyyy-MM-dd EEE",),
     ("E M/d/yy",),                    # count-1 E parses full names too
     ("EEE, dd MMM yyyy", "yyyy-MM-dd"),
+    # zone fields (r12): the offset shifts the INSTANT after wall
+    # resolution — label and window-bump use rem_ms - offset_ms; GMT
+    # commit rule and RFC-822/ISO bounds checked downstream
+    ("yyyy-MM-dd HH:mm Z",),
+    ("EEE, dd MMM yyyy HH:mm:ss Z",),   # full RFC-1123
+    ("yyyy-MM-dd'T'HH:mm:ssX",),
+    ("yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ss"),
+    ("yyyy-MM-dd z",),
+    ("yy-MM-dd HH:mm Z",),              # windowed + zone: bump on the
+                                        # offset-shifted instant
+    ("MM/dd/yy hh:mm a XX",),
 ]
 
 # pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
@@ -1877,6 +1893,51 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0, "AM")):
             elif c < 0.5:
                 name = name[0].lower() + name[1:]
             out.append(name)
+            continue
+        if run[0] in "zZX":
+            # zone field (r12): mostly valid offsets (RFC-822 / GMT /
+            # ISO by X-count), some out-of-bounds ("+2400"), some
+            # wrong-form or name tokens (reject on both engines; zone
+            # NAMES other than GMT are a documented engine reject that
+            # Java would accept, so they are NOT rendered here)
+            c = rng.random()
+            h, mnt = rng.choice([0, 1, 5, 12, 23]), rng.choice([0, 30, 59])
+            sgn = rng.choice(["+", "-"])
+            if run[0] == "X":
+                n = len(run)
+                if c < 0.15:
+                    out.append("Z")
+                elif c < 0.75:
+                    out.append(
+                        f"{sgn}{h:02d}" if n == 1
+                        else f"{sgn}{h:02d}{mnt:02d}" if n == 2
+                        else f"{sgn}{h:02d}:{mnt:02d}"
+                    )
+                elif c < 0.85:  # out-of-bounds: regex hits, value rejects
+                    out.append(
+                        f"{sgn}24" if n == 1
+                        else rng.choice([f"{sgn}2400", f"{sgn}0060"])
+                        if n == 2 else f"{sgn}24:00"
+                    )
+                else:  # wrong form for the count / lowercase z
+                    out.append(rng.choice(["z", f"{sgn}5", f"{sgn}05:30"
+                                           if n != 3 else f"{sgn}0530"]))
+            else:
+                if c < 0.4:
+                    out.append(f"{sgn}{h:02d}{mnt:02d}")
+                elif c < 0.55:
+                    gmt = rng.choice(["GMT", "gmt", "Gmt"])
+                    hh = str(h) if rng.random() < 0.5 else f"{h:02d}"
+                    out.append(f"{gmt}{sgn}{hh}:{mnt:02d}")
+                elif c < 0.65:
+                    out.append(rng.choice(["GMT", "gmt"]))
+                elif c < 0.8:  # out-of-bounds / committed-GMT rejects
+                    out.append(rng.choice(
+                        [f"{sgn}2400", f"{sgn}0060", "GMT+24:00",
+                         "GMT+01:0", "GMT+"]))
+                else:  # wrong-form tokens (both reject)
+                    out.append(rng.choice(
+                        ["Z", f"{sgn}05:30", f"{sgn}000", f"{sgn}5"]))
             continue
         if run[0] == "E":
             # random weekday, usually UNRELATED to (y, mo, d): lenient
@@ -2046,6 +2107,7 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
             _JDN_EPOCH,
             _century_window,
             _simple_date_pattern,
+            _zone_offset_ms,
         )
 
         specs = [(f, _simple_date_pattern(f)) for f in fmts]
@@ -2064,9 +2126,14 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                     # fails a trial loudly instead of crashing the
                     # campaign on tuple unpack (r9 ADVICE)
                     continue
-                rx, gy, gm, gd, m_text, y_win, tgr = spec
+                rx, gy, gm, gd, m_text, y_win, tgr, g_zone = spec
                 m = re.match(rx, v)  # \t escape reads the same in Python/Java regex
                 if not m:
+                    continue
+                # zone offset (r12): shared parser with the engine; an
+                # out-of-bounds offset rejects this format
+                off = _zone_offset_ms(m.group(g_zone) if g_zone else "")
+                if off is None:
                     continue
                 if m_text:
                     try:
@@ -2117,6 +2184,12 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                         86400000,
                     )
                     d += extra
+                # effective remainder (r12): the zone offset shifts the
+                # INSTANT after wall resolution — it feeds the label's
+                # day shift and the window bump compare, never the wall
+                # fields (the cutover pick stays on wall values)
+                rem -= off
+                shift = rem // 86400000
                 ambiguous = False
                 if y_win and len(yt) == 2:
                     # textual century window: exactly-2-digit input only
@@ -2128,18 +2201,19 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                 jav = parsed[v][f]
                 if jav is None:
                     return False, f"ENGINE-ONLY-MATCH fmt={f}"
-                ry, rm, rd, fdi = _py_hybrid_label(y, mo, d)
+                ry, rm, rd, fdi = _py_hybrid_label(y, mo, d, shift)
                 if ambiguous and (
                     (fdi - _JDN_EPOCH) * 86400000 + rem < cutoff
                 ):
                     # boundary value resolved before the window start
                     # (INSTANT compare at millis — the cutoff is the
-                    # start instant in epoch ms since r12 — even if the
+                    # start instant in epoch ms since r12, and rem is
+                    # the zone-EFFECTIVE remainder — even if the
                     # first label is out of DateType range): +100 on
                     # the raw year field, full lenient re-resolution
                     # (CalendarBuilder.addYear — probed, no
                     # day-of-month pinning)
-                    ry, rm, rd, fdi = _py_hybrid_label(y + 100, mo, d)
+                    ry, rm, rd, fdi = _py_hybrid_label(y + 100, mo, d, shift)
                 if not (1 <= ry <= 9999) or (
                     rm == 2 and rd == 29 and ry % 100 == 0 and ry % 400 != 0
                 ):

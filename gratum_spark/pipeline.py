@@ -402,6 +402,32 @@ _ZONE_ISO_RX = {  # X run length -> ISO-8601 forms (whitespace-skipped)
 }
 
 
+def _obey_count_rx(n: int, sign: bool = True) -> str:
+    """Capture-group regex for an obeyCount numeric field of width ``n``
+    (r12, adjacent fixed-width runs like "yyyyMMdd" — all probed against
+    Java 17). SimpleDateFormat parses such a field from the SUBSTRING of
+    the next ``n`` characters: leading space/tab counts toward the
+    width, an optional minus is accepted (DecimalFormat; '+' is not),
+    then maximal digits within the remaining width — and the consumed
+    length may be shorter than ``n`` (probed: "24\\t0105" under
+    yyyyMMdd parses y=24 from the "24\\t0" substring and the month
+    field starts at the tab). The group is ATOMIC ((?>...)): Java never
+    backtracks a parsed field, so "202401" under yyyyMMdd must reject
+    (empty day) rather than re-splitting into y=2024 M=0 d=1. The
+    capture may include the leading whitespace — consumers lstrip.
+    ``sign=False`` for year fields (a negative year is the documented
+    BC-era reject, like the separated-field year regex)."""
+    alts = []
+    for k in range(n):
+        for s in ("", "-") if sign else ("",):
+            dmax = n - k - len(s)
+            if dmax < 1:
+                continue
+            ws = "[ \\t]{%d}" % k if k else ""
+            alts.append("%s%s[0-9]{1,%d}" % (ws, s, dmax))
+    return "((?>" + "|".join(alts) + "))"
+
+
 def _zone_offset_ms(s: "str | None") -> "int | None":
     """Parse a zone-field capture (one of the shapes the zone regexes
     above admit) into an offset in milliseconds; None = out of bounds
@@ -458,10 +484,21 @@ def _simple_date_pattern(
     the supported subset (pattern letters beyond
     y/M/d/H/m/s/S/h/K/k/a/E/z/Z/X — week/era/day-of-year fields —, an
     X-run longer than 3, any zone run on a non-fixed-UTC host, an
-    unterminated quote, two hour fields, adjacent fixed-width numeric
-    runs, a letter-leading quoted literal directly after a
-    month/weekday name) — the caller then keeps the strict parse for
-    that format.
+    unterminated quote, two hour fields, a letter-leading quoted
+    literal directly after a month/weekday name) — the caller then
+    keeps the strict parse for that format.
+
+    Adjacent fixed-width numeric runs (r12, "yyyyMMdd" — obeyCount, all
+    probed against Java 17): a numeric field directly followed by
+    ANOTHER numeric field parses from the substring of the next
+    run-length characters — leading space/tab counts toward the width,
+    a minus is accepted (not on years), maximal digits within the
+    remaining width, no backtracking (atomic group: "202401" under
+    yyyyMMdd rejects on the empty day instead of re-splitting). The
+    LAST field of an adjacent chain — and any numeric field before a
+    text field, zone, literal or pattern end — stays greedy (probed:
+    "105Jan2024" under ddMMMyyyy parses day 105; "hha" on "130PM"
+    parses hour 130).
 
     Zone fields (r12, all probed against Java 17): z/Z runs of any
     length parse the RFC-822 form [+-]HHMM (hours <= 23, minutes <= 59,
@@ -597,14 +634,18 @@ def _simple_date_pattern(
             _lit(fmt[i:j])
             i = j
 
+    def _is_numeric_run(r: str) -> bool:
+        # month runs of length >= 3 are text fields; everything else in
+        # the numeric letters parses digits
+        return r[0] in "yMdHhKkmsS" and not (r[0] == "M" and len(r) >= 3)
+
     parts: list[str] = []
     groups: dict[str, int] = {}
     month_text = False
     y_window = False
     hour_kind = ""
-    prev_numeric = False
     prev_prefix_text = False  # month/weekday NAME just emitted (see guard)
-    for is_run, text in tokens:
+    for ti, (is_run, text) in enumerate(tokens):
         if not is_run:
             if text:
                 if prev_prefix_text and text[0].isalpha() and text[0].isascii():
@@ -618,7 +659,6 @@ def _simple_date_pattern(
                     # scope -> strict fallback.
                     return None
                 parts.append(re.escape(text))
-                prev_numeric = False
                 prev_prefix_text = False
             continue
         run = text
@@ -664,7 +704,7 @@ def _simple_date_pattern(
         else:
             return None
         text_field = (key == "M" and month_text) or key in ("a", "E", "zone")
-        if key in groups or (prev_numeric and not text_field):
+        if key in groups:
             return None
         groups[key] = len(groups) + 1
         if key == "zone":
@@ -672,7 +712,6 @@ def _simple_date_pattern(
                 _ZONE_ISO_RX[len(run)] if run[0] == "X"
                 else _ZONE_RFC822_GMT_RX
             )
-            prev_numeric = False
             prev_prefix_text = False
         elif text_field:
             # no whitespace skip before a text field (probed; see above)
@@ -681,11 +720,21 @@ def _simple_date_pattern(
                 else "(" + _WEEKDAY_NAME_ALT + ")" if key == "E"
                 else "(" + _MONTH_NAME_ALT + ")"
             )
-            prev_numeric = False  # a digit run can follow a name
             prev_prefix_text = key != "a"  # AM/PM has no prefix pairs
         else:
-            parts.append("[ \\t]*([0-9]+)" if key == "y" else "[ \\t]*(-?[0-9]+)")
-            prev_numeric = True
+            nxt = tokens[ti + 1] if ti + 1 < len(tokens) else None
+            if nxt is not None and nxt[0] and _is_numeric_run(nxt[1]):
+                # obeyCount (r12, probed): a numeric field directly
+                # followed by ANOTHER numeric field parses from a
+                # width-bounded substring ("yyyyMMdd"); before a text
+                # field / literal / end it stays greedy ("ddMMMyyyy"
+                # consumes day 105 from "105Jan2024" — probed)
+                parts.append(_obey_count_rx(len(run), sign=key != "y"))
+            else:
+                parts.append(
+                    "[ \\t]*([0-9]+)" if key == "y"
+                    else "[ \\t]*(-?[0-9]+)"
+                )
             prev_prefix_text = False
     if not {"y", "M", "d"} <= set(groups):
         return None
@@ -1052,12 +1101,17 @@ def _hybrid_windowed_epoch_days(
     11:30 < start and bumps to 2046)."""
     import numpy as np
 
-    yv = pd.to_numeric(yt, errors="coerce").to_numpy(
+    # lstrip: an obeyCount capture may carry leading space/tab inside
+    # the field width (r12) — Java's 2-digit window check then sees a
+    # non-digit first char and treats the year as literal, which the
+    # stripped-length==2 test reproduces ("\t4" -> literal year 4)
+    ys = yt.fillna("").str.lstrip(" \t")
+    yv = pd.to_numeric(ys, errors="coerce").to_numpy(
         dtype="float64", na_value=np.nan
     )
     mov = mo.to_numpy(dtype="float64", na_value=np.nan)
     dv = d.to_numpy(dtype="float64", na_value=np.nan)
-    two = (yt.fillna("").str.len() == 2).to_numpy()
+    two = (ys.str.len() == 2).to_numpy()
     remv = rem_ms.to_numpy(dtype="float64", na_value=np.nan)
     offv = pd.to_numeric(
         zone.map(_zone_offset_ms), errors="coerce"
@@ -1924,9 +1978,15 @@ class Pipeline:
         century-window bump compare. Zone runs are only in lenient
         scope on a fixed-UTC host (the label is the instant rendered
         in the JVM default zone); zone NAMES other than GMT (UTC, PST)
-        are a documented reject. Still out (strict fallback): zone
-        runs on a non-UTC host, week/era/day-of-year fields, two hour
-        fields, and adjacent fixed-width numeric runs.
+        are a documented reject. Adjacent fixed-width numeric runs
+        (r12): compact formats like "yyyyMMdd" / "yyMMdd HHmmss" parse
+        with SimpleDateFormat's obeyCount semantics — each
+        numeric-before-numeric field reads a width-bounded substring
+        (whitespace counts toward the width, no backtracking), the
+        last field of a chain stays greedy (probed: "202401056" under
+        yyyyMMdd is day 56 -> 2024-02-25). Still out (strict
+        fallback): zone runs on a non-UTC host, week/era/day-of-year
+        fields, and two hour fields.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing (time fields

@@ -698,6 +698,62 @@ def test_as_date_lenient_zone_offsets(spark):
     assert _zone_offset_ms("+2400") is None and _zone_offset_ms("") == 0
 
 
+def test_as_date_lenient_adjacent_fixed_width(spark):
+    """Adjacent fixed-width numeric runs (r12, obeyCount): every
+    expected value probed against the real Java 17 SimpleDateFormat. A
+    numeric field directly followed by ANOTHER numeric field parses
+    from the substring of the next run-length characters — leading
+    whitespace counts toward the width, a minus is accepted (not on
+    years), maximal digits within the remaining width, and there is NO
+    backtracking ("202401" rejects on the empty day instead of
+    re-splitting into y=2024 M=0 d=1). The last field of a chain, and
+    any numeric field before a text field / zone / literal / end,
+    stays greedy."""
+    import datetime
+
+    d = datetime.date
+    cases = {
+        "20240105": d(2024, 1, 5),
+        "20241301": d(2025, 1, 1),     # month 13: lenient roll
+        "20240199": d(2024, 4, 8),     # day 99
+        "2024010": d(2023, 12, 31),    # short last field: day 0
+        "202401": None,                # empty day — atomic, no re-split
+        "202401056": d(2024, 2, 25),   # last field greedy: day 56... 056
+        "2024 0105": d(2024, 3, 14),   # ws INSIDE M's width: M=" 0"=0
+        " 20240105": d(205, 7, 14),    # ws inside y's width: y=202
+        "24\t0105": d(24, 3, 14),      # y consumes 2 of its 4-char window
+        "240105": None,                # y=2401, M=05, day empty
+        "2024-105": d(2023, 11, 5),    # minus inside M's width: M=-1
+        "-0240105": None,              # negative year: documented reject
+        "+0240105": None,              # DecimalFormat takes no '+'
+    }
+    rows = [{"id": i, "dt": v} for i, v in enumerate(cases)]
+    p = sources.from_collection(spark, rows, "id long, dt string")
+    got = {r["id"]: r["dt"] for r in p.as_date(
+        "dt", "yyyyMMdd", lenient=True).df.collect()}
+    for i, (val, want) in enumerate(cases.items()):
+        assert got.get(i) == want, (val, got.get(i), want)
+
+    def one(val, fmt, **kw):
+        pp = sources.from_collection(spark, [{"dt": val}], "dt string")
+        out = pp.as_date("dt", fmt, lenient=True, **kw).df.collect()
+        return out[0]["dt"] if out else None
+
+    # windowed yy under obeyCount: 2-digit window, 1-digit literal
+    assert one("240105", "yyMMdd") == d(2024, 1, 5)
+    assert one("990105", "yyMMdd") == d(1999, 1, 5)
+    assert one("2\t0105", "yyMMdd") == d(2, 3, 15)  # ws in width: literal y=2
+    # greedy before text month / ampm / zone (probed)
+    assert one("105Jan2024", "ddMMMyyyy") == d(2024, 4, 14)  # day 105
+    assert one("2024-01-05 130PM", "yyyy-MM-dd hha") == d(2024, 1, 10)
+    assert one("2024-01-05 00300+0100", "yyyy-MM-dd HHmZ") == d(2024, 1, 5)
+    # compact time chains: obeyCount HH/mm/ss, greedy SSS tail
+    assert one("2024-01-05 253000", "yyyy-MM-dd HHmmss") == d(2024, 1, 6)
+    assert one("2024-01-05 00000086400000",
+               "yyyy-MM-dd HHmmssSSS") == d(2024, 1, 6)
+    assert one("5012024", "dMMyyyy") == d(2024, 1, 5)  # width-1 day
+
+
 def test_as_date_lenient_windowed_ms_instant_bump(spark):
     """The 'yy' boundary-value bump compares INSTANTS at millisecond
     resolution when the pattern has time fields (probed against Java 17

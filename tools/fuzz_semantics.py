@@ -1783,6 +1783,18 @@ _DATE_FMT_POOL = [
     ("yy-MM-dd HH:mm Z",),              # windowed + zone: bump on the
                                         # offset-shifted instant
     ("MM/dd/yy hh:mm a XX",),
+    # adjacent fixed-width runs (r12, obeyCount): each
+    # numeric-before-numeric field reads a width-bounded substring
+    # (whitespace counts toward the width, minus accepted except on
+    # years, NO backtracking); the last field of a chain stays greedy
+    ("yyyyMMdd",),
+    ("yyMMdd",),                        # windowed + obeyCount
+    ("ddMMyyyy",),
+    ("yyyyMMdd HHmmss",),
+    ("yyyyMMdd'T'HHmmss", "yyyyMMdd"),
+    ("ddMMMyyyy",),                     # greedy day before a text month
+    ("MMddyy hhmma",),                  # windowed tail + ampm adjacency
+    ("yyyyMMdd HHmmZ",),                # compact + zone
 ]
 
 # pinned set2DigitYearStart values (engine two_digit_year_start <-> Java
@@ -2148,7 +2160,9 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
                         continue
                 else:
                     mo = int(m.group(gm))
-                yt = m.group(gy)
+                # lstrip: obeyCount captures may carry in-width leading
+                # whitespace; the 2-digit window test is on the digits
+                yt = m.group(gy).lstrip(" \t")
                 y, d = int(yt), int(m.group(gd))
                 rem = 0
                 if tgr:

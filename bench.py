@@ -3,7 +3,9 @@
 compact JSON line as the LAST line of stdout: {"metric": ...,
 "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...,
 "calibration": {...}}. Full detail (raw per-pass timings + calibration)
-is written to $SPARK_GRAFT_BENCH_DETAIL (default ./bench_detail.json) —
+is written to $SPARK_GRAFT_BENCH_DETAIL (default
+./bench_archive/bench_detail.json — attempt records belong under
+bench_archive/, not the repo root; r12 verdict task 3) —
 NOT stdout: the driver captures only the last ~2000 chars, and r5's
 headline with `passes` inlined overflowed it (BENCH_r05 "parsed": null).
 
@@ -461,10 +463,19 @@ def main() -> int:
     # line must stay compact — headline total, per-query mins (2-decimal),
     # sf, calibration — under 2000 bytes for the current 64-query set
     # (~1650 bytes; the >1900 fallback below drops per-query detail).
+    # Default detail records land under bench_archive/ (r12 verdict task
+    # 3: per-attempt records kept accumulating in the repo root — r11
+    # moved the archives and r12's new attempts re-violated it). Set
+    # SPARK_GRAFT_BENCH_DETAIL to override (attempt records should use
+    # bench_archive/bench_detail_local_r{N}_{x}.json).
+    _archive_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_archive"
+    )
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+        os.path.join(_archive_dir, "bench_detail.json"),
     )
+    os.makedirs(os.path.dirname(detail_path) or ".", exist_ok=True)
     detail = {
         "metric": "headline_queries_total",
         "value": total,

@@ -381,19 +381,53 @@ _WEEKDAY_NAME_ALT = "(?i:" + "|".join(_WEEKDAY_FULL + _WEEKDAY_SHORT) + ")"
 # instant, and the final date LABEL is the instant rendered in the JVM
 # default zone — label = instant only under a zero fixed offset. On a
 # non-UTC or DST host the zone formats fall to the strict parse.
+# Import-time libc fallback only (r13, ADVICE): the zone that actually
+# renders the reference's labels is the JVM default — as_date derives
+# the gate from the live session via _jvm_tz_fixed_utc instead, and
+# this libc probe remains the last resort when no JVM is reachable.
 _HOST_TZ_UTC = time.timezone == 0 and time.daylight == 0
+
+
+def _jvm_tz_fixed_utc(spark: "Any") -> bool:
+    """True when the session's label-rendering zone is fixed UTC (r13,
+    ADVICE). SimpleDateFormat renders the parsed instant in the JVM
+    default TimeZone, so that zone — not the Python driver's libc TZ —
+    decides whether lenient zone-offset math (label == instant) is
+    sound. Read the JVM default directly (raw offset 0, no DST); when
+    the Py4J gateway is unreachable (e.g. Spark Connect) fall back to
+    the session timeZone conf being a fixed-UTC alias, then to the
+    import-time libc probe."""
+    try:
+        tz = spark._jvm.java.util.TimeZone.getDefault()  # noqa: SLF001
+        return tz.getRawOffset() == 0 and not tz.useDaylightTime()
+    except Exception:  # pragma: no cover - Connect/gateway-less sessions
+        pass
+    try:
+        sess = (spark.conf.get("spark.sql.session.timeZone") or "").upper()
+        if sess in ("UTC", "GMT", "Z", "+00:00", "ETC/UTC", "ETC/GMT",
+                    "GMT0", "UCT", "ZULU", "UNIVERSAL"):
+            return True
+    except Exception:  # pragma: no cover
+        pass
+    return _HOST_TZ_UTC
 
 # z/Z zone-field text (probed against Java 17, see _simple_date_pattern):
 # RFC-822 [+-]HHMM (whitespace-skipped), the custom GMT+H:MM / GMT+HH:MM
 # form (case-insensitive, NO whitespace skip, and COMMITTED once a sign
 # follows GMT — "GMT+01:0" rejects outright, it does not fall back to
-# bare GMT), or whitespace + bare GMT (the zone-NAME matcher path, which
-# matches "GMT" with offset 0 and leaves any +hh:mm as trailing input).
-# Other zone names (UTC, PST, ...) are a documented reject.
+# bare GMT), whitespace + bare GMT (the zone-NAME matcher path, which
+# matches "GMT" with offset 0 and leaves any +hh:mm as trailing input),
+# or the fixed zero-offset alias "UTC" (r13, ADVICE: name-matcher only —
+# probed: "UTC+01:00" parses as offset 0 with "+01:00" left as trailing
+# input, there is no custom UTC+h:mm form, whitespace optional,
+# case-insensitive). Other zone names are a documented reject — and
+# "UT"/"PST" etc. differ by JDK locale table ("UT" FAILS on this
+# container's Java 17, probed, so only UTC is admitted).
 _ZONE_RFC822_GMT_RX = (
     "((?:[ \\t]*[+-][0-9]{4})"
     "|(?i:GMT)(?:[+-][0-9]{1,2}:[0-9]{2}|(?![+-]))"
-    "|[ \\t]+(?i:GMT))"
+    "|[ \\t]+(?i:GMT)"
+    "|[ \\t]*(?i:UTC))"
 )
 _ZONE_ISO_RX = {  # X run length -> ISO-8601 forms (whitespace-skipped)
     1: "([ \\t]*(?:Z|[+-][0-9]{2}))",
@@ -428,6 +462,45 @@ def _obey_count_rx(n: int, sign: bool = True) -> str:
     return "((?>" + "|".join(alts) + "))"
 
 
+# Pattern letters known to compile in Spark's >=3.0 datetime parser (the
+# try_to_timestamp strict path). Anything else — 'E'/'F'/'q'/'Q' are
+# format-only, week-based 'Y'/'W'/'w'/'u'/'e'/'c' and several others are
+# banned outright — makes the formatter BUILD throw
+# (SparkUpgradeException / IllegalArgumentException) on the first row of
+# the job rather than returning null for the row (r12 ADVICE; verified:
+# try_to_timestamp throws, not nulls). Formats whose unquoted letters
+# stay inside this set skip the probe entirely, so the common formats
+# cost nothing at plan build.
+_SPARK_PARSE_SAFE_LETTERS = frozenset("yMdHhKkmsSaXxZz")
+_STRICT_FMT_ERR: dict[str, "str | None"] = {}
+
+
+def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
+    """Return None when Spark's strict parser can evaluate ``fmt``, else
+    the first line of the compile error (r12 ADVICE, medium). Screens
+    statically via _SPARK_PARSE_SAFE_LETTERS, then probes the formatter
+    with a cached 1-row local job — so a pattern Spark cannot compile
+    (e.g. a near-miss of the lenient subset like "EEE'day', yyyy-MM-dd")
+    fails AT PLAN BUILD with a clear message instead of throwing
+    SparkUpgradeException out of a task mid-job."""
+    letters = set(re.sub(r"'[^']*'", "", fmt)) & set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    )
+    if letters <= _SPARK_PARSE_SAFE_LETTERS:
+        return None
+    if fmt not in _STRICT_FMT_ERR:
+        try:
+            spark.range(1).select(
+                F.try_to_timestamp(F.lit("probe"), F.lit(fmt))
+            ).collect()
+            _STRICT_FMT_ERR[fmt] = None
+        except Exception as exc:  # Py4J wraps several JVM error classes
+            _STRICT_FMT_ERR[fmt] = (
+                str(exc).strip().splitlines()[0][:300] or type(exc).__name__
+            )
+    return _STRICT_FMT_ERR[fmt]
+
+
 def _zone_offset_ms(s: "str | None") -> "int | None":
     """Parse a zone-field capture (one of the shapes the zone regexes
     above admit) into an offset in milliseconds; None = out of bounds
@@ -439,6 +512,11 @@ def _zone_offset_ms(s: "str | None") -> "int | None":
         return None
     s = s.lstrip(" \t")
     if s == "" or s == "Z":
+        return 0
+    if s.upper() == "UTC":
+        # fixed zero-offset zone-name alias (r13; probed: Java's name
+        # matcher accepts UTC case-insensitively at offset 0, never a
+        # UTC+h:mm custom form — "UT" is NOT in this JDK's table)
         return 0
     if s[:3].upper() == "GMT":
         rest = s[3:]
@@ -464,6 +542,7 @@ def _zone_offset_ms(s: "str | None") -> "int | None":
 
 def _simple_date_pattern(
     fmt: str,
+    host_tz_utc: "bool | None" = None,
 ) -> (
     tuple[str, int, int, int, bool, bool,
           tuple[int, int, int, int, str, int] | None, int]
@@ -517,8 +596,10 @@ def _simple_date_pattern(
     lands one instant-hour before the cutover and labels back JULIAN as
     1582-10-04 (probed) — and the final label is that instant rendered
     in the JVM default zone, which is why zone runs are only in scope
-    on a fixed-UTC host. Documented divergence: zone NAMES other than
-    GMT (UTC, PST, ...) reject where Java's locale table accepts them.
+    on a fixed-UTC host. Zone NAMES: bare GMT and the fixed zero-offset
+    alias UTC (r13) parse at offset 0. Documented divergence: other
+    locale-table names (PST, EST, ...) reject where Java accepts them
+    ("UT" also rejects — probed: it FAILS on this container's Java 17).
 
     Day-of-week (r12): 'E' runs of any length match an English weekday
     name (full names tried before short — every short name is a prefix
@@ -696,9 +777,14 @@ def _simple_date_pattern(
             # a Friday). The name must still MATCH — garbage rejects.
             key = "E"
         elif run[0] in "zZX":
-            # zone field (r12): offset forms only, host must be fixed
-            # UTC (see the docstring; _zone_offset_ms bounds the values)
-            if not _HOST_TZ_UTC or (run[0] == "X" and len(run) > 3):
+            # zone field (r12): offset forms + GMT/UTC names, host must
+            # be fixed UTC (see the docstring; _zone_offset_ms bounds
+            # the values). The gate defaults to the libc probe; as_date
+            # passes the session's JVM default zone instead (r13,
+            # ADVICE — the JVM zone is what renders the label in the
+            # reference, and it can differ from the driver's libc TZ).
+            gate = _HOST_TZ_UTC if host_tz_utc is None else host_tz_utc
+            if not gate or (run[0] == "X" and len(run) > 3):
                 return None
             key = "zone"
         else:
@@ -1231,7 +1317,12 @@ class Pipeline:
             # The caller guarantees its kept output is no larger than its
             # input (row subset / column subset / value-shrinking cast),
             # so the driver-measured collection estimate remains a valid
-            # upper bound for the broadcast-cap comparison.
+            # upper bound for the broadcast-cap comparison. trim's
+            # all-columns string cast is the one near-exception: a wide
+            # numeric's string form can exceed its 8-byte slot, but the
+            # hint is measured from each value's repr (so numerics are
+            # already counted at decimal-digit width) and carries 2x
+            # headroom — the cast cannot outgrow the measured bound.
             out._size_hint_bytes = self._size_hint_bytes
         return out
 
@@ -1977,8 +2068,10 @@ class Pipeline:
         Julian label 1582-10-04 (probed) — and participates in the
         century-window bump compare. Zone runs are only in lenient
         scope on a fixed-UTC host (the label is the instant rendered
-        in the JVM default zone); zone NAMES other than GMT (UTC, PST)
-        are a documented reject. Adjacent fixed-width numeric runs
+        in the JVM default zone — the gate reads the SESSION's JVM
+        default zone at plan build, r13); zone NAMES parse for bare
+        GMT and the zero-offset alias UTC (r13); other locale-table
+        names (PST, UT, ...) are a documented reject. Adjacent fixed-width numeric runs
         (r12): compact formats like "yyyyMMdd" / "yyMMdd HHmmss" parse
         with SimpleDateFormat's obeyCount semantics — each
         numeric-before-numeric field reads a width-bounded substring
@@ -1986,7 +2079,12 @@ class Pipeline:
         last field of a chain stays greedy (probed: "202401056" under
         yyyyMMdd is day 56 -> 2024-02-25). Still out (strict
         fallback): zone runs on a non-UTC host, week/era/day-of-year
-        fields, and two hour fields.
+        fields, and two hour fields. A fallen-back format that Spark's
+        own parser cannot compile (Spark >= 3.0 bans several
+        SimpleDateFormat letters for parsing — 'E', week fields, ...)
+        raises ``ValueError`` at plan build (r13, ADVICE) instead of
+        letting ``try_to_timestamp`` throw SparkUpgradeException out of
+        a task at the first row.
         Documented divergences from SimpleDateFormat:
         input years outside [1, 9999] and |month|/|day| fields past
         120000 / 4000000 reject instead of normalizing (time fields
@@ -2001,10 +2099,30 @@ class Pipeline:
         fmts = list(formats) or ["yyyy-MM-dd"]
         src = F.col(column).cast("string")
         window_params: tuple[int, int, int] | None = None
+        # The lenient zone gate reads the SESSION's JVM default zone
+        # (r13, ADVICE) — the zone SimpleDateFormat renders labels in —
+        # not the Python driver's libc TZ sampled at import.
+        tz_gate = _jvm_tz_fixed_utc(self.spark) if lenient else None
         exprs = []
         for f in fmts:
-            spec = _simple_date_pattern(f) if lenient else None
+            spec = _simple_date_pattern(f, tz_gate) if lenient else None
             if spec is None:
+                # Strict path (default mode, or a lenient near-miss
+                # falling back). Fail patterns Spark cannot compile at
+                # PLAN BUILD with a clear error instead of letting
+                # try_to_timestamp throw SparkUpgradeException out of a
+                # task on the first row (r12 ADVICE, medium).
+                err = _strict_format_error(self.spark, f)
+                if err is not None:
+                    raise ValueError(
+                        f"as_date: format {f!r} is outside the lenient "
+                        f"subset and Spark's datetime parser cannot "
+                        f"compile it ({err}). It would crash the job at "
+                        f"the first row instead of rejecting rows — "
+                        f"rewrite the pattern or drop the unsupported "
+                        f"field (SimpleDateFormat letters like E/F/w/W "
+                        f"are format-only or banned in Spark >= 3.0)."
+                    )
                 exprs.append(F.try_to_timestamp(src, F.lit(f)).cast("date"))
                 continue
             rx, gy, gm, gd, m_text, y_window, tgroups, g_zone = spec

@@ -629,8 +629,12 @@ def test_as_date_lenient_zone_offsets(spark):
     shifts the INSTANT after wall-field resolution: the label is the
     shifted instant's day — including backwards across the 1582
     cutover — and the century-window bump compares the shifted
-    instant. Zone names other than GMT reject (documented divergence:
-    Java's locale table accepts them)."""
+    instant. Zone names: bare GMT and the fixed zero-offset alias UTC
+    (r13) parse at offset 0 — UTC has no custom +h:mm form, so a
+    trailing "+01:00" after the name is ignored input, not an offset.
+    Other names reject: "UT" is absent from this JDK's zone table
+    (probed FAIL on Java 17), and locale-table names (PST, ...) are the
+    documented divergence where Java would accept them."""
     import datetime
 
     from gratum_spark.pipeline import _simple_date_pattern, _zone_offset_ms
@@ -643,7 +647,12 @@ def test_as_date_lenient_zone_offsets(spark):
         "2024-01-05 00:30  GMT+01:00": datetime.date(2024, 1, 5),  # ws: GMT
         "2024-01-05 00:30 GMT": datetime.date(2024, 1, 5),     # name, offset 0
         "2024-01-05 00:30 GMT+01:0": None,   # committed custom form rejects
-        "2024-01-05 00:30 UTC": None,        # zone NAME: documented reject
+        "2024-01-05 00:30 UTC": datetime.date(2024, 1, 5),   # alias (r13)
+        "2024-01-05 00:30 utc": datetime.date(2024, 1, 5),   # case-insens.
+        "2024-01-05 00:30 UTC+01:00": datetime.date(2024, 1, 5),  # name
+        # only — "+01:00" is trailing input, NOT an offset (vs GMT form)
+        "2024-01-05 00:30 UT": None,         # not in this JDK's table
+        "2024-01-05 00:30 PST": None,        # locale name: documented reject
         "2024-01-05 00:30 +2400": None,      # hours > 23
         "2024-01-05 00:30 +0060": None,      # minutes > 59
         "1582-10-15 00:30 +0100": datetime.date(1582, 10, 4),  # cutover back
@@ -696,6 +705,60 @@ def test_as_date_lenient_zone_offsets(spark):
     assert _zone_offset_ms("+2359") == 23 * 3600000 + 59 * 60000
     assert _zone_offset_ms("GMT+0:30") == 1800000
     assert _zone_offset_ms("+2400") is None and _zone_offset_ms("") == 0
+    assert _zone_offset_ms("UTC") == 0 and _zone_offset_ms(" \tutc") == 0
+
+
+def test_as_date_zone_gate_reads_session_jvm_zone(spark):
+    """The lenient zone gate derives from the SESSION's JVM default
+    zone at plan build (r13, ADVICE) — the zone that SimpleDateFormat
+    renders labels in — not the Python driver's libc TZ sampled at
+    import. This container's JVM runs fixed UTC, so the gate is open;
+    forcing the gate closed makes _simple_date_pattern reject zone
+    patterns exactly like a non-UTC host."""
+    from gratum_spark.pipeline import _jvm_tz_fixed_utc, _simple_date_pattern
+
+    assert _jvm_tz_fixed_utc(spark) is True
+    # the JVM default really is what the helper read
+    tz = spark._jvm.java.util.TimeZone.getDefault()
+    assert tz.getRawOffset() == 0 and not tz.useDaylightTime()
+    fmt = "yyyy-MM-dd HH:mm Z"
+    assert _simple_date_pattern(fmt, True) is not None
+    assert _simple_date_pattern(fmt, False) is None     # non-UTC host
+    assert _simple_date_pattern(fmt) is not None        # libc fallback
+    # zone-free patterns are gate-independent
+    assert _simple_date_pattern("yyyy-MM-dd", False) is not None
+
+
+def test_as_date_uncompilable_strict_format_fails_at_plan_build(spark):
+    """A format outside the lenient subset whose STRICT fallback Spark
+    cannot compile (Spark >= 3.0 bans 'E' and week fields for parsing)
+    raises ValueError at plan build with a clear message (r12 ADVICE,
+    medium) instead of throwing SparkUpgradeException out of a task at
+    the first row mid-job."""
+    import pytest
+
+    from gratum_spark import sources
+    from gratum_spark.pipeline import _strict_format_error
+
+    p = sources.from_collection(
+        spark, [{"dt": "Friday, 2024-01-05"}], "dt string"
+    )
+    # letter-leading quoted literal after a weekday name: out of lenient
+    # scope, and Spark's parser refuses 'E' in parse patterns
+    for lenient in (True, False):
+        with pytest.raises(ValueError, match="cannot\\s+compile"):
+            p.as_date("dt", "EEE'day', yyyy-MM-dd", lenient=lenient)
+    # week-based field: banned outright by Spark's parser
+    with pytest.raises(ValueError, match="as_date"):
+        p.as_date("dt", "YYYY-'W'ww", lenient=True)
+    # compilable formats pass the screen without a probe job...
+    assert _strict_format_error(spark, "yyyy-MM-dd HH:mm:ss") is None
+    assert _strict_format_error(spark, "yyyy-MM-dd'T'HH:mmXXX") is None
+    # ...and a probed-OK format outside the safe-letter screen caches
+    assert _strict_format_error(spark, "yyyy-DDD") is None
+    assert "yyyy-DDD" in __import__(
+        "gratum_spark.pipeline", fromlist=["_STRICT_FMT_ERR"]
+    )._STRICT_FMT_ERR
 
 
 def test_as_date_lenient_adjacent_fixed_width(spark):

@@ -1909,9 +1909,12 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0, "AM")):
         if run[0] in "zZX":
             # zone field (r12): mostly valid offsets (RFC-822 / GMT /
             # ISO by X-count), some out-of-bounds ("+2400"), some
-            # wrong-form or name tokens (reject on both engines; zone
-            # NAMES other than GMT are a documented engine reject that
-            # Java would accept, so they are NOT rendered here)
+            # wrong-form or name tokens. Zone NAMES: GMT and UTC (r13)
+            # parse at offset 0 on both engines; "UT" FAILS on this
+            # container's Java 17 (probed) and on the engine, so it
+            # renders as a reject token; other locale-table names (PST)
+            # are a documented engine reject that Java WOULD accept, so
+            # they are NOT rendered here.
             c = rng.random()
             h, mnt = rng.choice([0, 1, 5, 12, 23]), rng.choice([0, 30, 59])
             sgn = rng.choice(["+", "-"])
@@ -1943,13 +1946,20 @@ def _render_date(fmt, y, mo, d, rng, t=(0, 0, 0, 0, "AM")):
                     out.append(f"{gmt}{sgn}{hh}:{mnt:02d}")
                 elif c < 0.65:
                     out.append(rng.choice(["GMT", "gmt"]))
-                elif c < 0.8:  # out-of-bounds / committed-GMT rejects
+                elif c < 0.72:  # UTC name alias (r13): offset 0; the
+                    # +hh:mm tail is TRAILING INPUT after the name (no
+                    # custom UTC offset form — probed)
+                    out.append(rng.choice(
+                        ["UTC", "utc", "Utc", "UTC+01:00"]))
+                elif c < 0.84:  # out-of-bounds / committed-GMT rejects
                     out.append(rng.choice(
                         [f"{sgn}2400", f"{sgn}0060", "GMT+24:00",
                          "GMT+01:0", "GMT+"]))
-                else:  # wrong-form tokens (both reject)
+                else:  # wrong-form tokens (both reject; "UT" probed
+                    # absent from this JDK's zone table)
                     out.append(rng.choice(
-                        ["Z", f"{sgn}05:30", f"{sgn}000", f"{sgn}5"]))
+                        ["Z", f"{sgn}05:30", f"{sgn}000", f"{sgn}5",
+                         "UT", "ut"]))
             continue
         if run[0] == "E":
             # random weekday, usually UNRELATED to (y, mo, d): lenient

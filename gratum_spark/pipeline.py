@@ -3012,9 +3012,16 @@ class Pipeline:
     def json(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":
         """JSON-array sink (sink/JsonSink.groovy:9-83) — written as JSONL
         directory (the scalable form); see sinks.write_json_array for the
-        single-file array form."""
+        single-file array form.
+
+        Null fields are written EXPLICITLY ("x": null) to match the
+        reference: Groovy's JsonOutput.toJson serializes null map values
+        rather than dropping the key, while Spark's json writer defaults
+        to ignoreNullFields=true — under which an all-null column
+        vanishes from the files entirely and a read-back loses the field
+        (caught by the jsonl_roundtrip fuzz at seed 1307, r13)."""
         df, obs = self._observed_for_save(columns)
-        df.write.mode("overwrite").json(path)
+        df.write.mode("overwrite").option("ignoreNullFields", "false").json(path)
         return self._save_result(path, obs)
 
     def jsonl(self, path: str, columns: Iterable[str] | None = None) -> "Pipeline":

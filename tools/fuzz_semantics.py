@@ -501,12 +501,18 @@ def fuzz_jsonl_roundtrip(spark, n: int, seed: int) -> list[str]:
                 )
                 break
             for r in rows:
-                g = back[r["id"]]
+                # .asDict().get: a column dropped from the files (e.g.
+                # the all-null column the ignoreNullFields default ate —
+                # found at seed 1307, r13) must report as a clean
+                # failure, not crash the harness with a missing-field
+                # Row access
+                g = back[r["id"]].asDict()
                 for c in ("a", "b", "num"):
-                    if r[c] != g[c]:
+                    gv = g.get(c, "<FIELD MISSING>")
+                    if r[c] != gv:
                         failures.append(
                             f"jsonl trial={t} seed={seed} id={r['id']} col={c}: "
-                            f"wrote {r[c]!r} read {g[c]!r}"
+                            f"wrote {r[c]!r} read {gv!r}"
                         )
                         break
                 if failures:

@@ -49,6 +49,13 @@ import bench  # noqa: E402  (repo-root module; reuses the gate's probes)
 ARM_LOAD1 = 0.20   # r12 watcher arming bar (gate bar is 2.0)
 ARM_SPAWN = 0.70   # warmed spawn median arming bar (gate bar is 0.72)
 SETTLE_S = 75      # r12_i lesson: let our own probe load decay
+# Post-settle veto bar: the arming probe itself (32-way spin + 3x8
+# spawns, ~8 s full-width) pushes load1 up ~0.8 and only decays ~3.5x
+# over the 75 s settle — a genuinely quiet host reads ~0.2-0.3 here
+# from our own probe alone, so vetoing at ARM_LOAD1 would reject nearly
+# every real window. 0.5 separates probe decay from a neighbor arriving
+# mid-settle, and stays far under the gate's 2.0 prerun bar.
+SETTLE_LOAD1 = 0.50
 POLL_S = 60
 COOLDOWN_S = 180
 
@@ -107,7 +114,7 @@ def main() -> int:
             continue
         time.sleep(SETTLE_S)  # let our own probe load decay (r12_i)
         l1b = _load1()
-        if l1b >= ARM_LOAD1 or os.path.exists(pause_path):
+        if l1b >= SETTLE_LOAD1 or os.path.exists(pause_path):
             _log(log_path, {"event": "settle_veto", "load1": l1b})
             continue
         letter = letters.pop(0)

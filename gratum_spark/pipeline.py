@@ -393,23 +393,45 @@ def _jvm_tz_fixed_utc(spark: "Any") -> bool:
     ADVICE). SimpleDateFormat renders the parsed instant in the JVM
     default TimeZone, so that zone — not the Python driver's libc TZ —
     decides whether lenient zone-offset math (label == instant) is
-    sound. Read the JVM default directly (raw offset 0, no DST); when
-    the Py4J gateway is unreachable (e.g. Spark Connect) fall back to
-    the session timeZone conf being a fixed-UTC alias, then to the
-    import-time libc probe."""
+    sound. Read the JVM default's full ZoneRules: the zone must be a
+    FIXED offset of zero for ALL instants — rawOffset==0 + no-DST alone
+    admits zones with HISTORICAL transitions (Africa/Abidjan's pre-1912
+    LMT -0:16:08), whose pre-cutover labels differ from UTC (r13
+    ADVICE). Java normalizes the fixed-UTC alias family (UTC, Etc/UTC,
+    Zulu, GMT0, UCT, ...) to ZoneOffset.UTC via ZoneId.normalized(),
+    so isFixedOffset() + totalSeconds==0 admits exactly those ids with
+    no hand-maintained table. When the Py4J gateway is unreachable
+    (e.g. Spark Connect), the import-time libc probe is the primary
+    fallback — the JVM default inherits the host zone, while the
+    session timeZone conf is settable independently of it and proves
+    nothing about label rendering (r13 ADVICE) — ANDed with the conf
+    naming a fixed-UTC alias when the conf is readable."""
     try:
-        tz = spark._jvm.java.util.TimeZone.getDefault()  # noqa: SLF001
-        return tz.getRawOffset() == 0 and not tz.useDaylightTime()
+        jvm = spark._jvm  # noqa: SLF001
+        rules = (
+            jvm.java.util.TimeZone.getDefault().toZoneId()
+            .normalized().getRules()
+        )
+        return (
+            rules.isFixedOffset()
+            and rules.getOffset(jvm.java.time.Instant.EPOCH)
+            .getTotalSeconds() == 0
+        )
     except Exception:  # pragma: no cover - Connect/gateway-less sessions
         pass
+    if not _HOST_TZ_UTC:
+        return False
     try:
         sess = (spark.conf.get("spark.sql.session.timeZone") or "").upper()
-        if sess in ("UTC", "GMT", "Z", "+00:00", "ETC/UTC", "ETC/GMT",
-                    "GMT0", "UCT", "ZULU", "UNIVERSAL"):
-            return True
+        # This alias list mirrors the fixed-UTC zone ids
+        # ZoneId.normalized() folds to ZoneOffset.UTC — extend from
+        # that semantics if Spark Connect ever becomes the primary
+        # session type here (it is only consulted when the gateway
+        # probe above is unreachable, and only to VETO the libc probe).
+        return sess in ("UTC", "GMT", "Z", "+00:00", "ETC/UTC", "ETC/GMT",
+                        "GMT0", "UCT", "ZULU", "UNIVERSAL")
     except Exception:  # pragma: no cover
-        pass
-    return _HOST_TZ_UTC
+        return True  # conf unreadable: the libc probe stands alone
 
 # z/Z zone-field text (probed against Java 17, see _simple_date_pattern):
 # RFC-822 [+-]HHMM (whitespace-skipped), the custom GMT+H:MM / GMT+HH:MM
@@ -463,30 +485,62 @@ def _obey_count_rx(n: int, sign: bool = True) -> str:
 
 
 # Pattern letters known to compile in Spark's >=3.0 datetime parser (the
-# try_to_timestamp strict path). Anything else — 'E'/'F'/'q'/'Q' are
-# format-only, week-based 'Y'/'W'/'w'/'u'/'e'/'c' and several others are
-# banned outright — makes the formatter BUILD throw
-# (SparkUpgradeException / IllegalArgumentException) on the first row of
-# the job rather than returning null for the row (r12 ADVICE; verified:
-# try_to_timestamp throws, not nulls). Formats whose unquoted letters
-# stay inside this set skip the probe entirely, so the common formats
-# cost nothing at plan build.
-_SPARK_PARSE_SAFE_LETTERS = frozenset("yMdHhKkmsSaXxZz")
+# try_to_timestamp strict path), with the MAXIMUM RUN LENGTH the
+# formatter build accepts for each — every bound probed on this
+# container's Spark / Java 17 ('HHH' and the narrow text forms
+# 'MMMMM' / 'aa' / 'zzzzz' all throw at BUILD, not parse). Any other
+# letter — 'E'/'F'/'q'/'Q' are format-only, week-based
+# 'Y'/'W'/'w'/'u'/'e'/'c' and several others are banned outright —
+# makes the formatter BUILD throw (SparkUpgradeException /
+# IllegalArgumentException) on the first row of the job rather than
+# returning null for the row (r12 ADVICE; verified: try_to_timestamp
+# throws, not nulls). Formats whose unquoted letter RUNS all stay
+# inside these bounds skip the probe entirely, so the common formats
+# cost nothing at plan build; a safe-letter format that exceeds a
+# bound (e.g. "HHH:mm") is probed — the r12 set-only screen wrongly
+# skipped those and let the job crash mid-task (r13 ADVICE, medium).
+_SPARK_PARSE_MAX_RUN = {
+    "y": 6, "M": 4, "d": 2, "H": 2, "h": 2, "K": 2, "k": 2,
+    "m": 2, "s": 2, "S": 9, "a": 1, "X": 5, "x": 5, "Z": 5, "z": 4,
+}
+_SPARK_PARSE_SAFE_LETTERS = frozenset(_SPARK_PARSE_MAX_RUN)
+# Substrings identifying a FORMATTER-COMPILE failure in the probe's
+# exception text (Spark's error-class tags plus the wrapped JVM
+# classes). Anything else — a dead gateway, a stopped session — is
+# transient and must NOT be cached (r13 ADVICE: a poisoned cache made
+# every later as_date plan build report a bogus 'cannot compile').
+_FMT_COMPILE_MARKERS = (
+    "INCONSISTENT_BEHAVIOR_CROSS_VERSION",  # SparkUpgradeException tag
+    "INVALID_DATETIME_PATTERN",             # e.g. 'XXXXXX', unclosed quote
+    "SparkUpgradeException",
+    "IllegalArgumentException",
+    "DateTimeException",
+)
 _STRICT_FMT_ERR: dict[str, "str | None"] = {}
 
 
 def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
     """Return None when Spark's strict parser can evaluate ``fmt``, else
     the first line of the compile error (r12 ADVICE, medium). Screens
-    statically via _SPARK_PARSE_SAFE_LETTERS, then probes the formatter
-    with a cached 1-row local job — so a pattern Spark cannot compile
+    statically via _SPARK_PARSE_MAX_RUN — every unquoted letter run
+    must be a known-safe letter within its probed maximum run length
+    (r13 ADVICE: the set-only screen wrongly skipped 'HHH:mm' /
+    'MMMMM-dd-yyyy', whose builds throw) — then probes the formatter
+    with a cached 1-row local job, so a pattern Spark cannot compile
     (e.g. a near-miss of the lenient subset like "EEE'day', yyyy-MM-dd")
     fails AT PLAN BUILD with a clear message instead of throwing
-    SparkUpgradeException out of a task mid-job."""
-    letters = set(re.sub(r"'[^']*'", "", fmt)) & set(
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    )
-    if letters <= _SPARK_PARSE_SAFE_LETTERS:
+    SparkUpgradeException out of a task mid-job. Only compile failures
+    are cached: a transient gateway/session error propagates unrecorded
+    so it cannot poison later plan builds (r13 ADVICE)."""
+    unquoted = re.sub(r"'[^']*'", "", fmt)
+    # Quote-stripping can MERGE runs around a literal ("H'x'H" -> "HH");
+    # merging only ever lengthens a run, so the screen stays
+    # conservative — an extra probe at worst, never a wrong skip.
+    if all(
+        m.group(1) in _SPARK_PARSE_MAX_RUN
+        and len(m.group(0)) <= _SPARK_PARSE_MAX_RUN[m.group(1)]
+        for m in re.finditer(r"([A-Za-z])\1*", unquoted)
+    ):
         return None
     if fmt not in _STRICT_FMT_ERR:
         try:
@@ -495,8 +549,11 @@ def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
             ).collect()
             _STRICT_FMT_ERR[fmt] = None
         except Exception as exc:  # Py4J wraps several JVM error classes
+            msg = str(exc)
+            if not any(mk in msg for mk in _FMT_COMPILE_MARKERS):
+                raise  # transient (gateway/session) — never cached
             _STRICT_FMT_ERR[fmt] = (
-                str(exc).strip().splitlines()[0][:300] or type(exc).__name__
+                msg.strip().splitlines()[0][:300] or type(exc).__name__
             )
     return _STRICT_FMT_ERR[fmt]
 

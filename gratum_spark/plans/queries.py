@@ -3807,84 +3807,28 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ================= r13 driver window (first 50 entries) ================
-    # r13 rotation (r12 verdict task 2): op_as_date leads because the
-    # as_date CODE is touched this round (UTC zone-name alias, the
-    # JVM-derived zone gate, and the plan-build compile check for
-    # strict-fallback formats); then the 15 rows whose latest driver
-    # evidence is r10 — the oldest in the catalog; then the five
-    # planted hash-sibling rows (last green r11, never rotated since);
-    # then 29 of the 43 remaining r11-evidence rows. After this window
-    # goes green, no catalog query's driver evidence predates r11 (the
-    # 14 deferred r11 rows directly below the boundary are next in
-    # line for r14; every family they cover keeps a fresh
-    # representative inside the window: cube/rollup/unpivot ->
-    # grouping_sets+pivot stay; histogram/percentiles ->
-    # corr_exact+count_distinct stay; canary/lang_id/redact_pii/
-    # repetition -> stats+top_terms+contamination stay; frames ->
-    # features stays; report -> quota_sample stays; fingerprint/
-    # quantize -> the dedup/ann planted rows stay). Rotated OUT: the
-    # whole r12 window except op_as_date (all 50 green in
-    # CORRECTNESS_r12).
-    # -- r13 code-touched (as_date lenient zone + strict-compile gate)
+    # ================= r14 driver window (first 50 entries) ================
+    # r14 rotation (r13 verdict task 2): op_as_date leads again because
+    # the as_date gate CODE is touched this round (run-length screen for
+    # strict-fallback formats, compile-only probe caching, and the
+    # ZoneRules-based historical-transition check in the lenient zone
+    # gate — all r13 ADVICE); then the 14 rows whose latest driver
+    # evidence is r11 — the oldest in the catalog — then the 35 oldest
+    # r12-evidence rows in their prior relative order. After this window
+    # goes green, no catalog query's driver evidence predates r12 (the
+    # 14 deferred r12 rows directly below the boundary are next in line
+    # for r15; every family they cover keeps a fresh representative
+    # inside the window or in the r13-green block: q5/dsir/novel_docs ->
+    # joins+sampling families stay via op_join_*/op_salted_join and the
+    # r13-green corpus rows; incremental/ngram/semantic/spans ->
+    # r13-green dedup_* planted rows; decontaminate/audio -> r13-green
+    # ann/multimodal_features; stateful/tumbling streams -> r13-green
+    # stream_dedup/session/interval rows; bm25/pack/tfidf -> r13-green
+    # text_hybrid_search/chunks/pmi). Rotated OUT: the whole r13 window
+    # except op_as_date (all 50 green in CORRECTNESS_r13).
+    # -- r14 code-touched (as_date strict-format screen + zone gate)
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
-    # -- latest driver row r10 (the oldest evidence in the catalog)
-    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
-    "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
-    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
-    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
-    "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
-    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
-    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
-    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
-    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
-    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
-    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
-    "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
-    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
-    "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
-    "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
-    # -- planted hash-sibling rows (last green r11; stand in for the
-    #    five no-oracle hash-specific queries at the catalog tail)
-    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
-    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
-    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
-    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
-    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
-    # -- latest driver row r11
-    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
-    "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
-    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
-    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
-    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
-    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
-    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
-    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
-    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
-    "q3_top_orders": (q3_top_orders, ORACLE_Q3),
-    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
-    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
-    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
-    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
-    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
-    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
-    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
-    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
-    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
-    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
-    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
-    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
-    "op_pivot": (op_pivot, ORACLE_PIVOT),
-    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
-    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
-    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
-    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
-    "text_stats": (text_stats, ORACLE_TEXT_STATS),
-    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
-    # ---- 50-entry driver window boundary ----
-    # (below: the 14 deferred r11-evidence rows — first in line for
-    #  r14 — then the rotated-out r12 window in its prior relative
-    #  order; no-oracle hash-specific queries last)
+    # -- latest driver row r11 (the oldest evidence in the catalog)
     "op_cube": (op_cube, ORACLE_CUBE),
     "op_rollup": (op_rollup, ORACLE_ROLLUP),
     "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
@@ -3899,7 +3843,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
     "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
     "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
-    # -- latest driver row r12
+    # -- latest driver row r12, oldest 35 in prior relative order
     "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
     "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
     "op_asof_join": (op_asof_join, ORACLE_ASOF),
@@ -3935,6 +3879,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
     "op_semi_join": (op_semi_join, ORACLE_SEMI),
     "op_unique": (op_unique, ORACLE_UNIQUE),
+    # ---- 50-entry driver window boundary ----
+    # (below: the 14 deferred r12-evidence rows — first in line for
+    #  r15 — then the rotated-out r13 window in its prior relative
+    #  order; no-oracle hash-specific queries last)
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
     "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
@@ -3949,6 +3897,56 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     "text_pack": (text_pack, ORACLE_TEXT_PACK),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
+    # -- latest driver row r13 (the rotated-out r13 window)
+    "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
+    "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
+    "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
+    "corpus_mixture": (corpus_mixture, ORACLE_CORPUS_MIXTURE),
+    "corpus_select_budget": (corpus_select_budget, ORACLE_SELECT_BUDGET),
+    "dedup_keep_best": (dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "dedup_rewrite": (dedup_rewrite, ORACLE_DEDUP_REWRITE),
+    "dedup_span_rewrite": (dedup_span_rewrite, ORACLE_DEDUP_SPAN_REWRITE),
+    "stream_dedup_counts": (stream_dedup_counts, ORACLE_STREAM_DEDUP),
+    "stream_session_counts": (stream_session_counts, ORACLE_STREAM_SESSION),
+    "text_chunks": (text_chunks, ORACLE_TEXT_CHUNKS),
+    "text_hybrid_search": (text_hybrid_search, ORACLE_HYBRID_SEARCH),
+    "text_model_score": (text_model_score, ORACLE_MODEL_SCORE),
+    "text_pmi": (text_pmi, ORACLE_TEXT_PMI),
+    "text_rerank_model": (text_rerank_model, ORACLE_RERANK_MODEL),
+    "dedup_minhash_planted": (dedup_minhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_simhash_planted": (dedup_simhash_planted, ORACLE_PLANTED_PAIRS),
+    "dedup_embedding_planted": (dedup_embedding_planted, ORACLE_EMB_PLANTED_PAIRS),
+    "ann_ivf_planted": (ann_ivf_planted, ORACLE_ANN_IVF_PLANTED),
+    "ann_recall_exact": (ann_recall_exact, ORACLE_ANN_RECALL_EXACT),
+    "op_reject_accounting": (op_reject_accounting, ORACLE_REJECT_ACCOUNTING),
+    "graph_pagerank": (graph_pagerank, ORACLE_PAGERANK),
+    "text_perplexity": (text_perplexity, ORACLE_TEXT_PERPLEXITY),
+    "pipeline_curation": (pipeline_curation, ORACLE_CURATION),
+    "pipeline_pretraining": (pipeline_pretraining, ORACLE_PRETRAINING),
+    "dedup_minhash_verified": (dedup_minhash_verified, ORACLE_MINHASH_VERIFIED),
+    "stream_dedup_keys": (stream_dedup_keys, ORACLE_STREAM_DEDUP_KEYS),
+    "stream_interval_join": (stream_interval_join, ORACLE_STREAM_INTERVAL_JOIN),
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_top_orders": (q3_top_orders, ORACLE_Q3),
+    "corpus_quota_sample": (corpus_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "dedup_chunks": (dedup_chunks, ORACLE_DEDUP_CHUNKS),
+    "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
+    "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
+    "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    "op_corr_exact": (op_corr_exact, ORACLE_CORR),
+    "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
+    "op_exchange": (op_exchange, ORACLE_EXCHANGE),
+    "op_flatten_window": (op_flatten_window, ORACLE_FLATTEN),
+    "op_grouping_sets": (op_grouping_sets, ORACLE_GROUPING_SETS),
+    "op_hash_split": (op_hash_split, ORACLE_HASH_SPLIT),
+    "op_json_extract": (op_json_extract, ORACLE_JSON_EXTRACT),
+    "op_pivot": (op_pivot, ORACLE_PIVOT),
+    "op_set_ops": (op_set_ops, ORACLE_SET_OPS),
+    "op_sort_limit": (op_sort_limit, ORACLE_SORT_LIMIT),
+    "op_window_rank": (op_window_rank, ORACLE_WINDOW_RANK),
+    "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
+    "text_stats": (text_stats, ORACLE_TEXT_STATS),
+    "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
     # -- no portable DuckDB oracle (hash internals); rows-only check
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),

@@ -721,6 +721,27 @@ def test_as_date_zone_gate_reads_session_jvm_zone(spark):
     # the JVM default really is what the helper read
     tz = spark._jvm.java.util.TimeZone.getDefault()
     assert tz.getRawOffset() == 0 and not tz.useDaylightTime()
+    # r13 ADVICE: the gate reads the full ZoneRules, so a zone that is
+    # rawOffset==0 + no-DST *today* but had HISTORICAL transitions
+    # (Africa/Abidjan: LMT -0:16:08 until 1912, whose pre-cutover
+    # labels differ from UTC) must NOT open the gate; the fixed-UTC
+    # alias family (normalized to ZoneOffset.UTC) must.
+    TZ = spark._jvm.java.util.TimeZone
+    orig = TZ.getDefault().getID()
+    try:
+        for zid, want in [
+            ("Africa/Abidjan", False), ("Atlantic/Reykjavik", False),
+            ("Europe/London", False), ("Etc/UTC", True), ("Zulu", True),
+            ("GMT0", True),
+        ]:
+            TZ.setDefault(TZ.getTimeZone(zid))
+            abj = TZ.getDefault()
+            if zid == "Africa/Abidjan":  # the trap the old probe fell for
+                assert abj.getRawOffset() == 0 and not abj.useDaylightTime()
+            assert _jvm_tz_fixed_utc(spark) is want, zid
+    finally:
+        TZ.setDefault(TZ.getTimeZone(orig))
+    assert _jvm_tz_fixed_utc(spark) is True
     fmt = "yyyy-MM-dd HH:mm Z"
     assert _simple_date_pattern(fmt, True) is not None
     assert _simple_date_pattern(fmt, False) is None     # non-UTC host
@@ -759,6 +780,54 @@ def test_as_date_uncompilable_strict_format_fails_at_plan_build(spark):
     assert "yyyy-DDD" in __import__(
         "gratum_spark.pipeline", fromlist=["_STRICT_FMT_ERR"]
     )._STRICT_FMT_ERR
+
+
+def test_strict_format_screen_checks_run_lengths(spark):
+    """The static probe-skip screen bounds per-letter RUN LENGTHS, not
+    just the letter set (r13 ADVICE, medium): 'HHH:mm' and narrow
+    'MMMMM-dd-yyyy' contain only safe letters, yet their formatter
+    BUILDS throw — the set-only screen skipped the probe and the job
+    crashed at the first row, contradicting the fails-at-plan-build
+    guarantee. Every bound in _SPARK_PARSE_MAX_RUN is probed on this
+    container's Spark/Java 17."""
+    import pytest
+
+    from gratum_spark import sources
+    from gratum_spark.pipeline import _strict_format_error
+
+    # over-long runs of safe letters are caught at plan build now
+    for fmt in ("HHH:mm", "MMMMM-dd-yyyy", "S" * 10, "aa", "ddd-MM-yy"):
+        assert _strict_format_error(spark, fmt) is not None, fmt
+    # maximum legal runs still screen out without a probe job
+    for fmt in ("yyyyyy-MM-dd", "S" * 9, "MMMM d, yyyy", "hh:mm a",
+                "yyyy-MM-dd'T'HH:mm:ssXXXXX", "H'x'H"):
+        assert _strict_format_error(spark, fmt) is None, fmt
+    p = sources.from_collection(spark, [{"dt": "12:30"}], "dt string")
+    for lenient in (True, False):
+        with pytest.raises(ValueError, match="cannot\\s+compile"):
+            p.as_date("dt", "HHH:mm", lenient=lenient)
+
+
+def test_strict_format_probe_never_caches_transient_errors():
+    """Only formatter-COMPILE failures are cached by the probe (r13
+    ADVICE): a transient gateway/session error propagates unrecorded,
+    so one dead session cannot poison every later as_date plan build
+    with a bogus 'cannot compile' ValueError."""
+    import pytest
+
+    from gratum_spark.pipeline import _STRICT_FMT_ERR, _strict_format_error
+
+    class _DeadSession:
+        def range(self, n):
+            raise RuntimeError(
+                "Py4JNetworkError: Answer from Java side is empty"
+            )
+
+    fmt = "QQQ-'transient'-yyyy"  # unsafe letter -> probe required
+    assert fmt not in _STRICT_FMT_ERR
+    with pytest.raises(RuntimeError, match="Py4JNetworkError"):
+        _strict_format_error(_DeadSession(), fmt)
+    assert fmt not in _STRICT_FMT_ERR  # not poisoned — retried next call
 
 
 def test_as_date_lenient_adjacent_fixed_width(spark):

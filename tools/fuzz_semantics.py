@@ -2134,11 +2134,20 @@ def fuzz_dates(spark, n: int, seed: int) -> list[str]:
             MONTH_NAME_TO_NUM,
             _JDN_EPOCH,
             _century_window,
+            _jvm_tz_fixed_utc,
             _simple_date_pattern,
             _zone_offset_ms,
         )
 
-        specs = [(f, _simple_date_pattern(f)) for f in fmts]
+        # The model's lenient scope must use the SAME zone gate the
+        # engine applies at plan build — the session's JVM default
+        # zone via _jvm_tz_fixed_utc — not _simple_date_pattern's
+        # import-time libc default. On a host where libc TZ and the
+        # JVM default disagree, the libc default either reports
+        # spurious zone-field mismatches or silently drops zone
+        # coverage (r13 ADVICE).
+        tz_gate = _jvm_tz_fixed_utc(spark)
+        specs = [(f, _simple_date_pattern(f, tz_gate)) for f in fmts]
         century, amb_v, cutoff = _century_window(dcs)
 
         def model(v):

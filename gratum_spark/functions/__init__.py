@@ -208,12 +208,15 @@ def _minhash_coeffs(n_hashes: int):
     return a, b
 
 
-def minhash_signature_np(hash_arr: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature from a pre-hashed (xxhash64) shingle array.
+import functools
 
-    Per doc: sig[i] = min over shingles of (a_i*h + b_i) mod 2^61-1,
-    computed as one (n_shingles × n_hashes) numpy broadcast. Empty
-    shingle sets yield null."""
+
+@functools.lru_cache(maxsize=None)
+def _minhash_np_udf(n_hashes: int):
+    """Memoized pandas-UDF object for `minhash_signature_np` (r15): the
+    UDF is a pure function of ``n_hashes``, and re-creating it per plan
+    build re-pays cloudpickle serialization + JVM registration every
+    query. One object per parameter set serves the whole session."""
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -229,7 +232,16 @@ def minhash_signature_np(hash_arr: Column, n_hashes: int = 64) -> Column:
 
         return hashes.map(one)
 
-    return _sig(hash_arr)
+    return _sig
+
+
+def minhash_signature_np(hash_arr: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature from a pre-hashed (xxhash64) shingle array.
+
+    Per doc: sig[i] = min over shingles of (a_i*h + b_i) mod 2^61-1,
+    computed as one (n_shingles × n_hashes) numpy broadcast. Empty
+    shingle sets yield null."""
+    return _minhash_np_udf(n_hashes)(hash_arr)
 
 
 # Odd multipliers for the rolling word-hash shingle combiner (any fixed
@@ -237,18 +249,12 @@ def minhash_signature_np(hash_arr: Column, n_hashes: int = 64) -> Column:
 _SHINGLE_MIX = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
 
 
-def minhash_signature_of_word_hashes(
-    word_hash_arr: Column, k: int = 3, n_hashes: int = 64
-) -> Column:
-    """MinHash signature from per-WORD xxhash64 values — the fully
-    vectorized path with no string shingling anywhere.
-
-    Shingle identity is the mixed triple of consecutive word hashes
-    (wraparound uint64 arithmetic) instead of the joined string; hash
-    collisions are negligible for dedup purposes and the expensive
-    JVM-interpreted concat_ws/element_at shingle loop disappears
-    (measured: the interpreted string-shingle stage was both slow and
-    high-variance). Docs with fewer than k words yield null."""
+@functools.lru_cache(maxsize=None)
+def _minhash_word_hash_udf(k: int, n_hashes: int):
+    """Memoized pandas-UDF object for
+    `minhash_signature_of_word_hashes` (r15) — see `_minhash_np_udf`
+    for the rationale; one object per (k, n_hashes) serves the whole
+    session instead of re-serializing per plan build."""
     from pyspark.sql.types import ArrayType, LongType
 
     mix = [np.uint64(m) for m in _SHINGLE_MIX[:k]]
@@ -271,14 +277,28 @@ def minhash_signature_of_word_hashes(
 
         return hashes.map(one)
 
-    return _sig(word_hash_arr)
+    return _sig
 
 
-def simhash64_np(hash_arr: Column) -> Column:
-    """64-bit SimHash from a pre-hashed (xxhash64) word array — same
-    semantics as simhash64_of_hashes (bit i set iff the +1/-1 vote over
-    word-hash bits is positive), vectorized: one (n_words × 64) bit
-    unpack + column sum per doc."""
+def minhash_signature_of_word_hashes(
+    word_hash_arr: Column, k: int = 3, n_hashes: int = 64
+) -> Column:
+    """MinHash signature from per-WORD xxhash64 values — the fully
+    vectorized path with no string shingling anywhere.
+
+    Shingle identity is the mixed triple of consecutive word hashes
+    (wraparound uint64 arithmetic) instead of the joined string; hash
+    collisions are negligible for dedup purposes and the expensive
+    JVM-interpreted concat_ws/element_at shingle loop disappears
+    (measured: the interpreted string-shingle stage was both slow and
+    high-variance). Docs with fewer than k words yield null."""
+    return _minhash_word_hash_udf(k, n_hashes)(word_hash_arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_np_udf():
+    """Memoized pandas-UDF object for `simhash64_np` (r15) — see
+    `_minhash_np_udf` for the rationale."""
     from pyspark.sql.types import LongType
 
     _bits = np.arange(64, dtype=np.uint64)
@@ -296,4 +316,12 @@ def simhash64_np(hash_arr: Column) -> Column:
 
         return hashes.map(one)
 
-    return _sh(hash_arr)
+    return _sh
+
+
+def simhash64_np(hash_arr: Column) -> Column:
+    """64-bit SimHash from a pre-hashed (xxhash64) word array — same
+    semantics as simhash64_of_hashes (bit i set iff the +1/-1 vote over
+    word-hash bits is positive), vectorized: one (n_words × 64) bit
+    unpack + column sum per doc."""
+    return _simhash_np_udf()(hash_arr)

@@ -145,20 +145,24 @@ def _banded_signatures(
     if checkpoint_sig:
         sig = sig.localCheckpoint(eager=True)
 
-    band_cols = []
-    for b in range(bands):
-        band_slice = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice.cast("string")).alias("h"))
-        )
     # the banding join stays NARROW — (band, h, id) only. Carrying the
     # n_hashes-long signature array through the exploded band rows
     # shuffles ``bands`` copies of every signature per side (measured
     # ~2.5x on the whole operator); instead the (far smaller) distinct
     # pair set re-joins the checkpointed signature table on id.
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bh")).select(
-        "id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    # r15: the ``bands``-entry struct array is built as ONE F.expr
+    # string instead of a Python loop of Column calls — the loop made
+    # ~6 Py4J round trips per band (~200 for 32 bands, a measured
+    # ~0.2 s of plan-build latency per side at ~0.7 ms/call); the
+    # parsed expression tree is identical.
+    entries = ",".join(
+        f"struct({b} as band, xxhash64(cast(slice(sig, {b * rows_per_band + 1},"
+        f" {rows_per_band}) as string)) as h)"
+        for b in range(bands)
     )
+    banded = sig.select(
+        "id", F.explode(F.expr(f"array({entries})")).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
     return sig, banded
 
 

@@ -71,27 +71,44 @@ def pagerank(
     # the cut (the Pregel trade: co-locate the graph once, shuffle only
     # the ranks each superstep) — the checkpointed LogicalRDD keeps the
     # hashpartitioning, so no iteration re-shuffles the edge table
-    e = e.distinct().repartition("src").localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    e = e.distinct().repartition("src")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # r15: the out-degree FOLDS INTO the checkpointed edge table
+    # (src, dst, deg) instead of living in a second checkpointed table
+    # joined every superstep — one extra long per edge row buys 5 fewer
+    # SortMergeJoins (+10 sorts) over 5 iterations (measured plan:
+    # 10 SMJ/20 Sort -> 5 join/10 Sort, then 0 sorts with the SHJ hint
+    # below). deg is computed on e's src-partitioning, so the fold costs
+    # no extra exchange at build.
+    ed = e.join(deg, on="src").localCheckpoint(eager=True)
     if undirected:
         # doubled edges ⇒ every node appears as src; no dangling nodes
-        nodes = e.select(F.col("src").alias("node")).distinct()
+        nodes = ed.select(F.col("src").alias("node")).distinct()
     else:
         # sinks (out-degree 0) are flagged ONCE at build time and the
         # flag rides along in the ranks frame, so each superstep's
         # dangling mass is a single aggregate over the already-
         # checkpointed ranks — no per-iteration semi-join against a
         # dangling table (the r7 shape paid one join + one action per
-        # superstep for the same scalar)
+        # superstep for the same scalar). A node is a sink iff it never
+        # appears as src of the checkpointed edge table.
+        srcs = ed.select(F.col("src").alias("__s__")).distinct()
         nodes = (
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
+            ed.select(F.col("src").alias("node"))
+            .unionByName(ed.select(F.col("dst").alias("node")))
             .distinct()
-            .join(deg, F.col("node") == F.col("src"), "left")
-            .select("node", F.col("deg").isNull().alias("is_sink"))
+            .join(srcs, F.col("node") == F.col("__s__"), "left")
+            .select("node", F.col("__s__").isNull().alias("is_sink"))
             .localCheckpoint(eager=True)
         )
-    n_total = nodes.agg(F.count("*").cast("double").alias("n"))
+    # the 1-row N scalar is cross-joined (broadcast) into EVERY
+    # iteration's rank update; without its own lineage cut the unrolled
+    # plan re-derives it (edge scan + distinct + agg = a whole job
+    # chain) once per iteration — measured ~5 extra jobs over 5
+    # iterations at sf0.1. Eager localCheckpoint pins the single row.
+    n_total = nodes.agg(F.count("*").cast("double").alias("n")).localCheckpoint(
+        eager=True
+    )
     if undirected:
         ranks = nodes.crossJoin(F.broadcast(n_total)).select(
             "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -101,9 +118,16 @@ def pagerank(
             "node", "is_sink", (F.lit(1.0) / F.col("n")).alias("rank")
         )
     for _ in range(n_iters):
+        # SHUFFLE_HASH on the ranks side: both sides are already
+        # hash-partitioned on the join key (ed by construction, ranks by
+        # the previous superstep's groupBy), so a sort-merge join would
+        # re-sort the full edge table every iteration for nothing. The
+        # hash build side is the ranks partition slice — the node table,
+        # strictly smaller than the edge table it probes (guide §3.1's
+        # deliberate shuffled-hash pick).
+        r = ranks.hint("shuffle_hash")
         contrib = (
-            ranks.join(e, ranks.node == e.src)
-            .join(deg, on="src")
+            r.join(ed, r.node == ed.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg").cast("double")).cast(_DEC).alias("c"),

@@ -294,27 +294,30 @@ def dsir_logratios(
             F.explode(F.concat(warr, bi)).alias("__g__"),
         ).withColumn("__b__", F.substring(F.md5(F.col("__g__")), 1, prefix_len))
 
-    # the two model tables are <= B rows but their subtrees tokenize a
-    # whole corpus each, and each is referenced twice below (feature
-    # join + total) — eager localCheckpoint materializes each once,
-    # cutting ~5 corpus scans to 3 (target counts, source counts,
-    # per-doc features)
+    # r15 scan accounting (guide §1.2): the target model table tokenizes
+    # the target once (checkpointed — referenced by the feature join and
+    # its total), and the SOURCE side is tokenized exactly once: the
+    # per-doc feature table is computed first (checkpointed — referenced
+    # by the scoring join, the derived model table, and its total), and
+    # the source model counts are its per-bucket sums — identical
+    # numbers to counting the raw gram stream, one corpus pass fewer
+    # than the previous shape (which tokenized the source for the model
+    # AND again for the features).
     tgt_counts = (
         buckets(target)
         .groupBy("__b__")
         .agg(F.count("*").alias("__ct__"))
         .localCheckpoint(eager=True)
     )
-    src_counts = (
+    doc_feats = (
         buckets(source)
-        .groupBy("__b__")
-        .agg(F.count("*").alias("__cs__"))
+        .groupBy("id", "__b__")
+        .agg(F.count("*").alias("__m__"))
         .localCheckpoint(eager=True)
     )
+    src_counts = doc_feats.groupBy("__b__").agg(F.sum("__m__").alias("__cs__"))
     tgt_total = tgt_counts.agg(F.sum("__ct__").cast("double").alias("__nt__"))
     src_total = src_counts.agg(F.sum("__cs__").cast("double").alias("__ns__"))
-
-    doc_feats = buckets(source).groupBy("id", "__b__").agg(F.count("*").alias("__m__"))
     lr = F.round(
         F.log(
             (F.coalesce(F.col("__ct__"), F.lit(0)).cast("double") + F.lit(alpha))

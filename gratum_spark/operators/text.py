@@ -396,30 +396,60 @@ def ngram_counts(
     a round-robin repartition buys per-doc parallelism for one narrow
     shuffle of the raw rows. At real scale inputs have ample splits —
     leave it None there (the dedup module makes the same trade)."""
+    counts = _combined_gram_counts(df, text_col, n_partitions)
+    return _split_gram_counts(counts)
+
+
+def _bigram_array(warr) -> Column:
+    """Adjacent-word bigram array from a word array column.
+
+    The >=2 guard matters: sequence(0, -1) runs DESCENDING in Spark,
+    so an unguarded single-token doc generates i=-1 and element_at
+    reads out of bounds instead of yielding zero bigrams."""
+    return F.when(
+        F.size(warr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(warr) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(warr, i + 1),
+                F.element_at(warr, i + 2),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def _combined_gram_counts(
+    df: DataFrame, text_col: str, n_partitions: int | None = None
+) -> DataFrame:
+    """(gram, c) counts for unigrams AND bigrams out of ONE tokenize
+    pass + ONE aggregate (r15, guide §1.2/§2.4): the corpus was
+    previously exploded twice (tokens, then bigrams) with a
+    count-aggregate each. Words are split on a single space, so a
+    unigram can never contain ' ' and a bigram always does — the two
+    vocabularies are disjoint by construction and one shared count
+    table serves both (`_split_gram_counts` separates them with a
+    contains-space filter, no recount)."""
     if n_partitions:
         df = df.repartition(n_partitions)
     warr = words(F.lower(F.col(text_col)))
-    toks = df.select(F.explode(warr).alias("w"))
-    # the >=2 guard matters: sequence(0, -1) runs DESCENDING in Spark,
-    # so an unguarded single-token doc generates i=-1 and element_at
-    # reads out of bounds instead of yielding zero bigrams
-    bigrams = df.select(
-        F.explode(
-            F.when(
-                F.size(warr) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(warr) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(warr, i + 1),
-                        F.element_at(warr, i + 2),
-                    ),
-                ),
-            ).otherwise(F.expr("array()").cast("array<string>"))
-        ).alias("bg")
+    return (
+        df.select(F.explode(F.concat(warr, _bigram_array(warr))).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
     )
-    uni = toks.groupBy("w").agg(F.count("*").alias("cw"))
-    bi = bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+
+
+def _split_gram_counts(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a `_combined_gram_counts` table into the (w, cw) unigram
+    and (bg, cb) bigram tables (space-in-key discriminates; see
+    `_combined_gram_counts`)."""
+    uni = counts.filter(~F.col("g").contains(" ")).select(
+        F.col("g").alias("w"), F.col("c").alias("cw")
+    )
+    bi = counts.filter(F.col("g").contains(" ")).select(
+        F.col("g").alias("bg"), F.col("c").alias("cb")
+    )
     return uni, bi
 
 
@@ -491,15 +521,18 @@ def pmi_bigrams(
 
     Returns (bigram, n, pmi) — pmi rounded to 6dp for engine parity.
     """
-    uni, bi = ngram_counts(df, id_col, text_col, n_partitions)
-    # The count tables are tiny (vocabulary-sized) but their subtrees
-    # re-tokenize the whole corpus, and pmi_from_counts references each
-    # one twice (join + total). Eager localCheckpoint materializes each
-    # once, cutting ~5 corpus scans to 2 — the in-operator version of
-    # the "materialize ngram_counts once" advice the docstring gives
-    # for stored-table use at real scale.
-    uni = uni.localCheckpoint(eager=True)
-    bi = bi.localCheckpoint(eager=True)
+    # The count tables are tiny (vocabulary-sized) but their subtree
+    # tokenizes the whole corpus, and pmi_from_counts references the
+    # unigram table twice (two word joins) plus both totals. r15: ONE
+    # combined uni+bi count table out of one tokenize pass, eagerly
+    # checkpointed once (was two checkpoints over two tokenize passes);
+    # the uni/bi splits downstream are filters over the materialized
+    # table — the in-operator version of the "materialize ngram_counts
+    # once" advice the docstring gives for stored-table use at scale.
+    counts = _combined_gram_counts(df, text_col, n_partitions).localCheckpoint(
+        eager=True
+    )
+    uni, bi = _split_gram_counts(counts)
     return pmi_from_counts(uni, bi, min_count=min_count, k=k)
 
 
@@ -537,29 +570,32 @@ def lm_score_from_counts(
     ``n_partitions`` fans out few-split inputs before the CPU-heavy
     per-doc tokenize (see `ngram_counts`).
     """
+    base = df.select(F.col(id_col).alias("id"))
     if n_partitions:
         df = df.repartition(n_partitions)
     warr = words(F.lower(F.col(text_col)))
     doc_bi = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.when(
-                    F.size(warr) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(warr) - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(warr, i + 1),
-                            F.element_at(warr, i + 2),
-                        ),
-                    ),
-                ).otherwise(F.expr("array()").cast("array<string>"))
-            ).alias("bg"),
+            F.explode(_bigram_array(warr)).alias("bg"),
         )
         .groupBy("id", "bg")
         .agg(F.count("*").alias("m"))
     )
+    return _score_from_doc_bigrams(base, doc_bi, uni, bi, alpha)
+
+
+def _score_from_doc_bigrams(
+    base: DataFrame,
+    doc_bi: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    alpha: float,
+) -> DataFrame:
+    """Shared scoring tail of `lm_score_from_counts` / `lm_score`:
+    joins per-doc bigram counts (id, bg, m) against the model tables
+    and produces (id, n_bigrams, avg_nll, ppl) for every id in
+    ``base``."""
     vocab = uni.agg(F.count("*").cast("double").alias("__v__"))
     u1 = uni.select(F.col("w").alias("__w1__"), F.col("cw").alias("__c1__"))
     # left joins + coalesce-to-0: with a held-out reference model an
@@ -612,7 +648,6 @@ def lm_score_from_counts(
             ),
         )
     )
-    base = df.select(F.col(id_col).alias("id"))
     return base.join(scored, on="id", how="left").select(
         "id",
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
@@ -633,15 +668,42 @@ def lm_score(
     (the in-corpus outlier sweep). For a held-out reference model,
     materialize `ngram_counts` of the reference corpus and call
     `lm_score_from_counts` directly."""
-    uni, bi = ngram_counts(df, id_col, text_col, n_partitions)
-    # same rationale as pmi_bigrams: the model tables are tiny but each
-    # re-tokenizes the corpus and is referenced twice downstream
-    # (join + total/vocab) — materialize each once
-    uni = uni.localCheckpoint(eager=True)
-    bi = bi.localCheckpoint(eager=True)
-    return lm_score_from_counts(
-        df, id_col, text_col, uni, bi, alpha=alpha, n_partitions=n_partitions
+    # r15 single-scan shape: ONE tokenize pass builds the per-doc
+    # (id, gram, m) count table (checkpointed — it is referenced by
+    # four branches below), and BOTH model tables plus the per-doc
+    # bigram features derive from it by aggregation/filter: the model
+    # totals are sums of the per-doc partials, so the numbers are
+    # identical to training uni/bi in their own passes. The previous
+    # shape tokenized the corpus three times (uni, bi, doc_bi) behind
+    # two checkpoints.
+    base = df.select(F.col(id_col).alias("id"))
+    src = df.repartition(n_partitions) if n_partitions else df
+    warr = words(F.lower(F.col(text_col)))
+    dg = (
+        src.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(warr, _bigram_array(warr))).alias("g"),
+        )
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=True)
     )
+    uni = (
+        dg.filter(~F.col("g").contains(" "))
+        .groupBy("g")
+        .agg(F.sum("m").alias("cw"))
+        .select(F.col("g").alias("w"), "cw")
+    )
+    bi = (
+        dg.filter(F.col("g").contains(" "))
+        .groupBy("g")
+        .agg(F.sum("m").alias("cb"))
+        .select(F.col("g").alias("bg"), "cb")
+    )
+    doc_bi = dg.filter(F.col("g").contains(" ")).select(
+        "id", F.col("g").alias("bg"), "m"
+    )
+    return _score_from_doc_bigrams(base, doc_bi, uni, bi, alpha)
 
 
 def canary_scan(

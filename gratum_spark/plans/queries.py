@@ -3729,8 +3729,15 @@ def text_rerank_model(spark, sf) -> DataFrame:
             "query_text"
         ),
     )
-    bm = retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=20).select(
-        "query_id", "doc_id"
+    # bm feeds TWO plan branches (the rerank candidates and the final
+    # rank join) and Catalyst does not share the BM25 subtree across
+    # them — without a cut the whole postings build ran twice. The
+    # candidate set is |queries|·20 rows, so the eager checkpoint is
+    # tiny.
+    bm = (
+        retrieval.bm25_topk(docs, "doc_id", "text", qdf, k=20)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)
     )
     cand = bm.join(docs.select("doc_id", "text"), on="doc_id")
     scored = score_documents(cand, "doc_id", "text", model="fake").dropDuplicates(

@@ -44,6 +44,25 @@ def T(spark: SparkSession, sf: str, name: str) -> Pipeline:
     return table(spark, sf, name)
 
 
+# Pin-before-global-sort (r15, guide §2.4/§5): a final orderBy compiles
+# to a range exchange whose partitioner SAMPLES its child by executing
+# it, so everything between the last shuffle and the sort runs TWICE
+# (and, measured, the duplicated tail segment also loses AQE's
+# post-shuffle stats). For queries whose tail is an expensive
+# non-shuffle segment (window interpolation, array-rebuild projections,
+# LSH verify joins) the lazy localCheckpoint materializes the RESULT
+# rows once — sampler and sort then both read the materialized blocks.
+# Measured at sf0.1: dedup_span_rewrite 2.3→0.5 s, dedup_ngram
+# 1.6→0.25 s, incremental cross-LSH 2.1→0.2 s (identical rows). At
+# scale the trade is storing one result-sized intermediate vs
+# recomputing the whole tail; result tables here are the small end of
+# the plan. Queries whose sort input is already a shuffle boundary
+# (plain groupBy tails) don't pay the double-compute and are left
+# unpinned.
+def pinned(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False)
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish analytics
 # --------------------------------------------------------------------------
@@ -1464,7 +1483,7 @@ def dedup_ngram(spark, sf) -> DataFrame:
         docs, "doc_id", "text", k=3, threshold=0.12,
         n_partitions=spark.sparkContext.defaultParallelism,
     )
-    return pairs.orderBy("a", "b")
+    return pinned(pairs).orderBy("a", "b")
 
 
 ORACLE_DEDUP_NGRAM = """
@@ -1506,9 +1525,11 @@ def dedup_minhash(spark, sf) -> DataFrame:
     are engine-specific; correctness is covered by the estimate-vs-exact
     test in tests/test_dedup.py)."""
     docs = T(spark, sf, "documents").df
-    return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.10,
-        n_partitions=spark.sparkContext.defaultParallelism,
+    return pinned(
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.10,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("a", "b")
 
 
@@ -1689,8 +1710,10 @@ def dedup_embedding(spark, sf) -> DataFrame:
     bucketing is hash-specific; exact-cosine path is oracle-checked in
     ann_topk)."""
     emb = T(spark, sf, "embeddings").df
-    return dedup.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", threshold=0.5, n_planes=6, n_tables=16
+    return pinned(
+        dedup.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.5, n_planes=6, n_tables=16
+        )
     ).orderBy("a", "b")
 
 
@@ -1868,7 +1891,7 @@ def dedup_minhash_verified(spark, sf) -> DataFrame:
         docs, "doc_id", "text", shingle_k=3, threshold=0.5,
         n_partitions=spark.sparkContext.defaultParallelism,
     )
-    return pairs.orderBy("a", "b")
+    return pinned(pairs).orderBy("a", "b")
 
 
 def dedup_incremental(spark, sf) -> DataFrame:
@@ -1880,8 +1903,11 @@ def dedup_incremental(spark, sf) -> DataFrame:
     docs = T(spark, sf, "documents").df
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return dedup.minhash_verified_pairs_cross(
-        new_batch, corpus, "doc_id", "text", threshold=0.5
+    return pinned(
+        dedup.minhash_verified_pairs_cross(
+            new_batch, corpus, "doc_id", "text", threshold=0.5,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("new_id", "corpus_id")
 
 
@@ -1947,11 +1973,12 @@ def corpus_novel_docs(spark, sf) -> DataFrame:
     docs = T(spark, sf, "documents").df
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return (
-        dedup.corpus_novel(new_batch, corpus, "doc_id", "text", threshold=0.5)
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    )
+    return pinned(
+        dedup.corpus_novel(
+            new_batch, corpus, "doc_id", "text", threshold=0.5,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        ).select("doc_id", "lang", "source", "n_chars")
+    ).orderBy("doc_id")
 
 
 ORACLE_CORPUS_NOVEL = """
@@ -2117,7 +2144,10 @@ def pipeline_pretraining(spark, sf) -> DataFrame:
     kept = docs.join(good, on="doc_id").localCheckpoint(eager=False)
     new_batch = kept.filter(F.col("doc_id") % 10 == 0)
     corpus = kept.filter(F.col("doc_id") % 10 != 0)
-    novel = dedup.corpus_novel(new_batch, corpus, "doc_id", "text", threshold=0.5)
+    novel = dedup.corpus_novel(
+        new_batch, corpus, "doc_id", "text", threshold=0.5,
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
     chunks = text.chunk_words(novel, "doc_id", "text", size=64, stride=64)
     ordered = chunks.withColumn(
         "ord", F.col("id") * F.lit(100_000) + F.col("chunk_id")
@@ -2677,7 +2707,9 @@ def dedup_chunks(spark, sf) -> DataFrame:
     chunk_dedup_stats): a 10-word chunk repeated anywhere in the corpus
     survives only in its first-seen (doc, position)."""
     docs = T(spark, sf, "documents").df
-    return dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_words=10).orderBy("id")
+    return pinned(
+        dedup.chunk_dedup_stats(docs, "doc_id", "text", chunk_words=10)
+    ).orderBy("id")
 
 
 def text_chunks(spark, sf) -> DataFrame:
@@ -2780,7 +2812,9 @@ def text_tfidf(spark, sf) -> DataFrame:
     rank compares ROUND(score, 6) with term tie-break for cross-engine
     determinism."""
     out = text.tfidf_top_terms(T(spark, sf, "documents").df, "doc_id", "text", k=3)
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("id", "rank")
+    return pinned(out.withColumn("rank", F.col("rank").cast("long"))).orderBy(
+        "id", "rank"
+    )
 
 
 ORACLE_TEXT_TFIDF = """
@@ -2810,9 +2844,9 @@ def dedup_rewrite(spark, sf) -> DataFrame:
     repeated 10-word chunks survive only first-seen and each doc is
     rewritten from its survivors in order."""
     docs = T(spark, sf, "documents").df
-    return dedup.chunk_dedup_rewrite(docs, "doc_id", "text", chunk_words=10).orderBy(
-        "id"
-    )
+    return pinned(
+        dedup.chunk_dedup_rewrite(docs, "doc_id", "text", chunk_words=10)
+    ).orderBy("id")
 
 
 ORACLE_DEDUP_REWRITE = """
@@ -2839,9 +2873,11 @@ def dedup_spans(spark, sf) -> DataFrame:
     maximal spans (Lee et al. 2021 shape, distributed as shingle-count +
     gaps-and-islands instead of a suffix array)."""
     docs = T(spark, sf, "documents").df
-    return dedup.duplicate_spans(
-        docs, "doc_id", "text", k=10,
-        n_partitions=spark.sparkContext.defaultParallelism,
+    return pinned(
+        dedup.duplicate_spans(
+            docs, "doc_id", "text", k=10,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("id")
 
 
@@ -2881,9 +2917,11 @@ def dedup_span_rewrite(spark, sf) -> DataFrame:
     in order — the aggressive all-occurrences variant; keep-first at
     fixed granularity is dedup_rewrite."""
     docs = T(spark, sf, "documents").df
-    return dedup.duplicate_span_rewrite(
-        docs, "doc_id", "text", k=10,
-        n_partitions=spark.sparkContext.defaultParallelism,
+    return pinned(
+        dedup.duplicate_span_rewrite(
+            docs, "doc_id", "text", k=10,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("id")
 
 
@@ -3150,9 +3188,11 @@ def text_perplexity(spark, sf) -> DataFrame:
     log-likelihood — the CCNet-style perplexity quality filter. Each
     nll term rounds to 6dp before aggregation for engine parity."""
     docs = T(spark, sf, "documents").df
-    return text.lm_score(
-        docs, "doc_id", "text", alpha=0.5,
-        n_partitions=spark.sparkContext.defaultParallelism,
+    return pinned(
+        text.lm_score(
+            docs, "doc_id", "text", alpha=0.5,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("id")
 
 
@@ -3201,9 +3241,11 @@ def corpus_dsir(spark, sf) -> DataFrame:
 
     docs = T(spark, sf, "documents").df
     target = docs.filter(F.col("lang") == "en")
-    return sampling.dsir_logratios(
-        docs, target, "doc_id", "text",
-        n_partitions=spark.sparkContext.defaultParallelism,
+    return pinned(
+        sampling.dsir_logratios(
+            docs, target, "doc_id", "text",
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
     ).orderBy("id")
 
 
@@ -3427,7 +3469,8 @@ def op_resample_interpolate(spark, sf) -> DataFrame:
     # fixed-width formatted string is equivalent but pays string
     # building + comparison inside the range sort (~1.5 s at sf0.1)
     return (
-        out.orderBy("user_id", "grid_ts")
+        pinned(out)
+        .orderBy("user_id", "grid_ts")
         .select(
             "user_id",
             F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("grid_ts"),

@@ -281,8 +281,20 @@ def test_embedding_dedup_single_bucket_shuffle(spark, sf):
     """embedding_cosine_pairs must reach its per-bucket BLAS scoring with
     ONE hash shuffle on (table, bucket) — a candidate-pair self-join
     shape (4 shuffles carrying the vector payload) measured 3x slower
-    and grows with the candidate set, not the survivor set."""
-    plan = plan_of(Q.dedup_embedding(spark, sf))
+    and grows with the candidate set, not the survivor set.
+
+    Inspects the operator directly (same args as the dedup_embedding
+    catalog query): since r15 the catalog query pins its result rows
+    before the final sort (pinned()), which replaces the upstream plan
+    with a LogicalRDD scan in explain output."""
+    from gratum_spark.operators import dedup as D
+
+    emb = table(spark, sf, "embeddings").df
+    plan = plan_of(
+        D.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.5, n_planes=6, n_tables=16
+        )
+    )
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
     bucket_shuffles = [
@@ -296,7 +308,15 @@ def test_embedding_dedup_single_bucket_shuffle(spark, sf):
 def test_tfidf_is_one_action(spark, sf):
     """tfidf_top_terms must fold the corpus size N into the plan (1-row
     broadcast cross join), not .collect() it — a driver-side N is a
-    second full pass over a 100 TB corpus per invocation."""
+    second full pass over a 100 TB corpus per invocation.
+
+    Inspects the operator directly (same args as the text_tfidf catalog
+    query): since r15 the catalog query pins its result rows before the
+    final sort (pinned()), whose AQE materialization legitimately runs
+    the upstream stages at build time and replaces the plan with a
+    LogicalRDD scan — the no-collect guarantee lives in the operator."""
+    from gratum_spark.operators import text as T2
+
     sc = spark.sparkContext
     # baseline: even a bare parquet read runs one footer/schema job, so
     # "no extra action" means the tfidf build runs exactly as many jobs
@@ -309,13 +329,33 @@ def test_tfidf_is_one_action(spark, sf):
     baseline = len(sc.statusTracker().getJobIdsForGroup("tfidf_baseline_read"))
     sc.setLocalProperty("spark.jobGroup.id", "tfidf_plan_build")
     try:
-        df = Q.text_tfidf(spark, sf)
+        df = T2.tfidf_top_terms(
+            table(spark, sf, "documents").df, "doc_id", "text", k=3
+        )
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     built = len(sc.statusTracker().getJobIdsForGroup("tfidf_plan_build"))
     assert built <= baseline
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N rides a broadcast
+
+
+def test_pinned_preserves_rows_and_truncates_plan(spark, sf):
+    """pinned() (r15, pin-before-global-sort) must be a pure
+    materialization point: identical rows/schema to the unpinned shape,
+    while the downstream plan reads a LogicalRDD scan instead of
+    re-deriving (and re-executing, via the range-sort sampler) the tail
+    subtree."""
+    base = (
+        table(spark, sf, "orders")
+        .df.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.col("o_orderkey") % 7)
+    )
+    plain = base.orderBy("bucket", "o_orderkey")
+    pinned = Q.pinned(base).orderBy("bucket", "o_orderkey")
+    assert plain.schema == pinned.schema
+    assert plain.collect() == pinned.collect()
+    assert "Scan ExistingRDD" in plan_of(Q.pinned(base))
 
 
 def test_filter_map_closure_predicates_are_arrow_batched(spark, sf):

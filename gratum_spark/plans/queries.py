@@ -63,14 +63,39 @@ def pinned(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# Scale-adaptive scan fan-out (r15, guide §2.5 "input skew"): at the
+# bench SFs every table is ONE parquet row group, so a scan stage is a
+# single task no matter what maxPartitionBytes/openCostInBytes say (a
+# row group is indivisible — verified empirically: openCost 128KB gives
+# 32 byte-range splits but every row still lands in the one split
+# holding the row-group midpoint, zero speedup), and CPU-heavy work
+# sitting before the first exchange — here exact-decimal partial
+# aggregation — runs single-threaded on a 32-core session. Round-robin
+# repartition to the session parallelism, but ONLY when the scan
+# actually has fewer splits than cores: the condition reads the real
+# FileScan partition count from the engine, so at 100 TB, where a table
+# scan has thousands of splits, no shuffle is inserted and the plan is
+# byte-identical. Worth it only where heavy per-row/aggregate CPU sits
+# directly on the scan; join-heavy queries (q3/q5) gain nothing — their
+# fact scan feeds a join exchange that already redistributes.
+def fan_scan(df: DataFrame) -> DataFrame:
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish analytics
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(spark, sf) -> DataFrame:
     """Pricing summary: filter + group_by.agg (sums/avgs/counts)."""
+    # fan_scan at the source: the shipdate filter still pushes down to
+    # the parquet scan (Catalyst moves predicates below a Repartition;
+    # asserted in test_q1_filter_pushdown_survives_fan_scan).
     return (
-        T(spark, sf, "lineitem")
+        Pipeline(fan_scan(T(spark, sf, "lineitem").df), "lineitem")
         .filter("l_shipdate <= timestamp'1998-09-01 00:00:00'")
         .group_by("l_returnflag", "l_linestatus")
         .agg(
@@ -1409,7 +1434,7 @@ def op_corr_exact(spark, sf) -> DataFrame:
     """Pearson correlation per group via exact decimal component sums
     (beyond-reference). Built-in corr() accumulates doubles in partition
     order — not reproducible across engines; the decimal-sum formula is."""
-    li = T(spark, sf, "lineitem").df
+    li = fan_scan(T(spark, sf, "lineitem").df)
     n = F.count("*").cast("double")
     sx = dsum("l_quantity")
     sy = dsum("l_extendedprice")

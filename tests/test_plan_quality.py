@@ -358,6 +358,34 @@ def test_pinned_preserves_rows_and_truncates_plan(spark, sf):
     assert "Scan ExistingRDD" in plan_of(Q.pinned(base))
 
 
+def test_fan_scan_is_noop_when_scan_has_parallelism(spark, sf):
+    """fan_scan (r15, scale-adaptive scan fan-out) must insert its
+    round-robin exchange ONLY when the scan has fewer splits than the
+    session's cores — at real scale, where scans have ample splits, it
+    must add no shuffle at all (identity, not even a new plan node)."""
+    par = spark.sparkContext.defaultParallelism
+    wide = table(spark, sf, "lineitem").df.repartition(par)
+    assert Q.fan_scan(wide) is wide
+    narrow = table(spark, sf, "lineitem").df.coalesce(1)
+    fanned = Q.fan_scan(narrow)
+    assert fanned is not narrow
+    assert "RoundRobinPartitioning" in plan_of(fanned)
+
+
+def test_q1_filter_pushdown_survives_fan_scan(spark, sf):
+    """q1's shipdate filter must still reach the parquet scan as a
+    pushed predicate with fan_scan's repartition in between — Catalyst
+    moves filters below a Repartition; losing the pushdown would trade
+    a single-task partial aggregate for a full-table read at scale."""
+    plan = plan_of(Q.q1_pricing_summary(spark, sf))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan[plan.index("PushedFilters") :].splitlines()[0]
+    # at test scale (1-split scan, 4-core session) the fan-out is live
+    assert "RoundRobinPartitioning" in plan
+    # partial aggregation must still sit between the exchanges
+    assert "partial_" in plan
+
+
 def test_filter_map_closure_predicates_are_arrow_batched(spark, sf):
     """Condition-map closure predicates (per-value and whole-row "*")
     must cross the Python boundary Arrow-batched (ArrowEvalPython), not

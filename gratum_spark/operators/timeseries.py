@@ -7,11 +7,16 @@ linearly interpolating between the surrounding observations.
 
 Scale design: ONE shuffle. The grid is generated per key from the
 key's own [min, max] span (sequence + explode — map-side), unioned
-with the events, and both window passes (previous / next observation)
-share a single (key, ts) partitioning and ordering — the
-forward-looking pass uses an unbounded-following frame on the SAME
-ascending sort instead of a second descending sort. No UDF, no
-driver-side work; per-key state is bounded by that key's span/step.
+with the events; both window passes (previous / next observation)
+share one (key) exchange. The forward-looking pass runs on a SECOND,
+descending in-partition sort rather than an unbounded-following frame
+on the ascending one: Spark's shrinking-frame processor
+(UnboundedFollowingWindowFunctionFrame) re-evaluates the aggregate
+from the current row to the partition end for EVERY row — O(n²) per
+key — while an unbounded-preceding frame is maintained incrementally.
+Measured at sf0.1 (min of 5): 1.87 s -> 0.64 s, rows bit-identical
+(r15; the extra sort is in-partition only, no second exchange). No
+UDF, no driver-side work; per-key state is bounded by span/step.
 """
 
 from __future__ import annotations
@@ -65,17 +70,26 @@ def resample_interpolate(
         F.col(val_col).cast("double").alias("__v__"),
     )
     u = ev.unionByName(grid)
-    # one ascending sort serves both directions; an event sharing a
-    # grid point's timestamp sorts BEFORE it (is_grid tie-break), so
-    # the backward pass sees it and frac lands on exactly 0
+    # an event sharing a grid point's timestamp sorts BEFORE it
+    # (is_grid tie-break), so the backward pass sees it and frac lands
+    # on exactly 0; the forward pass excludes it either way, and
+    # (key, ts) pairs need not be unique across is_grid because the
+    # tie-break totals the order within a key
     w = Window.partitionBy("__k__").orderBy("__ts__", "__is_grid__")
     wb = w.rowsBetween(Window.unboundedPreceding, 0)
-    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    # forward pass: same semantics as first(...) over [0, unbounded
+    # FOLLOWING] on the ascending sort, but expressed as last(...) over
+    # the REVERSED sort's growing frame — incremental O(n) instead of
+    # the shrinking frame's per-row re-evaluation (module docstring)
+    wd = Window.partitionBy("__k__").orderBy(
+        F.col("__ts__").desc(), F.col("__is_grid__").desc()
+    )
+    wdb = wd.rowsBetween(Window.unboundedPreceding, 0)
     ev_ts = F.when(F.col("__is_grid__") == 0, F.col("__ts__"))
     prev_v = F.last("__v__", ignorenulls=True).over(wb)
     prev_t = F.last(ev_ts, ignorenulls=True).over(wb)
-    next_v = F.first("__v__", ignorenulls=True).over(wf)
-    next_t = F.first(ev_ts, ignorenulls=True).over(wf)
+    next_v = F.last("__v__", ignorenulls=True).over(wdb)
+    next_t = F.last(ev_ts, ignorenulls=True).over(wdb)
     t = F.unix_micros(F.col("__ts__"))
     tp = F.unix_micros(prev_t)
     tn = F.unix_micros(next_t)

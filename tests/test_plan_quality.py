@@ -631,6 +631,12 @@ def test_resample_interpolate_single_shuffle(spark, sf):
     assert all("hashpartitioning(__k__" in a or "hashpartitioning(user_id" in a
                for a in args), args
     assert len(args) <= 2, args
+    # r15: the forward pass must NOT use a shrinking (unbounded-
+    # FOLLOWING) frame — Spark re-evaluates that aggregate from the
+    # current row to the partition end for every row, O(n²) per key;
+    # the reversed-sort growing frame computes the same values
+    # incrementally (measured 1.87 -> 0.64 s at sf0.1, bit-identical)
+    assert "unboundedfollowing" not in plan.lower(), "shrinking frame is back"
 
 
 def test_duplicate_spans_plan_shape(spark, sf):

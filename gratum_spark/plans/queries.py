@@ -3663,16 +3663,31 @@ def graph_pagerank(spark, sf) -> DataFrame:
 
     li = T(spark, sf, "lineitem").df
     orders = T(spark, sf, "orders").df
+    # r15 (guide §2.3 narrower types): the graph runs on LONG node ids
+    # in disjoint parity namespaces (even = customer, odd = supplier)
+    # instead of "c<k>"/"s<k>" strings — the 1.17M-row edge table's
+    # keys cross 3 build exchanges plus 5 supersteps of hash joins and
+    # contribution shuffles, and an 8-byte long hashes/compares/ships
+    # cheaper than a variable-width string. The string names are
+    # re-derived only on the 20-row result; grouping is bijective, the
+    # decimal sums are order-independent, so ranks and output are
+    # bit-identical (A/B verified; oracle unchanged).
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
     pr = pagerank(base, damping=0.85, n_iters=5, undirected=True)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("CAST(node DIV 2 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("CAST((node - 1) DIV 2 AS STRING)"))
+    )
     return (
-        pr.select("node", F.col("rank").alias("pr"))
+        pr.select(node_str.alias("node"), F.col("rank").alias("pr"))
         .orderBy(F.col("pr").desc(), F.col("node").asc())
         .limit(20)
     )

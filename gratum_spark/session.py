@@ -39,6 +39,24 @@ def get_spark(app_name: str = "gratum-spark", cpus: int | None = None) -> SparkS
         # hash build dominated the join. Dimension tables stay well under.
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Constraint propagation is pure optimizer-time work: it infers
+        # IsNotNull / transitive predicates from existing constraints,
+        # at a cost Spark's own docs flag as expensive for plans with
+        # many aliases. On this catalog's composite plans (checkpoint
+        # subtrees full of aliases, pandas-UDF boundaries the inference
+        # cannot see through) it finds nothing a scan can use — every
+        # join key in the schema is non-null by construction — while
+        # costing 0.2–0.7 s of driver CPU per plan build (r15, measured:
+        # text_perplexity 2.20→1.66 s, pipeline_pretraining 3.86→3.19 s
+        # full-query; results and join strategies unchanged, full oracle
+        # sweep green both ways). Not a local-only tune: the cost is
+        # per-plan driver time paid identically on a cluster. Env-
+        # overridable for workloads whose scans DO benefit from
+        # inferred null filters.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROPAGATION", "false"),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # read TIMESTAMP(NANOS) parquet (which Spark has no native type

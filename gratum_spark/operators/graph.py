@@ -30,6 +30,18 @@ __all__ = ["pagerank"]
 
 _DEC = "decimal(38,12)"
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("16777216", "10m", "1g")."""
+    s = str(v).strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in _SIZE_SUFFIX:
+        s = s[:-1]
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
+
 
 def pagerank(
     edges: DataFrame,
@@ -101,38 +113,73 @@ def pagerank(
             .select("node", F.col("__s__").isNull().alias("is_sink"))
             .localCheckpoint(eager=True)
         )
-    # the 1-row N scalar is cross-joined (broadcast) into EVERY
-    # iteration's rank update; without its own lineage cut the unrolled
-    # plan re-derives it (edge scan + distinct + agg = a whole job
-    # chain) once per iteration — measured ~5 extra jobs over 5
-    # iterations at sf0.1. Eager localCheckpoint pins the single row.
-    n_total = nodes.agg(F.count("*").cast("double").alias("n")).localCheckpoint(
-        eager=True
+    # the N scalar appears in EVERY iteration's rank update. It used to
+    # ride along as an eagerly-checkpointed 1-row frame cross-joined
+    # (broadcast) per superstep; since r15 the count is read once on
+    # the driver (one tiny job over the checkpointed node set — a
+    # scalar, not data, cf. guide §5) and inlined as a LITERAL: each
+    # superstep loses a BroadcastNestedLoopJoin + BroadcastExchange,
+    # and the update arithmetic is unchanged — same double division,
+    # evaluated in the engine either way.
+    n_rows = float(nodes.count())
+    # r15 (guide §3.1): the checkpointed edge LogicalRDD reports
+    # UnknownPartitioning, so the shuffle_hash superstep join was
+    # re-exchanging the FULL edge table (plus the ranks) every
+    # iteration — the co-location the pre-checkpoint repartition paid
+    # for never reached the plan. The ranks side is the NODE table,
+    # typically orders of magnitude smaller than the edge table; when
+    # it verifiably fits the session's broadcast budget (gate derived
+    # from the materialized node count, not a constant — at web scale
+    # with billions of nodes the gate stays closed and the shuffle
+    # shape below is kept), broadcast it instead: the edge table is
+    # probed in place in its checkpoint blocks, contributions partial-
+    # aggregate map-side, and the only exchange per superstep is the
+    # tiny per-node partial-sum shuffle.
+    bcast_cap = _parse_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
+    # 64 B/node is deliberately pessimistic for (node, rank) rows so
+    # string-keyed graphs stay honest
+    broadcast_ranks = bcast_cap > 0 and n_rows * 64 <= bcast_cap
     if undirected:
-        ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        ranks = nodes.select(
+            "node", (F.lit(1.0) / F.lit(n_rows)).alias("rank")
         )
     else:
-        ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-            "node", "is_sink", (F.lit(1.0) / F.col("n")).alias("rank")
+        ranks = nodes.select(
+            "node", "is_sink", (F.lit(1.0) / F.lit(n_rows)).alias("rank")
         )
     for _ in range(n_iters):
-        # SHUFFLE_HASH on the ranks side: both sides are already
-        # hash-partitioned on the join key (ed by construction, ranks by
-        # the previous superstep's groupBy), so a sort-merge join would
-        # re-sort the full edge table every iteration for nothing. The
-        # hash build side is the ranks partition slice — the node table,
-        # strictly smaller than the edge table it probes (guide §3.1's
-        # deliberate shuffled-hash pick).
-        r = ranks.hint("shuffle_hash")
-        contrib = (
-            r.join(ed, r.node == ed.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg").cast("double")).cast(_DEC).alias("c"),
+        if broadcast_ranks:
+            # probe the checkpointed edge blocks in place — zero
+            # exchange on either join side; (node, rank) only, the
+            # is_sink flag never crosses the wire
+            r = F.broadcast(ranks.select("node", "rank"))
+            contrib = (
+                ed.join(r, ed.src == r.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg").cast("double"))
+                    .cast(_DEC)
+                    .alias("c"),
+                )
             )
-        )
+        else:
+            # node table too big to broadcast: SHUFFLE_HASH instead of
+            # sort-merge — re-sorting the full edge table every
+            # iteration buys nothing, and the hash build side is the
+            # ranks slice, strictly smaller than the edge side it
+            # probes (guide §3.1's deliberate shuffled-hash pick).
+            r = ranks.hint("shuffle_hash")
+            contrib = (
+                r.join(ed, r.node == ed.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg").cast("double"))
+                    .cast(_DEC)
+                    .alias("c"),
+                )
+            )
         in_sums = contrib.groupBy("node").agg(
             F.sum("c").cast("double").alias("in_sum")
         )
@@ -140,15 +187,12 @@ def pagerank(
             # undirected: in-degree >= 1 everywhere, so the aggregate
             # covers every node and there is no dangling mass — keep
             # the original (oracle-exact) two-term update
-            ranks = (
-                in_sums.crossJoin(F.broadcast(n_total))
-                .select(
-                    "node",
-                    (
-                        (F.lit(1.0) - F.lit(damping)) / F.col("n")
-                        + F.lit(damping) * F.col("in_sum")
-                    ).alias("rank"),
-                )
+            ranks = in_sums.select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.lit(n_rows)
+                    + F.lit(damping) * F.col("in_sum")
+                ).alias("rank"),
             )
         else:
             # directed: the 1-row dangling-mass scalar (decimal-exact
@@ -167,17 +211,16 @@ def pagerank(
             )
             ranks = (
                 nodes.join(in_sums, on="node", how="left")
-                .crossJoin(F.broadcast(n_total))
                 .crossJoin(F.broadcast(dmass))
                 .select(
                     "node",
                     "is_sink",
                     (
-                        (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                        (F.lit(1.0) - F.lit(damping)) / F.lit(n_rows)
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("in_sum"), F.lit(0.0))
-                            + F.col("dm") / F.col("n")
+                            + F.col("dm") / F.lit(n_rows)
                         )
                     ).alias("rank"),
                 )

@@ -1162,6 +1162,43 @@ def test_pagerank_directed_star_keeps_all_nodes(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_broadcast_gate_picks_join_shape(spark):
+    """The superstep join broadcasts the rank table only when the
+    materialized node count fits the session broadcast budget; with the
+    budget closed the plan must fall back to the shuffled-hash shape
+    (no per-superstep broadcast of an over-budget node set at scale)."""
+    from gratum_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def plan_of(frame):
+        return frame._sc._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        open_plan = plan_of(pagerank(df, n_iters=2, undirected=True))
+        assert "BroadcastHashJoin" in open_plan
+        assert "ShuffledHashJoin" not in open_plan
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        closed_plan = plan_of(pagerank(df, n_iters=2, undirected=True))
+        assert "ShuffledHashJoin" in closed_plan
+
+        # both shapes compute identical ranks (decimal sums are
+        # order-independent, so this is exact equality)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        a = {r["node"]: r["rank"] for r in pagerank(df, n_iters=3).collect()}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b = {r["node"]: r["rank"] for r in pagerank(df, n_iters=3).collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_corpus_diff_statuses(spark):
     old = spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"

@@ -14,6 +14,8 @@ task re-draws and rows silently change sides mid-job.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -303,18 +305,28 @@ def dsir_logratios(
     # numbers to counting the raw gram stream, one corpus pass fewer
     # than the previous shape (which tokenized the source for the model
     # AND again for the features).
-    tgt_counts = (
-        buckets(target)
-        .groupBy("__b__")
-        .agg(F.count("*").alias("__ct__"))
-        .localCheckpoint(eager=True)
-    )
-    doc_feats = (
-        buckets(source)
-        .groupBy("id", "__b__")
-        .agg(F.count("*").alias("__m__"))
-        .localCheckpoint(eager=True)
-    )
+    # r15 (guide §2.6): the target-model aggregate and the source
+    # feature table are INDEPENDENT jobs — materialize both checkpoint
+    # cuts from a 2-thread pool so the scheduler back-fills one job's
+    # straggler tail with the other's tasks (and the two Catalyst
+    # optimizations overlap too) instead of running them strictly
+    # sequentially. Results are unaffected: each job is the same
+    # deterministic aggregate it was, just submitted concurrently.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tgt = pool.submit(
+            lambda: buckets(target)
+            .groupBy("__b__")
+            .agg(F.count("*").alias("__ct__"))
+            .localCheckpoint(eager=True)
+        )
+        f_src = pool.submit(
+            lambda: buckets(source)
+            .groupBy("id", "__b__")
+            .agg(F.count("*").alias("__m__"))
+            .localCheckpoint(eager=True)
+        )
+        tgt_counts = f_tgt.result()
+        doc_feats = f_src.result()
     src_counts = doc_feats.groupBy("__b__").agg(F.sum("__m__").alias("__cs__"))
     tgt_total = tgt_counts.agg(F.sum("__ct__").cast("double").alias("__nt__"))
     src_total = src_counts.agg(F.sum("__cs__").cast("double").alias("__ns__"))

@@ -1117,7 +1117,14 @@ def stream_tumbling_counts(spark, sf) -> DataFrame:
     agg = streaming.tumbling_agg(
         sdf, "1 hour", keys=("event_type",), ts_col="ts", watermark="2 hours"
     )
-    out = streaming.run_available_now(agg, "q_stream_tumbling")
+    # state here is (event_type × open hourly windows) — bounded by
+    # construction at ANY input scale, so the stateful shuffle is sized
+    # to the state (8), not to the session's batch shuffle width: with
+    # AQE unavailable under Structured Streaming, each extra partition
+    # is one near-empty state store + commit per micro-batch. Unbounded-
+    # key stream queries (users, event ids) deliberately stay on the
+    # session conf.
+    out = streaming.run_available_now(agg, "q_stream_tumbling", state_partitions=8)
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
         "event_type",

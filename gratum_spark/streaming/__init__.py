@@ -370,20 +370,45 @@ def stream_corpus_novel(
 
 
 def run_available_now(
-    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all currently-available input through a streaming query
     (trigger availableNow) into an in-memory table and return it.
 
     The batch-equivalence test harness: same builder + availableNow must
     equal the batch run. On a cluster you'd writeStream to parquet/Kafka
-    with a real trigger instead."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with a real trigger instead.
+
+    ``state_partitions`` sizes the STATEFUL shuffle for queries whose
+    key space is bounded by construction (e.g. a tumbling count keyed on
+    a low-cardinality type column): Structured Streaming pins the
+    partition count at query birth (the state-store layout depends on
+    it) and gets no AQE coalescing, so the session's batch-oriented
+    shuffle width buys one near-empty state store + commit per partition
+    per micro-batch. Pass it ONLY when the state is provably small at
+    any input scale — it sizes to the state, not to the input; leave it
+    None (session conf) for unbounded keys (users, event ids). Results
+    are partition-count independent (keyed aggregates)."""
+    spark = sdf.sparkSession
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # the streaming query captured the conf at .start(); restore the
+        # session value immediately so concurrent/batch plans are unaffected
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
-    return sdf.sparkSession.table(query_name)
+    return spark.table(query_name)

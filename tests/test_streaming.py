@@ -33,6 +33,22 @@ def test_tumbling_stream_equals_batch(spark, events_path, events_batch):
     assert _normalize(got, cols) == _normalize(batch, cols)
 
 
+def test_tumbling_stream_state_partitions_same_result(spark, events_path, events_batch):
+    """state_partitions sizes the stateful shuffle without changing the
+    answer, and the session conf is restored immediately after start."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    batch = streaming.tumbling_agg(events_batch, "1 hour")
+    sdf = streaming.tumbling_agg(
+        streaming.read_event_stream(spark, events_path), "1 hour"
+    )
+    got = streaming.run_available_now(
+        sdf, "tumbling_state_parts_test", state_partitions=3
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    cols = ["window_start", "event_type", "n"]
+    assert _normalize(got, cols) == _normalize(batch, cols)
+
+
 def test_sliding_stream_equals_batch(spark, events_path, events_batch):
     batch = streaming.sliding_agg(events_batch, "2 hours", "1 hour")
     sdf = streaming.sliding_agg(

@@ -56,18 +56,37 @@ def read_event_stream(
     micros, NTZ -> TimestampType, every column) so batch and stream
     plans over the same files see identical types."""
     from ..sources import (
+        _PARQUET_META_MEMO,
+        _PARQUET_META_MEMO_CAP,
         _convert_nanos_cols,
         _ensure_nanos_readable,
         _nanos_ts_cols,
         _normalize_ntz,
+        _parquet_fingerprint,
         _scoped_conf,
     )
 
     if schema is None:
         _ensure_nanos_readable(spark)
-        with _scoped_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
-            schema = spark.read.parquet(path).schema
-    nanos_cols = _nanos_ts_cols(path)
+        # same metadata memo as sources.parquet: schema inference is
+        # ~50-60 ms of driver time per call, fingerprint-invalidated
+        fp = _parquet_fingerprint(path)
+        memo_key = (path, fp) if fp is not None else None
+        cached = _PARQUET_META_MEMO.get(memo_key) if memo_key is not None else None
+        if cached is not None:
+            schema, nanos_cols = cached
+        else:
+            with _scoped_conf(
+                spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+            ):
+                schema = spark.read.parquet(path).schema
+            nanos_cols = _nanos_ts_cols(path)
+            if memo_key is not None:
+                if len(_PARQUET_META_MEMO) >= _PARQUET_META_MEMO_CAP:
+                    _PARQUET_META_MEMO.clear()
+                _PARQUET_META_MEMO[memo_key] = (schema, nanos_cols)
+    else:
+        nanos_cols = _nanos_ts_cols(path)
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # the file stream source wants a directory; point it at the

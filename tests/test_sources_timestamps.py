@@ -147,3 +147,46 @@ def test_normalize_ntz_recurses_into_nested_types(spark, tmp_path):
     row = fixed.collect()[0]
     assert row["meta"]["created"] == WALL[0]
     assert row["edits"][0] == WALL[1]
+
+
+# ---------------------------------------------------------------------------
+# parquet metadata memo (r15 optimization): schema inference is cached per
+# (path, file fingerprint); rows are never cached, and rewriting the path
+# invalidates the entry immediately.
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_schema_memo_hits_and_matches_inference(spark, tmp_path):
+    import gratum_spark.sources as sources
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    sources._PARQUET_META_MEMO.clear()
+    first = sources.parquet(spark, p).df
+    key = (p, sources._parquet_fingerprint(p))
+    assert key in sources._PARQUET_META_MEMO  # populated by the cold read
+    second = sources.parquet(spark, p).df  # memo hit (same fingerprint)
+    assert second.schema == first.schema
+    assert sorted(r["v"] for r in second.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_parquet_schema_memo_invalidated_by_rewrite(spark, tmp_path):
+    import gratum_spark.sources as sources
+
+    p = str(tmp_path / "rewrite.parquet")
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s").write.parquet(p)
+    assert sources.parquet(spark, p).df.schema["s"].dataType.typeName() == "string"
+    # same path, different schema AND different rows: the fingerprint
+    # (size + mtime_ns of every data file) must miss the stale entry
+    spark.range(4).selectExpr("id", "CAST(id AS DOUBLE) AS s").write.mode(
+        "overwrite"
+    ).parquet(p)
+    reread = sources.parquet(spark, p).df
+    assert reread.schema["s"].dataType.typeName() == "double"
+    assert reread.count() == 4
+
+
+def test_parquet_schema_memo_skips_remote_paths(spark):
+    import gratum_spark.sources as sources
+
+    assert sources._parquet_fingerprint("s3://bucket/data.parquet") is None

@@ -43,6 +43,20 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
+def _edge_table(e: DataFrame) -> DataFrame:
+    """The deduped, degree-folded (src, dst, deg) edge table, built on a
+    SINGLE exchange: hash-partitioning on ``src`` alone satisfies the
+    clustered distribution both of the (src, dst) dedup and of the
+    per-src degree count, so ``dropDuplicates`` and the window aggregate
+    reuse the repartition's exchange instead of each adding their own
+    (the earlier distinct-then-repartition + groupBy/join fold paid two
+    full edge shuffles and a self-join; measured 8 Exchange -> 3 on the
+    build subtree, eager-checkpoint build 1.39 -> 0.90 s at sf0.1, rows
+    bit-identical). Exposed for the plan-shape test."""
+    e = e.repartition("src").dropDuplicates(["src", "dst"])
+    return e.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -83,23 +97,7 @@ def pagerank(
     # the cut (the Pregel trade: co-locate the graph once, shuffle only
     # the ranks each superstep) — the checkpointed LogicalRDD keeps the
     # hashpartitioning, so no iteration re-shuffles the edge table
-    # ONE exchange builds the whole table: hash-partitioning on src
-    # alone satisfies the clustered distribution both of the (src, dst)
-    # dedup and of the per-src degree count, so dropDuplicates and the
-    # window aggregate reuse the repartition's exchange instead of each
-    # adding their own (distinct-then-repartition paid two full edge
-    # shuffles; measured 8 Exchange -> 3 on the build subtree,
-    # 1.39 -> 0.90 s at sf0.1).
-    e = e.repartition("src").dropDuplicates(["src", "dst"])
-    # r15: the out-degree FOLDS INTO the checkpointed edge table
-    # (src, dst, deg) instead of living in a second checkpointed table
-    # joined every superstep — one extra long per edge row buys 5 fewer
-    # SortMergeJoins (+10 sorts) over 5 iterations. The window count
-    # over the src partition replaces the earlier groupBy+join fold:
-    # same rows, no join, no extra exchange.
-    ed = e.withColumn(
-        "deg", F.count("*").over(Window.partitionBy("src"))
-    ).localCheckpoint(eager=True)
+    ed = _edge_table(e).localCheckpoint(eager=True)
     if undirected:
         # doubled edges ⇒ every node appears as src; no dangling nodes
         nodes = ed.select(F.col("src").alias("node")).distinct()

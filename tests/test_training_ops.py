@@ -1100,6 +1100,43 @@ def test_pmi_from_stored_counts_matches_direct(spark, tmp_path):
     assert stored == direct and len(direct) > 0
 
 
+def test_pagerank_edge_table_builds_on_one_exchange(spark):
+    """The (src, dst, deg) edge-table build must stay a SINGLE shuffle:
+    hash-partitioning on src satisfies the clustered distribution of
+    both the (src,dst) dedup and the per-src degree window, so neither
+    may add its own exchange (r15: distinct-then-repartition + a
+    groupBy/join fold paid two full edge shuffles and a self-join).
+    Also pins the fold's values against an independent groupBy count."""
+    from pyspark.sql import functions as F
+
+    from gratum_spark.operators.graph import _edge_table
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (3, 2), (3, 2)],
+        "src long, dst long",
+    )
+    ed = _edge_table(e)
+    plan = ed._sc._jvm.PythonSQLUtils.explainString(
+        ed._jdf.queryExecution(), "formatted"
+    )
+    # exactly one shuffle exchange, no join, in the whole build subtree
+    n_exchange = sum(
+        1 for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_exchange == 1, plan
+    assert "Join" not in plan, plan
+    rows = {(r["src"], r["dst"]): r["deg"] for r in ed.collect()}
+    dedup = e.dropDuplicates(["src", "dst"])
+    want_deg = {
+        r["src"]: r["n"]
+        for r in dedup.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (3, 1), (3, 2)}
+    for (s, _), d in rows.items():
+        assert d == want_deg[s], (s, d, want_deg)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     from gratum_spark.operators.graph import pagerank
 

@@ -237,6 +237,32 @@ def minhash_lsh_pairs(
     )
 
 
+def _candidate_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cand_ids: DataFrame,
+    shingle_k: int,
+    id_alias: str,
+) -> DataFrame:
+    """Verify-side shingle table pruned to candidate ids (r16, guide
+    §3.2): the semi-join sits BELOW the shingle projection, so only
+    docs that appear in a candidate pair pay the interpreted shingle
+    HOF and only their rows flow on — the exact-verify phase scales
+    with the candidate set, not the corpus. ``cand_ids`` must be a
+    1-column frame named ``id_alias`` (small — AQE broadcasts it).
+    Returns (id_alias, __vsh__), un-materialized; callers cut it once
+    when both join sides reference it."""
+    return (
+        df.select(F.col(id_col).alias(id_alias), F.col(text_col).alias("__t__"))
+        .join(cand_ids, on=id_alias, how="leftsemi")
+        .select(
+            id_alias,
+            shingles_of_words(words(F.col("__t__")), shingle_k).alias("__vsh__"),
+        )
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -272,10 +298,27 @@ def minhash_verified_pairs(
     _, cands = _lsh_candidates(
         df, id_col, text_col, shingle_k, n_hashes, bands, n_partitions
     )
-    sh = df.select(
-        F.col(id_col).alias("__vid__"),
-        shingles_of_words(words(F.col(text_col)), shingle_k).alias("__vsh__"),
+    # r16 (guide §3.2): only docs that appear in a candidate pair need
+    # their exact shingle set, but the verify side used to tokenize +
+    # shingle the WHOLE corpus twice (once per join side) — the
+    # interpreted shingle HOF over every non-candidate doc was pure
+    # waste, and at 100 TB it made the verify phase scale with the
+    # corpus instead of with the candidates. Materialize the (small)
+    # pair set once (it feeds the id prune AND the verify join), then
+    # semi-join-prune the corpus BEFORE the shingle projection: the
+    # shingle set is computed once, for candidate docs only, and the
+    # pruned table is shared by both join sides via one lazy cut.
+    # Same rows by construction — inner joins on a/b keep exactly the
+    # candidate ids the semi-join keeps.
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("a").alias("__vid__"))
+        .unionByName(cands.select(F.col("b").alias("__vid__")))
+        .dropDuplicates()
     )
+    sh = _candidate_shingles(
+        df, id_col, text_col, cand_ids, shingle_k, "__vid__"
+    ).localCheckpoint(eager=False)
     sh_a = sh.select(F.col("__vid__").alias("a"), F.col("__vsh__").alias("sh_a"))
     sh_b = sh.select(F.col("__vid__").alias("b"), F.col("__vsh__").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -342,14 +385,22 @@ def minhash_verified_pairs_cross(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    sh_new = new_df.select(
-        F.col(id_col).alias("new_id"),
-        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh_a"),
-    )
-    sh_corpus = corpus_df.select(
-        F.col(id_col).alias("corpus_id"),
-        shingles_of_words(words(F.col(text_col)), shingle_k).alias("sh_b"),
-    )
+    # r16 (guide §3.2): semi-join-prune each verify side to the docs
+    # that actually appear in a candidate pair before paying the
+    # shingle HOF — the corpus side in particular used to re-shingle
+    # the ENTIRE existing corpus to verify a daily batch's candidates.
+    # The pair set is materialized once (it feeds both prunes and the
+    # verify join); rows identical by construction (the later inner
+    # joins keep exactly the pruned ids).
+    cands = cands.localCheckpoint(eager=True)
+    sh_new = _candidate_shingles(
+        new_df, id_col, text_col,
+        cands.select("new_id").dropDuplicates(), shingle_k, "new_id",
+    ).withColumnRenamed("__vsh__", "sh_a")
+    sh_corpus = _candidate_shingles(
+        corpus_df, id_col, text_col,
+        cands.select("corpus_id").dropDuplicates(), shingle_k, "corpus_id",
+    ).withColumnRenamed("__vsh__", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = (inter.cast("double") / union.cast("double")).alias("jaccard")

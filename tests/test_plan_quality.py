@@ -902,3 +902,42 @@ def test_intersect_never_hints_key_set(spark, sf):
         plan = plan_of(orders.intersect(cust, "o_custkey").df)
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_verify_shingles_pruned_to_candidates(spark, sf):
+    """minhash verify (r16): the exact-Jaccard verify side must
+    semi-join-prune to candidate ids BELOW the shingle projection —
+    re-shingling the whole corpus per join side is the 100-TB scale bug
+    (verify must scale with candidates, not the corpus). The cross
+    plan shows it directly: one parquet text scan per side (the LSH
+    subtree is materialized behind the candidate cut) with a LeftSemi
+    under each shingle projection."""
+    from gratum_spark.operators.dedup import (
+        _candidate_shingles,
+        minhash_verified_pairs_cross,
+    )
+
+    docs = table(spark, sf, "documents").df
+    out = minhash_verified_pairs_cross(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )
+    plan = plan_of(out)
+    assert plan.count("Join type: LeftSemi") == 2
+    # detail headers count physical nodes once ("(n) Scan parquet")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+    # the helper itself: prune below the projection, rows = candidates only
+    cand_ids = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("__vid__")
+    )
+    sh = _candidate_shingles(docs, "doc_id", "text", cand_ids, 3, "__vid__")
+    hplan = plan_of(sh)
+    assert "LeftSemi" in hplan
+    got = {r["__vid__"] for r in sh.collect()}
+    assert got == {r["doc_id"] for r in docs.filter(F.col("doc_id") < 3).collect()}

@@ -84,9 +84,21 @@ def pagerank(
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        # double each edge with ONE pass: explode a 2-element array of
+        # (fwd, rev) structs. The r15 self-union referenced the input
+        # subtree twice, and Catalyst does not share subplans — an
+        # expensive edge-producing join upstream executed TWICE (only
+        # its exchanges were reused). Same row multiset by construction.
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__e__")
+        ).select("__e__.src", "__e__.dst")
     # every iteration re-joins the edge table; without a lineage cut
     # Catalyst re-derives it (scan + distinct) once per iteration and
     # the plan grows superlinearly in n_iters. Eager localCheckpoint
@@ -154,8 +166,24 @@ def pagerank(
         ranks = nodes.select(
             "node", "is_sink", (F.lit(1.0) / F.lit(n_rows)).alias("rank")
         )
-    for _ in range(n_iters):
-        if broadcast_ranks:
+    for it in range(n_iters):
+        if it == 0:
+            # superstep 1 shortcut (r16): rank_0 is the CONSTANT 1/N for
+            # every node, and every edge src is a node by construction
+            # (undirected: nodes = distinct src; directed: src ∪ dst),
+            # so the first join against ranks_0 is algebraically a
+            # projection over the checkpointed edge table. Identical
+            # doubles — (lit(1.0)/lit(N))/deg is the exact expression
+            # the joined shape evaluated — while skipping one broadcast
+            # build (which re-executed the node-distinct shuffle) or
+            # one ranks-side shuffle per query.
+            contrib = ed.select(
+                F.col("dst").alias("node"),
+                ((F.lit(1.0) / F.lit(n_rows)) / F.col("deg").cast("double"))
+                .cast(_DEC)
+                .alias("c"),
+            )
+        elif broadcast_ranks:
             # probe the checkpointed edge blocks in place — zero
             # exchange on either join side; (node, rank) only, the
             # is_sink flag never crosses the wire

@@ -1533,3 +1533,33 @@ def test_merge_upsert_hash_is_injective(spark):
         for r in dedup.merge_upsert(corpus, batch, "doc_id", ["a", "b"]).collect()
     }
     assert out == {0: "updated", 1: "updated", 2: "updated"}
+
+
+def test_pagerank_first_superstep_needs_no_join(spark):
+    """r16: rank_0 is the constant 1/N, so superstep 1's contribution
+    is a projection over the checkpointed edge table — an n_iters=1
+    run must contain no join (no broadcast build and no ranks-side
+    shuffle), while the 5-iteration value checks elsewhere pin that
+    the shortcut's numbers are identical to the joined recurrence."""
+    from gratum_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = pagerank(df, n_iters=1, undirected=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    # and the single-superstep values equal the sequential recurrence
+    und = set(edges) | {(b, a) for a, b in edges}
+    nodes = sorted({x for e in und for x in e})
+    deg = {v: sum(1 for s, _ in und if s == v) for v in nodes}
+    n = len(nodes)
+    expect = {
+        v: 0.15 / n + 0.85 * sum(1.0 / n / deg[s] for s, d in und if d == v)
+        for v in nodes
+    }
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    assert set(got) == set(expect)
+    for v in nodes:
+        assert abs(got[v] - expect[v]) < 1e-12

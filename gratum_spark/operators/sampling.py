@@ -237,6 +237,7 @@ def dsir_logratios(
     prefix_len: int = 3,
     alpha: float = 0.5,
     n_partitions: int | None = None,
+    target_within_source: bool = False,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every SOURCE
@@ -269,6 +270,13 @@ def dsir_logratios(
     Returns (id, n_grams, logratio_sum, avg_logratio) for every source
     document; docs with no grams (empty text still yields one unigram)
     cannot occur, so no null handling is needed.
+
+    ``target_within_source=True`` declares that every target row's id
+    appears in ``source`` with identical text (the usual "in-domain
+    slice of my corpus" setup): the target model is then derived from
+    the source feature table by a semi join on id (identical counts —
+    per-doc bucket counts are exact partials), skipping the second
+    tokenize+hash pass over the target corpus entirely.
     """
     B = 16 ** prefix_len
     if n_partitions:
@@ -312,21 +320,45 @@ def dsir_logratios(
     # optimizations overlap too) instead of running them strictly
     # sequentially. Results are unaffected: each job is the same
     # deterministic aggregate it was, just submitted concurrently.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_tgt = pool.submit(
-            lambda: buckets(target)
-            .groupBy("__b__")
-            .agg(F.count("*").alias("__ct__"))
-            .localCheckpoint(eager=True)
-        )
-        f_src = pool.submit(
-            lambda: buckets(source)
+    # r16 (guide §1.2 "don't compute things twice"): when the caller
+    # declares the target a SUBSET of the source (the common DSIR setup
+    # — "the in-domain slice of my corpus"), the target model is the
+    # per-bucket sum of the target docs' rows of the source feature
+    # table: identical integers to tokenizing the target again (per-doc
+    # bucket counts are exact partials of the corpus count), with the
+    # ENTIRE second tokenize+md5 pass over the target corpus removed.
+    # The semi join keys on id — small side, AQE broadcasts it.
+    if target_within_source:
+        doc_feats = (
+            buckets(source)
             .groupBy("id", "__b__")
             .agg(F.count("*").alias("__m__"))
             .localCheckpoint(eager=True)
         )
-        tgt_counts = f_tgt.result()
-        doc_feats = f_src.result()
+        tgt_counts = (
+            doc_feats.join(
+                target.select(F.col(id_col).alias("id")), on="id", how="leftsemi"
+            )
+            .groupBy("__b__")
+            .agg(F.sum("__m__").alias("__ct__"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_tgt = pool.submit(
+                lambda: buckets(target)
+                .groupBy("__b__")
+                .agg(F.count("*").alias("__ct__"))
+                .localCheckpoint(eager=True)
+            )
+            f_src = pool.submit(
+                lambda: buckets(source)
+                .groupBy("id", "__b__")
+                .agg(F.count("*").alias("__m__"))
+                .localCheckpoint(eager=True)
+            )
+            tgt_counts = f_tgt.result()
+            doc_feats = f_src.result()
     src_counts = doc_feats.groupBy("__b__").agg(F.sum("__m__").alias("__cs__"))
     tgt_total = tgt_counts.agg(F.sum("__ct__").cast("double").alias("__nt__"))
     src_total = src_counts.agg(F.sum("__cs__").cast("double").alias("__ns__"))

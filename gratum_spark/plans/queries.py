@@ -3277,6 +3277,10 @@ def corpus_dsir(spark, sf) -> DataFrame:
         sampling.dsir_logratios(
             docs, target, "doc_id", "text",
             n_partitions=spark.sparkContext.defaultParallelism,
+            # the target IS a slice of the source corpus: derive its
+            # model from the source feature table (identical counts)
+            # instead of tokenizing the en-subset a second time (r16)
+            target_within_source=True,
         )
     ).orderBy("id")
 

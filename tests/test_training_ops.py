@@ -1563,3 +1563,28 @@ def test_pagerank_first_superstep_needs_no_join(spark):
     assert set(got) == set(expect)
     for v in nodes:
         assert abs(got[v] - expect[v]) < 1e-12
+
+
+def test_dsir_subset_path_equals_generic_path(spark):
+    """r16: with target_within_source=True the target model derives
+    from the source feature table by a semi join (no second tokenize
+    pass); the scores must equal the generic two-pass path EXACTLY —
+    per-doc bucket counts are exact partials of the corpus counts."""
+    from gratum_spark.operators import sampling
+
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "en", "the quick brown fox naps"),
+        (3, "de", "der schnelle braune fuchs"),
+        (4, "en", "lorem ipsum dolor sit amet the end"),
+        (5, "fr", "le renard brun rapide"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    target = docs.filter(F.col("lang") == "en")
+    generic = sampling.dsir_logratios(
+        docs, target, "doc_id", "text"
+    ).orderBy("id").toPandas()
+    subset = sampling.dsir_logratios(
+        docs, target, "doc_id", "text", target_within_source=True
+    ).orderBy("id").toPandas()
+    assert generic.equals(subset)

@@ -1177,12 +1177,20 @@ def _duplicate_span_ranges(
     starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.expr("array()").cast("array<int>")
     )
+    # r16: the position index is referenced TWICE (the dup-count
+    # aggregate and the hits join probe), and Catalyst does not share
+    # subplans — the k-word slice+concat shingle computation ran twice
+    # per query. Materialize it once (eager localCheckpoint, the same
+    # trade ngram_jaccard_pairs makes for its inverted index; blocks
+    # are ContextCleaner-released). A/B at sf0.1, alternating min-of-6:
+    # 1.43 -> 1.31 s, checkpoint wins every pair; at scale it is one
+    # full corpus shingle pass instead of two.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice(warr, i + 1, k)))
         ).alias("pos", "shingle"),
-    )
+    ).localCheckpoint(eager=True)
     dup = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("__occ__"))

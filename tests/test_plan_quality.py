@@ -941,3 +941,19 @@ def test_verify_shingles_pruned_to_candidates(spark, sf):
     assert "LeftSemi" in hplan
     got = {r["__vid__"] for r in sh.collect()}
     assert got == {r["doc_id"] for r in docs.filter(F.col("doc_id") < 3).collect()}
+
+
+def test_span_shingle_index_materialized_once(spark, sf):
+    """r16: _duplicate_span_ranges' position index feeds both the
+    dup-count aggregate and the hits join; it must be a materialized
+    cut (two ExistingRDD reads of one checkpoint), not a duplicated
+    shingle explode — re-shingling the corpus per reference is the
+    scale bug (one pass vs two at 100 TB)."""
+    import re
+
+    from gratum_spark.operators.dedup import duplicate_spans
+
+    docs = table(spark, sf, "documents").df
+    plan = plan_of(duplicate_spans(docs, "doc_id", "text", k=10))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) >= 2

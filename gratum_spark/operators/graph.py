@@ -52,7 +52,16 @@ def _edge_table(e: DataFrame) -> DataFrame:
     (the earlier distinct-then-repartition + groupBy/join fold paid two
     full edge shuffles and a self-join; measured 8 Exchange -> 3 on the
     build subtree, eager-checkpoint build 1.39 -> 0.90 s at sf0.1, rows
-    bit-identical). Exposed for the plan-shape test."""
+    bit-identical). Exposed for the plan-shape test.
+
+    Skew trade-off (r15 advice): keying the single exchange on ``src``
+    alone concentrates a hub node's entire out-edge set in one
+    partition, and the window fold buffers that group (WindowExec
+    spills past the in-memory threshold — slow, not wrong). The
+    (src, dst)-keyed alternative spreads hubs but pays a second full
+    edge shuffle for the degree fold. For web-scale hub-skewed graphs
+    prefer the two-exchange shape (or salt the fold); for the typical
+    bipartite/host graphs this module targets, one exchange wins."""
     e = e.repartition("src").dropDuplicates(["src", "dst"])
     return e.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
 

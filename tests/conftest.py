@@ -22,6 +22,19 @@ def sf_dir():
     return SF_DIR
 
 
+def plan_of(df) -> str:
+    """Formatted physical-plan string of a DataFrame — the PRE-execution
+    (initial) plan; with AQE on it carries the `AdaptiveSparkPlan
+    isFinalPlan=false` header, so shape assertions read the static plan,
+    not a re-optimized runtime one. Centralized here (r15 ADVICE) so a
+    Spark upgrade that moves the private bridge needs one fix, not five:
+    every plan-shape test should import this instead of reaching for
+    `_sc._jvm.PythonSQLUtils` itself."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 PEOPLE = [
     {"id": 1, "name": "Bill Rhodes", "age": 53, "gender": "male", "comment": "solid\nguy"},
     {"id": 2, "name": "Cheryl Lipscome", "age": 25, "gender": "female", "comment": "ok"},

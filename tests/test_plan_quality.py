@@ -16,10 +16,8 @@ from gratum_spark.plans import queries as Q
 from gratum_spark.sources import table
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+# shared pre-AQE explain helper (see its docstring in conftest.py)
+from conftest import plan_of  # noqa: E402
 
 
 @pytest.fixture(scope="module")

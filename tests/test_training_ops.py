@@ -1008,9 +1008,9 @@ def test_bm25_stored_index_matches_direct(spark, tmp_path):
     assert stored == direct
 
     # the probe must prune the postings scan to the query terms' buckets
-    plan = stored_df._sc._jvm.PythonSQLUtils.explainString(
-        stored_df._jdf.queryExecution(), "formatted"
-    )
+    from conftest import plan_of
+
+    plan = plan_of(stored_df)
     head = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "term_bucket" in head
 
@@ -1116,9 +1116,9 @@ def test_pagerank_edge_table_builds_on_one_exchange(spark):
         "src long, dst long",
     )
     ed = _edge_table(e)
-    plan = ed._sc._jvm.PythonSQLUtils.explainString(
-        ed._jdf.queryExecution(), "formatted"
-    )
+    from conftest import plan_of
+
+    plan = plan_of(ed)
     # exactly one shuffle exchange, no join, in the whole build subtree
     n_exchange = sum(
         1 for ln in plan.splitlines()
@@ -1209,10 +1209,7 @@ def test_pagerank_broadcast_gate_picks_join_shape(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
     df = spark.createDataFrame(edges, "src string, dst string")
 
-    def plan_of(frame):
-        return frame._sc._jvm.PythonSQLUtils.explainString(
-            frame._jdf.queryExecution(), "formatted"
-        )
+    from conftest import plan_of
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -1546,9 +1543,9 @@ def test_pagerank_first_superstep_needs_no_join(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
     df = spark.createDataFrame(edges, "src string, dst string")
     out = pagerank(df, n_iters=1, undirected=True)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    from conftest import plan_of
+
+    plan = plan_of(out)
     assert "Join" not in plan
     # and the single-superstep values equal the sequential recurrence
     und = set(edges) | {(b, a) for a, b in edges}
